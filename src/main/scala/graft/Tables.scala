@@ -1,38 +1,33 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Testdata table access.
   *
   * The driver parquet (TESTDATA.md) stores TPC-H-ish tables one file per
   * table; `orders.o_orderdate` / `lineitem.l_shipdate` are physically
-  * timestamp[ms] (FIXTURES.md §B) and are cast to DateType here so date
-  * arithmetic matches the reference semantics (reference DDL declares DATE,
-  * /root/reference/cases/tpch/query/ddl.sql).
+  * timestamp[ms] (FIXTURES.md §B), midnight-aligned. Tables are loaded RAW
+  * (no column rewrites): date predicates must compare the raw timestamp
+  * attribute against a literal so Spark's parquet filter translation can
+  * push them into the scan (row-group pruning). Casting to DateType happens
+  * only in projections/grouping, never before a filter. (Round-1 verdict:
+  * a `to_date()` rewrite here defeated pushdown for every query.)
   *
-  * At 100 TB these reads would be directory-partitioned parquet; everything
-  * downstream only assumes a DataFrame with this schema, so swapping the
-  * loader for a catalog table / DSv2 source is a one-line change.
+  * At 100 TB these reads would be directory-partitioned parquet or a DSv2
+  * table; everything downstream only assumes a DataFrame with this schema,
+  * so swapping the loader for a catalog table is a one-line change.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val dateCols: Map[String, Seq[String]] = Map(
-    "orders"   -> Seq("o_orderdate"),
-    "lineitem" -> Seq("l_shipdate"))
+  /** Load one table raw — filters on its columns remain pushable. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Load one table with date normalization applied. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    dateCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c)) d.withColumn(c, to_date(col(c))) else d
-    }
-  }
-
-  /** Register all tables of a scale-factor dir as temp views (idempotent). */
+  /** Register all tables of a scale-factor dir as temp views (idempotent).
+    * Views are raw, same reason as [[load]]. */
   def register(spark: SparkSession, dir: String): Unit =
     all.foreach { n =>
       load(spark, dir, n).createOrReplaceTempView(n)

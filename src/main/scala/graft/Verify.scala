@@ -14,7 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Fresh outDir: a stale dump from a previous run must never mask a
+    // newly-broken query as PASS (round-1 advice on dev/compare.py).
+    val root = Paths.get(outDir)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(root)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
   * physical planning (broadcast vs shuffle join, partial aggregation,
   * TakeOrderedAndProject); see SURVEY.md §2.1 for the reference operator
   * each query covers.
+  *
+  * Scale notes (100 TB posture):
+  *  - Date predicates compare the RAW timestamp attribute against a foldable
+  *    literal (`ts(...)`) so they reach the parquet scan as PushedFilters —
+  *    asserted by PlanSpec. Output-side casts to DateType happen after.
+  *  - `broadcast()` hints only on bounded dimensions (nation 25 rows,
+  *    region 5 rows). customer/supplier/part grow with SF; AQE picks their
+  *    join strategy from runtime stats.
   */
 object Tpch {
 
-  private def d(s: String) = to_date(lit(s))
+  /** Foldable timestamp literal; testdata date columns are midnight-aligned
+    * timestamp[ms] (FIXTURES.md §B), so `< ts(d)` ≡ `< DATE d`. */
+  private def ts(s: String) = to_timestamp(lit(s))
 
   /** TPC-H Q1: scan → filter → hash aggregate → sort.
     * Reference: executor_aggr.go (hash aggregate), executor_order.go (sort). */
@@ -34,7 +44,7 @@ object Tpch {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= d("2001-09-02"))
+      .filter(col("l_shipdate") <= ts("2001-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
@@ -67,12 +77,13 @@ object Tpch {
     val cust = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "HOUSEHOLD")
     val ord = Tables.load(s, dir, "orders")
-      .filter(col("o_orderdate") < d("1998-06-15"))
+      .filter(col("o_orderdate") < ts("1998-06-15"))
     val li = Tables.load(s, dir, "lineitem")
-      .filter(col("l_shipdate") > d("1998-06-15"))
+      .filter(col("l_shipdate") > ts("1998-06-15"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -93,15 +104,15 @@ object Tpch {
       |GROUP BY n_name ORDER BY revenue DESC""".stripMargin) { (s, dir) =>
     val cust = Tables.load(s, dir, "customer")
     val ord = Tables.load(s, dir, "orders")
-      .filter(col("o_orderdate") >= d("1997-01-01") &&
-        col("o_orderdate") < d("1998-01-01"))
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
     val li = Tables.load(s, dir, "lineitem")
     val supp = Tables.load(s, dir, "supplier")
     val nat = Tables.load(s, dir, "nation")
     val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust),
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust,
         ord("o_custkey") === cust("c_custkey") &&
           supp("s_nationkey") === cust("c_nationkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
@@ -121,8 +132,8 @@ object Tpch {
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) {
     (s, dir) =>
       Tables.load(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= d("1997-01-01") &&
-          col("l_shipdate") < d("1998-01-01") &&
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
   }
@@ -141,8 +152,8 @@ object Tpch {
       |LIMIT 20""".stripMargin) { (s, dir) =>
     val cust = Tables.load(s, dir, "customer")
     val ord = Tables.load(s, dir, "orders")
-      .filter(col("o_orderdate") >= d("1996-03-01") &&
-        col("o_orderdate") < d("1996-06-01"))
+      .filter(col("o_orderdate") >= ts("1996-03-01") &&
+        col("o_orderdate") < ts("1996-06-01"))
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_returnflag") === "R")
     val nat = Tables.load(s, dir, "nation")

@@ -1,0 +1,29 @@
+package graft
+
+/** Every registry query runs end-to-end on sf0.001 and yields a sane,
+  * non-empty result. Exact value checks are the driver's DuckDB gate;
+  * this suite catches runtime regressions (unresolved columns, bad casts)
+  * in-repo before the driver ever runs. */
+class QuerySmokeSpec extends SparkTestBase {
+
+  private val expectedRows: Map[String, Int] = Map(
+    "q1_agg" -> 6,
+    "q3_join_topn" -> 10,
+    "q5_join6" -> 1, // only one ASIA nation has 1997 revenue at sf0.001
+    "q6_filter" -> 1,
+    "q10_returns_topn" -> 20)
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs on sf0.001") {
+      val n = q.run(spark, sf0001).count()
+      expectedRows.get(q.name) match {
+        case Some(exp) => assert(n == exp, s"${q.name}: $n rows, expected $exp")
+        case None => assert(n > 0, s"${q.name}: empty result")
+      }
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
