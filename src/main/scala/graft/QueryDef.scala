@@ -25,4 +25,11 @@ object Q {
   /** Query checked rows-only by the driver (ScalaTest covers semantics). */
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+
+  /** ANSI-SQL query whose text runs verbatim on BOTH engines: Spark executes
+    * it over the registered temp views (exercising Catalyst's parser, subquery
+    * decorrelation, CTE inlining), DuckDB replays it as the oracle. */
+  def sql(name: String, sharedSql: String): Q =
+    Q(name, (s, dir) => { Tables.register(s, dir); s.sql(sharedSql) },
+      Some(sharedSql))
 }

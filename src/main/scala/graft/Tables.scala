@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Testdata table access.
   *
@@ -22,9 +23,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table raw — filters on its columns remain pushable. */
+  /** Load one table raw — filters on its columns remain pushable.
+    *
+    * `events.ts` is physically timestamp[ns] (FIXTURES.md §B), which Spark's
+    * parquet reader rejects; it is read as a nanosecond long (legacy conf)
+    * and converted to a microsecond TimestampType column. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Register all tables of a scale-factor dir as temp views (idempotent).
     * Views are raw, same reason as [[load]]. */

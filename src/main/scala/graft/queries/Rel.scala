@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-operator coverage beyond the TPC-H shapes: the remaining
+  * SURVEY.md §2.1 rows (cross product, semi/anti joins as explicit DataFrame
+  * joins, values scan, limit+offset) plus set-ops and window functions —
+  * absent in the reference engine (SURVEY §2.1 notes) but declared cheap
+  * Spark wins for TPC-DS reach. */
+object Rel {
+
+  /** Cross product (reference join_cross.go:1-520 → crossJoin). */
+  val cross = Q(
+    "rel_cross",
+    """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+      |FROM region r1 CROSS JOIN region r2""".stripMargin) { (s, dir) =>
+    val r1 = Tables.load(s, dir, "region").select(col("r_name").as("r1_name"))
+    val r2 = Tables.load(s, dir, "region").select(col("r_name").as("r2_name"))
+    r1.crossJoin(r2)
+  }
+
+  /** Left semi join, explicit DataFrame form (join_scan.go:56,96). */
+  val semi = Q(
+    "rel_semi",
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  /** Left anti join, explicit DataFrame form (join_scan.go:58,90). */
+  val anti = Q(
+    "rel_anti",
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_quantity >= 49)""".stripMargin) {
+    (s, dir) =>
+      val part = Tables.load(s, dir, "part")
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      part.join(li, part("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+  }
+
+  /** NULL-safe NOT IN over a subquery (reference plans NOT IN as plain anti
+    * join, builder_plan.go:492-506; key is non-null here so 3VL agrees). */
+  val notIn = Q.sql(
+    "rel_not_in_subq",
+    """SELECT n_nationkey, n_name
+      |FROM nation
+      |WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)""".stripMargin)
+
+  /** UNION (dedup). Set-ops are absent in the reference (SURVEY §2.1). */
+  val union = Q(
+    "rel_union",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(Tables.load(s, dir, "supplier").select(col("s_nationkey")))
+      .distinct()
+  }
+
+  /** INTERSECT. */
+  val intersect = Q(
+    "rel_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.load(s, dir, "supplier").select(col("s_nationkey")))
+  }
+
+  /** EXCEPT. */
+  val except = Q(
+    "rel_except",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(Tables.load(s, dir, "supplier").select(col("s_nationkey")))
+  }
+
+  /** Window functions: row_number + partition-sum, top-2 per customer. */
+  val window = Q(
+    "rel_window",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, cust_total
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |        sum(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_total
+      |      FROM orders) t
+      |WHERE rn <= 2""".stripMargin) { (s, dir) =>
+    val byCust = Window.partitionBy("o_custkey")
+    val ranked = byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(ranked))
+      .withColumn("cust_total", sum("o_totalprice").over(byCust))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "cust_total")
+  }
+
+  /** ROLLUP grouping sets (reference has internal GroupingSet infra,
+    * aggregate_exec.go:17, never surfaced in SQL — free in Spark). */
+  val rollup = Q(
+    "rel_rollup",
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+  }
+
+  /** SELECT DISTINCT (executor dedup path). */
+  val distinctQ = Q(
+    "rel_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders") { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority").distinct()
+  }
+
+  /** LIMIT + OFFSET (reference executor_limit.go:12-230 HandleOffset). */
+  val limitOffset = Q.sql(
+    "rel_limit_offset",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10 OFFSET 10""".stripMargin)
+
+  /** VALUES scan / LocalRelation (executor_scan.go:346-363). */
+  val values = Q.sql(
+    "rel_values",
+    """SELECT id, name, score FROM
+      |  (VALUES (1, 'alpha', 3.5), (2, 'beta', 1.25), (3, 'gamma', 9.0))
+      |  AS t(id, name, score)
+      |ORDER BY id""".stripMargin)
+
+  /** JSON extraction over the events props column (beyond-reference; the
+    * `events` table exists for pipeline operators, FIXTURES.md §B). */
+  val evJson = Q(
+    "ev_json_agg",
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+  }
+
+  /** Per-day event-time windowing via date_trunc (batch counterpart of the
+    * streaming windowed agg; events.ts is timestamp[ns]). */
+  val evDay = Q(
+    "ev_day_trunc",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  count(*) AS n, sum(value) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) {
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+  }
+
+  def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
+    window, rollup, distinctQ, limitOffset, values, evJson, evDay)
+}

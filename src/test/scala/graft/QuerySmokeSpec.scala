@@ -13,11 +13,17 @@ class QuerySmokeSpec extends SparkTestBase {
     "q6_filter" -> 1,
     "q10_returns_topn" -> 20)
 
+  /** Queries whose correct sf0.001 result may be empty (tiny-SF artifacts);
+    * still must run without error. */
+  private val emptyOk =
+    Set("rel_not_in_subq", "rel_except", "q17_corr_scalar", "q7_nation_pairs")
+
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs on sf0.001") {
       val n = q.run(spark, sf0001).count()
       expectedRows.get(q.name) match {
         case Some(exp) => assert(n == exp, s"${q.name}: $n rows, expected $exp")
+        case None if emptyOk(q.name) => assert(n >= 0)
         case None => assert(n > 0, s"${q.name}: empty result")
       }
     }
