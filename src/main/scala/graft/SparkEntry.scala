@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import graft.queries.{Rel, Tpch, TpchMore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -9,7 +10,8 @@ object SparkEntry {
   /** Full capability registry; each Q covers one operator/capability from
     * SURVEY.md §2 (or a beyond-reference pipeline operator). */
   lazy val registry: Seq[Q] =
-    Tpch.all ++ TpchMore.all ++ Rel.all
+    Tpch.all ++ TpchMore.all ++ Rel.all ++
+      TextOps.all ++ Dedup.all ++ Ann.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector distance + simhash: codegen'd
+  * (stay inside whole-stage codegen, unlike a Scala UDF which breaks the
+  * span and pays serialization per row). Registered by [[GraftFunctions]];
+  * used via `call_function("cosine_sim", ...)`.
+  *
+  * Reference counterpart: pkg/storage2/distance_metrics.go (metrics);
+  * simhash fingerprinting is beyond-reference (north star). */
+trait VectorBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  /** Kernel name on [[VectorOps]], used by both eval paths. */
+  def kernel: String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<float>, array<float>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = kernel match {
+    case "cosine" => VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "dot"    => VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "l2"     => VectorOps.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.$kernel($a, $b);")
+}
+
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinary {
+  override def kernel: String = "cosine"
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
+  override def kernel: String = "dot"
+  override def prettyName: String = "dot_product"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Distance(left: Expression, right: Expression) extends VectorBinary {
+  override def kernel: String = "l2"
+  override def prettyName: String = "l2_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** simhash64(array<string>) → bigint fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    VectorOps.simhash(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorOps.simhash($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Session-scoped registration so the expressions are callable through
+  * `call_function` / SQL. Idempotent. */
+object GraftFunctions {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_distance" -> (es => L2Distance(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es.head)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over `embeddings`
+  * (64-dim array<float>). Two paths, per the pipeline mandate:
+  *
+  *  - [[brute]]: exact cosine top-k — the correctness baseline. The query
+  *    set is tiny and broadcast; the corpus side streams, so the plan is a
+  *    single narrow pass + per-query top-k (no corpus shuffle). This is the
+  *    right plan even at 100 TB *when k·queries is small*.
+  *  - [[lsh]]: sign-random-projection LSH bucketing — the scale path. Bucket
+  *    assignment is a narrow map (codegen'd dot products against fixed
+  *    hyperplanes); candidates come from probing the query bucket ±1 bit
+  *    (multi-probe), so per-query work is a fraction of the corpus.
+  *
+  * Distance kernels are the codegen'd Catalyst expressions in
+  * [[graft.functions]] (reference: pkg/storage2/knn.go FLAT/IVF index —
+  * capability parity is "top-k by metric", not algorithm parity; HNSW graph
+  * walks don't map to Spark's execution model, SURVEY §7.1).
+  */
+object Ann {
+
+  val NumQueries = 5
+  val TopK = 10
+  val Bits = 4 // 2^4 buckets; multi-probe Hamming-1 → 5 buckets scanned
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings")
+  }
+
+  /** Deterministic ±1 hyperplanes (seeded), dim 64. */
+  private lazy val hyperplanes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(Bits)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  /** LSH bucket id of a vector column: one sign bit per hyperplane. */
+  def bucketOf(vec: Column): Column =
+    (0 until Bits).map { i =>
+      when(call_function("dot_product", vec, typedlit(hyperplanes(i))) >= 0,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def queries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def topKPerQuery(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn"), round(col("sim"), 4).as("sim"))
+
+  /** Exact cosine top-k for the first NumQueries vectors (self excluded). */
+  val brute = Q(
+    "ann_cosine_topk",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.qid, e.vec_id,
+       |             list_cosine_similarity(e.embedding, q.qvec) AS sim
+       |           FROM embeddings e, q WHERE e.vec_id <> q.qid)
+       |SELECT qid, vec_id, rn, round(sim, 4) AS sim
+       |FROM (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid
+       |                           ORDER BY sim DESC, vec_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val scored = e.crossJoin(broadcast(queries(e)))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        call_function("cosine_sim", col("embedding"), col("qvec")))
+    topKPerQuery(scored)
+  }
+
+  /** LSH-bucketed ANN: probe the query's bucket and its Hamming-1 neighbors,
+    * then exact-rank only those candidates. */
+  val lsh = Q.noOracle("ann_lsh_topk") { (s, dir) =>
+    val e = emb(s, dir)
+    val corpus = e.withColumn("bucket", bucketOf(col("embedding")))
+    val q = queries(e).withColumn("qbucket", bucketOf(col("qvec")))
+    // Multi-probe: own bucket + each 1-bit flip.
+    val probes = q.select(col("qid"), col("qvec"),
+      explode(array(col("qbucket") +:
+        (0 until Bits).map(b => col("qbucket").bitwiseXOR(lit(1 << b))): _*))
+        .as("bucket"))
+    val scored = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        call_function("cosine_sim", col("embedding"), col("qvec")))
+    topKPerQuery(scored)
+  }
+
+  /** Embedding near-dup report: top-20 most-similar pairs among same-bucket
+    * candidates (bucketed, never all-pairs). */
+  val nearDupPairs = Q.noOracle("dedup_embed_cos") { (s, dir) =>
+    val e = emb(s, dir)
+    val bucketed = e.withColumn("bucket", bucketOf(col("embedding")))
+    val a = bucketed.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", call_function("cosine_sim", col("emb_a"), col("emb_b")))
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  def all: Seq[Q] = Seq(brute, lsh, nearDupPairs)
+}

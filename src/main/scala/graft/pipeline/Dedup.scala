@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (beyond-reference pipeline
+  * mandate). The scale discipline everywhere: candidates come from
+  * *bucket joins* (band-hash equality), NEVER an all-pairs product; exact
+  * similarity is computed only on candidates.
+  *
+  * 100 TB notes:
+  *  - The band-bucket self-join shuffles by bucket key; identical boilerplate
+  *    docs would form quadratic hot buckets, so buckets larger than
+  *    [[MaxBucket]] are dropped (their members are exact/near-exact dups that
+  *    the cheap exact pass already catches) — this is the skew guard.
+  *  - Signatures are fixed-width (NumHashes longs) per doc: shuffle volume is
+  *    O(docs), not O(text).
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val Bands = 16 // rows-per-band r = 4 → s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+  val RowsPerBand: Int = NumHashes / Bands
+  val ShingleK = 3
+  val MaxBucket = 1000
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Distinct word-k-gram shingles of the text column. */
+  def shingles(text: Column, k: Int = ShingleK): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: element j = min over shingles of xxhash64(shingle, j).
+    * One array column, NumHashes longs. */
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map { j =>
+      array_min(transform(sh, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /** Band keys: hash of each band's RowsPerBand signature slice (+ band id
+    * so different bands never collide). */
+  def bandKeys(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      val slots = (0 until RowsPerBand)
+        .map(r => element_at(sig, b * RowsPerBand + r + 1))
+      xxhash64(lit(b) +: slots: _*)
+    }: _*)
+
+  /** Candidate pairs via LSH banding, then exact shingle-Jaccard verify.
+    * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. */
+  def minhashDedup(d: DataFrame, threshold: Double): DataFrame = {
+    val sigs = d.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh")))
+    val buckets = sigs
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bucket"))
+    // Skew guard: drop degenerate hot buckets (see scaladoc).
+    val sized = buckets
+      .withColumn("bkt_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")))
+      .filter(col("bkt_n") <= MaxBucket)
+      .select("doc_id", "bucket")
+    val a = sized.select(col("doc_id").as("doc_a"), col("bucket"))
+    val b = sized.select(col("doc_id").as("doc_b"), col("bucket"))
+    val candidates = a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact duplicate groups (hash-groupBy on full text). */
+  val exact = Q(
+    "dedup_exact",
+    """SELECT count(*) AS n_groups, coalesce(sum(copies), 0) AS n_dup_docs
+      |FROM (SELECT count(*) AS copies FROM documents
+      |      GROUP BY text HAVING count(*) > 1) g""".stripMargin) { (s, dir) =>
+    docs(s, dir).groupBy("text").agg(count(lit(1)).as("copies"))
+      .filter(col("copies") > 1)
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum("copies"), lit(0)).as("n_dup_docs"))
+  }
+
+  /** MinHash+LSH near-dup pairs at Jaccard ≥ 0.8 (word-3-gram shingles). */
+  val minhash = Q.noOracle("dedup_minhash_lsh") { (s, dir) =>
+    minhashDedup(docs(s, dir), 0.8)
+  }
+
+  /** SimHash near-dup: 64-bit fingerprint, 4×16-bit band buckets, verify by
+    * Hamming distance ≤ 6. */
+  val simhash = Q.noOracle("dedup_simhash") { (s, dir) =>
+    GraftFunctions.register(s)
+    val fp = docs(s, dir).select(col("doc_id"),
+      call_function("simhash64", split(col("text"), " ")).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { band =>
+        // bucket key = band index ++ that 16-bit slice
+        lit(band.toLong << 16).bitwiseOR(
+          shiftrightunsigned(col("fp"), band * 16).bitwiseAND(lit(0xffffL)))
+      }: _*)).as("bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  /** N-gram Jaccard similarity report: exact Jaccard on LSH candidates at a
+    * lower threshold (0.5) — the "similarity join" form of dedup. */
+  val ngram = Q.noOracle("dedup_ngram_jaccard") { (s, dir) =>
+    minhashDedup(docs(s, dir), 0.5)
+  }
+
+  def all: Seq[Q] = Seq(exact, minhash, simhash, ngram)
+}

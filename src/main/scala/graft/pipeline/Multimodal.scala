@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads + typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB; everything Spark-side is real —
+  * schema (binary + metadata struct), typed Dataset, and the
+  * `mapPartitions` batch shape where a real decoder would amortize codec /
+  * model initialization once per partition (the Scala analogue of a
+  * `mapInPandas` batch UDF).
+  */
+object Multimodal {
+
+  /** Extracted per-media features (what a decoder would emit). */
+  final case class MediaFeature(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      checksum: Long,
+      brightness: Double)
+
+  /** STUB "decode": a real implementation would decode `payload` with an
+    * image codec. Deterministic fake: rolling checksum + derived stats. */
+  private def decodeStub(id: Long, payload: Array[Byte],
+      width: Int, height: Int): MediaFeature = {
+    var crc = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { crc = crc * 31 + (payload(i) & 0xff); i += 1 }
+    MediaFeature(id, payload.length, width, height, crc,
+      math.abs(crc % 1000) / 1000.0)
+  }
+
+  /** Binary payload + metadata → per-partition batched feature extraction.
+    * Payload is synthesized from text (no binary column in testdata); the
+    * pipeline downstream of the scan is exactly what real media takes. */
+  val decodeFeatures = Q.noOracle("mm_decode_features") { (s, dir) =>
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        struct(
+          (pmod(col("doc_id"), lit(64)) * 8 + 64).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(48)) * 8 + 48).cast("int").as("height"),
+          lit("fake/rgb8").as("format")).as("meta"))
+    media
+      .select(col("doc_id"), col("payload"),
+        col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // One decoder init per partition would go here (codec / model).
+        rows.map { case (id, bytes, w, h) => decodeStub(id, bytes, w, h) }
+      }
+      .toDF()
+  }
+
+  def all: Seq[Q] = Seq(decodeFeatures)
+}

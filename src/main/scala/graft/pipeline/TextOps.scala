@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (beyond-reference:
+  * the training-data-pipeline mandate). All are narrow per-row projections —
+  * no shuffle, fully codegen-eligible, trivially scale to 100 TB.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val tokensCol: Column = split(col("text"), " ")
+
+  /** Basic per-doc token/char statistics (whitespace tokenizer). */
+  val stats = Q(
+    "text_stats",
+    """SELECT doc_id, lang, source,
+      |  length(text) AS chars_calc,
+      |  len(string_split(text, ' ')) AS n_tokens
+      |FROM documents""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      length(col("text")).as("chars_calc"),
+      size(tokensCol).as("n_tokens"))
+  }
+
+  /** Quality scoring: unique-token ratio, stopword ratio, mean token length
+    * — the length/punct/stopword heuristics used to filter web corpora. */
+  val quality = Q(
+    "text_quality",
+    """SELECT doc_id,
+      |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |    / len(string_split(text,' ')) AS uniq_ratio,
+      |  CAST(len(list_filter(string_split(text,' '),
+      |       w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |    / len(string_split(text,' ')) AS stop_ratio,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text,' ')) AS mean_token_len
+      |FROM documents
+      |WHERE len(string_split(text,' ')) > 0""".stripMargin) { (s, dir) =>
+    val toks = tokensCol
+    val nToks = size(toks).cast("double")
+    docs(s, dir)
+      .filter(size(tokensCol) > 0)
+      .select(col("doc_id"),
+        (size(array_distinct(toks)).cast("double") / nToks).as("uniq_ratio"),
+        (size(filter(toks, w => w.isin("the", "a", "of", "and", "to", "in")))
+          .cast("double") / nToks).as("stop_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / nToks)
+          .as("mean_token_len"))
+  }
+
+  /** Marker tokens per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic; scored by marker-hit count. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language-ID: argmax over marker-set hit counts, `und` when nothing
+    * matches. (The synthetic corpus is English-ish regardless of its `lang`
+    * label — the operator is the deliverable, exercised by ScalaTest.) */
+  val langId = Q.noOracle("text_langid") { (s, dir) =>
+    val toks = tokensCol
+    val scores = langMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, w => w.isin(markers: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
+        greatest(scores: _*).as("best"))
+      .select(col("doc_id"), col("labeled_lang"),
+        when(col("best.hits") > 0, col("best.lang")).otherwise("und")
+          .as("predicted_lang"),
+        col("best.hits").as("marker_hits"))
+  }
+
+  /** Document fingerprint: 64-bit simhash over tokens (via the codegen'd
+    * [[graft.functions.SimHash64]]) + a content hash of the sorted distinct
+    * token set (word-order-insensitive "bag fingerprint"). */
+  val fingerprint = Q.noOracle("text_fingerprint") { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir).select(col("doc_id"),
+      call_function("simhash64", tokensCol).as("simhash"),
+      xxhash64(concat_ws(" ", array_sort(array_distinct(tokensCol))))
+        .as("bag_hash"))
+  }
+
+  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint)
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic oracles for the no-DuckDB-oracle dedup operators: LSH results
+  * are compared against an in-test brute-force ground truth at sf0.001
+  * (500 docs → all-pairs is fine in a test, and only in a test). */
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  /** Brute-force shingle-Jaccard pairs ≥ threshold (ground truth). */
+  private def brutePairs(threshold: Double): Set[(Long, Long)] = {
+    val sh = docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds exactly the brute-force pairs at jaccard>=0.8") {
+    val lsh = Dedup.minhashDedup(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = brutePairs(0.8)
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    // Precision is exact by construction (candidates are verified); recall
+    // of 16-band/4-row minhash at j>=0.8 on this fixed corpus is total.
+    assert(lsh == truth, s"lsh=${lsh.size} truth=${truth.size}, " +
+      s"missing=${(truth -- lsh).take(5)}, extra=${(lsh -- truth).take(5)}")
+  }
+
+  test("minhash candidates come from bucket joins, not an all-pairs product") {
+    val plan = Dedup.minhashDedup(docs, 0.8).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"cartesian product in dedup plan:\n$plan")
+  }
+
+  test("simhash pairs have verified hamming distance and catch near-dups") {
+    val rows = Dedup.simhash.run(spark, sf0001).collect()
+    assert(rows.nonEmpty, "planted near-dups should fall into simhash bands")
+    assert(rows.forall(_.getInt(2) <= 6))
+    // Near-identical docs (jaccard>=0.95 on shingles) share most tokens, so
+    // simhash-at-hamming<=6 should recover a large fraction of them.
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = brutePairs(0.95)
+    val recall = tight.count(found) .toDouble / math.max(tight.size, 1)
+    assert(recall >= 0.7, s"simhash recall $recall over ${tight.size} tight pairs")
+  }
+
+  test("exact dedup on constructed corpus counts duplicate groups") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "aa bb cc"),
+      (4L, "dd ee"), (5L, "dd ee"), (6L, "unique text here")
+    ).toDF("doc_id", "text")
+    val res = d.groupBy("text").agg(count(lit(1)).as("copies"))
+      .filter(col("copies") > 1)
+      .agg(count(lit(1)).as("n_groups"), sum("copies").as("n_dup_docs"))
+      .collect().head
+    assert(res.getLong(0) == 2 && res.getLong(1) == 5)
+  }
+
+  test("minhash on constructed corpus: planted near-dup found, disjoint not") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (0 until 40).map(i => if (i == 37) "CHANGED" else s"w$i").mkString(" ")
+    val disjoint = (100 until 140).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup), (3L, disjoint))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(d, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkTestBase {
+
+  test("langid is deterministic, covers every doc, emits known labels") {
+    val out = TextOps.langId.run(spark, sf0001).collect()
+    assert(out.length == 500)
+    val langs = out.map(_.getString(2)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")), langs)
+    val again = TextOps.langId.run(spark, sf0001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("fingerprints: identical texts collide, different texts don't (on testdata)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val d = Seq(
+      (1L, "spark fast table scan merge"),
+      (2L, "spark fast table scan merge"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"),
+      call_function("simhash64", split(col("text"), " ")).as("simhash"),
+      xxhash64(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+        .as("bag_hash")).collect().sortBy(_.getLong(0))
+    assert(fp(0).getLong(1) == fp(1).getLong(1))
+    assert(fp(0).getLong(2) == fp(1).getLong(2))
+    assert(fp(0).getLong(2) != fp(2).getLong(2))
+  }
+
+  test("quality ratios are in [0,1] and token stats match manual counts") {
+    val r = TextOps.quality.run(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    assert(r.forall { row =>
+      val u = row.getDouble(1); val s = row.getDouble(2)
+      u > 0 && u <= 1.0 && s >= 0 && s <= 1.0
+    })
+    val stats = TextOps.stats.run(spark, sf0001)
+      .filter(col("doc_id") === 0).collect().head
+    val text = graft.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") === 0).select("text").collect().head.getString(0)
+    assert(stats.getInt(3) == text.length)
+    assert(stats.getInt(4) == text.split(" ").length)
+  }
+}
