@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
+import graft.ddl.DdlQueries
+import graft.lake.LakeQueries
+import graft.pipeline.{Ann, Dedup, Fts, Multimodal, TextOps}
 import graft.queries.{Rel, Tpch, TpchMore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,7 +13,8 @@ object SparkEntry {
     * SURVEY.md §2 (or a beyond-reference pipeline operator). */
   lazy val registry: Seq[Q] =
     Tpch.all ++ TpchMore.all ++ Rel.all ++
-      TextOps.all ++ Dedup.all ++ Ann.all ++ Multimodal.all
+      TextOps.all ++ Dedup.all ++ Ann.all ++ Fts.all ++ Multimodal.all ++
+      LakeQueries.all ++ DdlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

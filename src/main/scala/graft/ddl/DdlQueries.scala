@@ -1,0 +1,54 @@
+package graft.ddl
+
+import java.nio.file.Files
+import java.util.UUID
+
+import graft.Q
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Driver-visible DDL/DML round-trip: CREATE SCHEMA + CREATE TABLE (with a
+  * declared PK) → INSERT VALUES → COPY FROM parquet → query → COPY TO.
+  * Returns a deterministic one-row summary; exact semantics are pinned by
+  * EngineSpec. */
+object DdlQueries {
+
+  val roundTrip: Q = Q.noOracle("ddl_roundtrip") { (s, dir) =>
+    val id = UUID.randomUUID().toString.replace("-", "").take(10)
+    val db = s"graft_$id"
+    val loc = Files.createTempDirectory(s"graft-ddl-$id").toString
+    try {
+      Engine.createSchema(s, db, Some(s"$loc/db"))
+      Engine.createTable(s, s"$db.items",
+        StructType(Seq(
+          StructField("item_id", LongType, nullable = false),
+          StructField("name", StringType),
+          StructField("price", DoubleType))),
+        primaryKey = Seq("item_id"))
+      Engine.insertInto(s, s"$db.items", s.createDataFrame(
+        java.util.List.of(
+          Row(1L, "bolt", 1.5), Row(2L, "nut", 0.75), Row(3L, "washer", 0.1)),
+        s.table(s"$db.items").schema))
+      Engine.createTable(s, s"$db.region_copy",
+        StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType))))
+      val copied = Engine.copyFrom(s, s"$db.region_copy",
+        s"$dir/region.parquet")
+      Engine.copyTo(s.table(s"$db.items"), s"$loc/export", "csv",
+        Map("header" -> "true"))
+      val exported = s.read.option("header", "true").csv(s"$loc/export").count()
+      val nItems = s.table(s"$db.items").count()
+      val total = s.table(s"$db.items").groupBy().sum("price")
+        .collect().head.getDouble(0)
+      val nRegion = s.table(s"$db.region_copy").count()
+      import s.implicits._
+      Seq((nItems, math.round(total * 100) / 100.0, copied, nRegion, exported))
+        .toDF("n_items", "total_price", "n_copied", "n_region", "n_exported")
+    } finally {
+      Engine.dropSchema(s, db)
+    }
+  }
+
+  def all: Seq[Q] = Seq(roundTrip)
+}

@@ -1,0 +1,633 @@
+package graft.lake
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression => CExpr, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Optimistic-commit conflict (reference storage2/conflict.go:33-360). */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** Versioned, copy-on-write dataset over parquet fragments + JSON manifests:
+  * the Spark-native counterpart of the reference's storage2/sdk dataset API
+  * (sdk/dataset.go: open/create 223-330, append/delete/update 579-1151,
+  * merge-insert merge_insert.go:19-110, time travel refs.go:386-432,
+  * schema evolution sdk/dataset.go:623-965, compaction 334-578).
+  *
+  * Scale design:
+  *  - Data is immutable parquet fragments; every mutation is a copy-on-write
+  *    rewrite of ONLY the fragments whose zonemap stats (and then an actual
+  *    match scan) say they're touched — one Spark job per operation, no
+  *    driver-side row handling.
+  *  - Commits are manifest swaps via atomic hard-link publish (the local-FS
+  *    analogue of the reference's LocalRenameCommitHandler,
+  *    storage2/commit.go:22-25; on S3 this becomes a conditional PUT).
+  *    Concurrent writers race on the version file; losers get
+  *    [[CommitConflictException]] (appends auto-rebase and retry).
+  *  - Stable row ids: a physical `_rowid` column claimed from the manifest's
+  *    `nextRowId` range at append time and preserved verbatim by every
+  *    rewrite (delete/update/merge/compact) — the storage2 rowids.go model.
+  */
+final class LakeDataset private (
+    val spark: SparkSession,
+    val root: String,
+    private var m: Manifest) {
+
+  import LakeDataset._
+
+  def version: Long = m.version
+  def manifest: Manifest = m
+  def schema: StructType = logicalSchema(m)
+
+  /** Re-load the newest committed version. */
+  def refresh(): LakeDataset = { m = loadLatest(rootPath); this }
+
+  // ---------------------------------------------------------------- reads
+
+  /** Current-version DataFrame with logical column names. */
+  def read(): DataFrame = readFragments(m, m.fragments, withRowId = false)
+
+  /** Time travel: read as of a specific version. */
+  def readVersion(v: Long): DataFrame = {
+    val old = loadVersion(rootPath, v)
+    readFragments(old, old.fragments, withRowId = false)
+  }
+
+  /** A pinned handle at an older version (reads only; any write from it
+    * loses the commit race by construction). */
+  def checkout(v: Long): LakeDataset =
+    new LakeDataset(spark, root, loadVersion(rootPath, v))
+
+  def versions: Seq[Long] =
+    Files.list(manifestsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong)
+      .toSeq.sorted
+
+  /** Scanner builder (reference sdk/scanner.go:42-480). */
+  def scanner(): Scanner = Scanner(this, None, Nil, None, None, false)
+
+  // --------------------------------------------------------------- writes
+
+  /** Append rows; auto-rebases on concurrent commits (append never
+    * semantically conflicts — reference conflict matrix allows
+    * append+append). */
+  def append(df: DataFrame): Unit = withAppendRetry(3) {
+    val base = m.nextRowId
+    val (frags, maxRid) =
+      stageFragments(toPhysical(df, m)
+        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
+    commit(m.copy(
+      version = m.version + 1,
+      fragments = m.fragments ++ frags,
+      maxFragmentId = m.maxFragmentId + frags.size,
+      nextRowId = math.max(m.nextRowId, maxRid + 1),
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "append"))
+  }
+
+  /** Replace all data with `df` in one commit. */
+  def overwrite(df: DataFrame): Unit = {
+    val base = m.nextRowId
+    val (frags, maxRid) =
+      stageFragments(toPhysical(df, m)
+        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
+    commit(m.copy(
+      version = m.version + 1,
+      fragments = frags,
+      maxFragmentId = m.maxFragmentId + frags.size,
+      nextRowId = math.max(m.nextRowId, maxRid + 1),
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "overwrite"))
+  }
+
+  /** Delete rows matching the predicate (Spark SQL expression string — a
+    * superset of the reference filter DSL, filter_parser.go:15-270).
+    * Returns the number of deleted rows. Copy-on-write: only fragments that
+    * actually contain matches are rewritten (update.go:208-340 zonemap-
+    * pruned planning). */
+  def delete(predicate: String): Long = {
+    val pred = expr(predicate)
+    val candidates = pruneFragments(m, predicate)
+    if (candidates.isEmpty) return 0L
+    val touched = matchedFragments(candidates, pred)
+    if (touched.isEmpty) return 0L
+    val touchedIds = touched.map(_._1.id).toSet
+    val untouched = m.fragments.filterNot(f => touchedIds(f.id))
+    val remaining = readFragments(m, touched.map(_._1), withRowId = true)
+      .filter(!pred)
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(remaining, m), m)
+    commit(m.copy(
+      version = m.version + 1,
+      fragments = untouched ++ frags,
+      maxFragmentId = m.maxFragmentId + frags.size,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "delete"))
+    touched.map(_._2).sum
+  }
+
+  /** Update rows matching the predicate with `set` (column → SQL expression
+    * over the pre-image). Returns matched-row count. */
+  def update(predicate: String, set: Map[String, String]): Long = {
+    val bad = set.keySet -- m.fields.map(_.name).toSet
+    require(bad.isEmpty, s"unknown columns in SET: $bad")
+    val pred = expr(predicate)
+    val candidates = pruneFragments(m, predicate)
+    if (candidates.isEmpty) return 0L
+    val touched = matchedFragments(candidates, pred)
+    if (touched.isEmpty) return 0L
+    val touchedIds = touched.map(_._1.id).toSet
+    val untouched = m.fragments.filterNot(f => touchedIds(f.id))
+    val rewritten = set.foldLeft(
+      readFragments(m, touched.map(_._1), withRowId = true)) {
+      case (df, (c, e)) =>
+        df.withColumn(c, when(pred, expr(e)).otherwise(col(c)))
+    }
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(rewritten, m), m)
+    commit(m.copy(
+      version = m.version + 1,
+      fragments = untouched ++ frags,
+      maxFragmentId = m.maxFragmentId + frags.size,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "update"))
+    touched.map(_._2).sum
+  }
+
+  /** Upsert (reference merge_insert.go:19-110): join source to target on
+    * `keys`; matched target rows get source values for every shared non-key
+    * column (when `updateMatched`); unmatched source rows are inserted
+    * (when `insertNotMatched`). Returns (matchedRows, insertedRows). */
+  def mergeInsert(source: DataFrame, keys: Seq[String],
+      updateMatched: Boolean = true,
+      insertNotMatched: Boolean = true): (Long, Long) = {
+    val fieldNames = m.fields.map(_.name)
+    require(keys.forall(source.columns.contains), "source missing key columns")
+    val srcCols = source.columns.filter(fieldNames.contains).toSeq
+    val src = source.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
+    val keyCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
+
+    val target = read().withColumn("_file", input_file_name())
+    val touchedFiles = target.join(src, keyCond, "left_semi")
+      .select("_file").distinct().collect().map(_.getString(0)).toSet
+    val touched = m.fragments.filter(f => touchedFiles.exists(_.endsWith(fileName(f.file))))
+    val touchedIds = touched.map(_.id).toSet
+    val untouched = m.fragments.filterNot(f => touchedIds(f.id))
+
+    var matched = 0L
+    var newFrags = Seq.empty[Fragment]
+    var maxFragId = m.maxFragmentId
+    if (touched.nonEmpty) {
+      matched = readFragments(m, touched, withRowId = false)
+        .join(src, keyCond, "left_semi").count()
+      val joined = readFragments(m, touched, withRowId = true)
+        .join(src, keyCond, "left_outer")
+      val isMatch = col(s"_src_${keys.head}").isNotNull
+      val merged0 = srcCols.filterNot(keys.contains).foldLeft(joined) {
+        case (df, c) =>
+          if (updateMatched)
+            df.withColumn(c, when(isMatch, col(s"_src_$c")).otherwise(col(c)))
+          else df
+      }
+      val merged = merged0.select(
+        (m.fields.map(f => col(f.name)) :+ col(RowIdCol)): _*)
+      val (fr, _) = stageFragments(toPhysicalPreservingRowId(merged, m), m)
+      newFrags ++= fr
+      maxFragId += fr.size
+    }
+
+    var inserted = 0L
+    var nextRid = m.nextRowId
+    if (insertNotMatched) {
+      val targetKeys = read().select(keys.map(col): _*)
+      val keyCondSwapped = keys.map(k => col(s"_src_$k") === col(k)).reduce(_ && _)
+      val ins = src.join(targetKeys, keyCondSwapped, "left_anti")
+      inserted = ins.count()
+      if (inserted > 0) {
+        val insLogical = m.fields.foldLeft(ins) { (df, f) =>
+          if (srcCols.contains(f.name)) df.withColumn(f.name, col(s"_src_${f.name}"))
+          else df.withColumn(f.name, lit(null).cast(DataType.fromJson(f.dataType)))
+        }.select(m.fields.map(f => col(f.name)): _*)
+        val (fr, maxRid) = stageFragments(
+          toPhysical(insLogical, m)
+            .withColumn(RowIdCol, lit(nextRid) + monotonically_increasing_id()), m)
+        newFrags ++= fr
+        maxFragId += fr.size
+        nextRid = math.max(nextRid, maxRid + 1)
+      }
+    }
+    if (newFrags.isEmpty && matched == 0) return (0L, 0L)
+    commit(m.copy(
+      version = m.version + 1,
+      fragments = untouched ++ newFrags,
+      maxFragmentId = maxFragId,
+      nextRowId = nextRid,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "merge"))
+    (matched, inserted)
+  }
+
+  // ------------------------------------------------------ schema evolution
+
+  /** Add null-filled columns: metadata-only commit (field-id mapping means
+    * old fragments simply lack the physical column → read as NULL). */
+  def addColumns(newCols: StructType): Unit = {
+    val existing = m.fields.map(_.name).toSet
+    require(newCols.fields.forall(f => !existing(f.name)), "column exists")
+    val added = newCols.fields.zipWithIndex.map { case (sf, i) =>
+      FieldDef(m.maxFieldId + i + 1, sf.name, sf.dataType.json, nullable = true)
+    }
+    commit(m.copy(
+      version = m.version + 1,
+      fields = m.fields ++ added,
+      maxFieldId = m.maxFieldId + added.length,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "add_columns"))
+  }
+
+  /** Drop columns: metadata-only (data stays in old fragments, unread). */
+  def dropColumns(names: Seq[String]): Unit = {
+    val keep = m.fields.filterNot(f => names.contains(f.name))
+    require(keep.size + names.size == m.fields.size, "unknown column")
+    require(keep.nonEmpty, "cannot drop all columns")
+    commit(m.copy(
+      version = m.version + 1,
+      fields = keep,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "drop_columns"))
+  }
+
+  /** Rename a column: metadata-only (physical name is the field id). */
+  def renameColumn(from: String, to: String): Unit = {
+    require(m.fields.exists(_.name == from), s"no column $from")
+    require(!m.fields.exists(_.name == to), s"column $to exists")
+    commit(m.copy(
+      version = m.version + 1,
+      fields = m.fields.map(f => if (f.name == from) f.copy(name = to) else f),
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "rename_column"))
+  }
+
+  // ----------------------------------------------------------- time travel
+
+  /** Restore: new commit whose content is an old version's (refs.go model —
+    * history is preserved; restore is itself a version). */
+  def restore(v: Long): Unit = {
+    val old = loadVersion(rootPath, v)
+    commit(m.copy(
+      version = m.version + 1,
+      fields = old.fields,
+      maxFieldId = math.max(m.maxFieldId, old.maxFieldId),
+      fragments = old.fragments,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"restore($v)"))
+  }
+
+  def createTag(name: String, v: Long = version): Unit = {
+    require(versions.contains(v), s"no version $v")
+    val tmp = tagsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"version": $v}""")
+    val target = tagsDir.resolve(s"$name.json")
+    try Files.createLink(target, tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new CommitConflictException(s"tag $name exists")
+    }
+    Files.delete(tmp)
+  }
+
+  def deleteTag(name: String): Unit =
+    Files.deleteIfExists(tagsDir.resolve(s"$name.json"))
+
+  def tags: Map[String, Long] =
+    Files.list(tagsDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        val n = p.getFileName.toString.dropRight(5)
+        val v = """"version"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(Files.readString(p)).get.group(1).toLong
+        n -> v
+      }.toMap
+
+  def checkoutTag(name: String): LakeDataset =
+    checkout(tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name")))
+
+  // ------------------------------------------------------------ compaction
+
+  /** OPTIMIZE-style rewrite: merge fragments smaller than `targetRows` into
+    * ~targetRows-sized ones (reference compaction_*.go as a Spark job). */
+  def compact(targetRows: Long = 1 << 20): Unit = {
+    val small = m.fragments.filter(_.rowCount < targetRows)
+    if (small.size <= 1) return
+    val smallIds = small.map(_.id).toSet
+    val total = small.map(_.rowCount).sum
+    val parts = math.max(1, (total / targetRows).toInt +
+      (if (total % targetRows > 0) 1 else 0))
+    val merged = readFragments(m, small, withRowId = true).repartition(parts)
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(merged, m), m)
+    commit(m.copy(
+      version = m.version + 1,
+      fragments = m.fragments.filterNot(f => smallIds(f.id)) ++ frags,
+      maxFragmentId = m.maxFragmentId + frags.size,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "compact"))
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private def rootPath: Path = Paths.get(root)
+  private def manifestsDir: Path = rootPath.resolve("_manifests")
+  private def tagsDir: Path = rootPath.resolve("_refs").resolve("tags")
+  private def dataDir: Path = rootPath.resolve("data")
+
+  private def withAppendRetry(attempts: Int)(body: => Unit): Unit = {
+    var left = attempts
+    while (true) {
+      try { body; return }
+      catch {
+        case e: CommitConflictException =>
+          left -= 1
+          if (left == 0) throw e
+          refresh() // rebase on the winner and retry
+      }
+    }
+  }
+
+  /** Fragments whose [min,max] stats may satisfy the predicate (zonemap
+    * skipping; conservative — unknown shapes keep the fragment). */
+  def pruneFragments(man: Manifest, predicate: String): Seq[Fragment] = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    val conjuncts = splitAnd(parsed)
+    val byName = man.fields.map(f => f.name -> f).toMap
+    man.fragments.filter { frag =>
+      conjuncts.forall(c => mayMatch(frag, byName, c))
+    }
+  }
+
+  /** Visible-for-tests: file count scanned for a filter. */
+  def prunedFileCount(predicate: String): Int =
+    pruneFragments(m, predicate).size
+
+  private def splitAnd(e: CExpr): Seq[CExpr] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  private def mayMatch(frag: Fragment, byName: Map[String, FieldDef],
+      c: CExpr): Boolean = {
+    def stats(attr: CExpr): Option[ColumnStats] = attr match {
+      case UnresolvedAttribute(parts) =>
+        byName.get(parts.mkString(".")).flatMap(f => frag.stats.get(f.id.toString))
+      case _ => None
+    }
+    def cmp(stat: String, l: Literal): Option[Int] = l.value match {
+      case null => None
+      case v: Number =>
+        try Some(BigDecimal(stat).compare(BigDecimal(v.toString)))
+        catch { case _: NumberFormatException => None }
+      case v: org.apache.spark.unsafe.types.UTF8String =>
+        Some(stat.compareTo(v.toString))
+      case _ => None
+    }
+    c match {
+      case EqualTo(a, l: Literal) =>
+        stats(a).forall(s => (for {
+          mn <- s.min; mx <- s.max
+          c1 <- cmp(mn, l); c2 <- cmp(mx, l)
+        } yield c1 <= 0 && c2 >= 0).getOrElse(true))
+      case GreaterThan(a, l: Literal) =>
+        stats(a).forall(s =>
+          (for { mx <- s.max; c2 <- cmp(mx, l) } yield c2 > 0).getOrElse(true))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        stats(a).forall(s =>
+          (for { mx <- s.max; c2 <- cmp(mx, l) } yield c2 >= 0).getOrElse(true))
+      case LessThan(a, l: Literal) =>
+        stats(a).forall(s =>
+          (for { mn <- s.min; c1 <- cmp(mn, l) } yield c1 < 0).getOrElse(true))
+      case LessThanOrEqual(a, l: Literal) =>
+        stats(a).forall(s =>
+          (for { mn <- s.min; c1 <- cmp(mn, l) } yield c1 <= 0).getOrElse(true))
+      case _ => true // unsupported shape: never prune on it
+    }
+  }
+
+  /** (fragment, matchedRowCount) for fragments with ≥1 predicate match —
+    * one job over the candidate files. */
+  private def matchedFragments(candidates: Seq[Fragment],
+      pred: Column): Seq[(Fragment, Long)] = {
+    val counts = readFragments(m, candidates, withRowId = false)
+      .withColumn("_file", input_file_name())
+      .filter(pred)
+      .groupBy("_file").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    candidates.flatMap { f =>
+      counts.collectFirst {
+        case (path, n) if path.endsWith(fileName(f.file)) => (f, n)
+      }
+    }
+  }
+
+  /** Read given fragments with logical names (+ optional `_rowid`). */
+  private[lake] def readFragments(man: Manifest, frags: Seq[Fragment],
+      withRowId: Boolean): DataFrame = {
+    val logical = logicalSchema(man)
+    if (frags.isEmpty) {
+      val s = if (withRowId) logical.add(RowIdCol, LongType) else logical
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), s)
+    }
+    val phys = physicalSchema(man)
+    val files = frags.map(f => rootPath.resolve(f.file).toString)
+    val out = man.fields.map(f => col(physName(f.id)).as(f.name)) ++
+      (if (withRowId) Seq(col(RowIdCol)) else Nil)
+    spark.read.schema(phys).parquet(files: _*).select(out: _*)
+  }
+
+  /** Logical df → physical columns (cast + rename to f<id>). */
+  private def toPhysical(df: DataFrame, man: Manifest): DataFrame = {
+    val missing = man.fields.map(_.name).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"append missing columns: $missing")
+    df.select(man.fields.map(f =>
+      col(f.name).cast(DataType.fromJson(f.dataType)).as(physName(f.id))): _*)
+  }
+
+  private def toPhysicalPreservingRowId(df: DataFrame, man: Manifest): DataFrame =
+    df.select(man.fields.map(f =>
+      col(f.name).cast(DataType.fromJson(f.dataType)).as(physName(f.id)))
+      :+ col(RowIdCol): _*)
+
+  /** Write a physical-schema df as fragment files; returns the fragments
+    * (with per-file zonemap stats from one re-read job) and the max rowid
+    * written. */
+  private def stageFragments(physDf: DataFrame,
+      man: Manifest): (Seq[Fragment], Long) = {
+    val stage = dataDir.resolve(s"stage-${UUID.randomUUID()}")
+    physDf.write.parquet(stage.toString)
+    val parts = Files.list(stage).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.toSeq.sortBy(_.getFileName.toString)
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"frag-${UUID.randomUUID()}-$i.parquet"
+      Files.move(p, dataDir.resolve(name))
+      name
+    }
+    Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(stage)
+    if (moved.isEmpty) return (Nil, man.nextRowId - 1)
+
+    val phys = physicalSchema(man)
+    val aggs = count(lit(1)).as("_cnt") +: max(col(RowIdCol)).as("_maxrid") +:
+      man.fields.flatMap { f =>
+        val p = physName(f.id)
+        Seq(min(col(p)).cast("string").as(s"_min_${f.id}"),
+          max(col(p)).cast("string").as(s"_max_${f.id}"),
+          sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.id}"))
+      }
+    val statRows = spark.read.schema(phys)
+      .parquet(moved.map(n => dataDir.resolve(n).toString): _*)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    var fragId = man.maxFragmentId
+    var maxRid = man.nextRowId - 1
+    val frags = moved.flatMap { name =>
+      statRows.find(_.getString(0).endsWith(name)).map { r =>
+        fragId += 1
+        if (!r.isNullAt(r.fieldIndex("_maxrid")))
+          maxRid = math.max(maxRid, r.getLong(r.fieldIndex("_maxrid")))
+        val stats = man.fields.map { f =>
+          val mn = Option(r.getAs[String](s"_min_${f.id}"))
+          val mx = Option(r.getAs[String](s"_max_${f.id}"))
+          f.id.toString -> ColumnStats(mn, mx, r.getAs[Long](s"_nulls_${f.id}"))
+        }.toMap
+        Fragment(fragId, s"data/$name", r.getLong(r.fieldIndex("_cnt")), stats)
+      }
+    }
+    (frags, maxRid)
+  }
+
+  private def commit(next: Manifest): Unit = {
+    val tmp = manifestsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, Manifest.toJson(next))
+    val target = manifestsDir.resolve(Manifest.versionFileName(next.version))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new CommitConflictException(
+          s"version ${next.version} was committed concurrently")
+    }
+    Files.delete(tmp)
+    m = next
+  }
+}
+
+object LakeDataset {
+  val RowIdCol = "_rowid"
+
+  private[lake] def physName(id: Int): String = s"f$id"
+  private[lake] def fileName(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
+  private[lake] def logicalSchema(m: Manifest): StructType =
+    StructType(m.fields.map(f =>
+      StructField(f.name, DataType.fromJson(f.dataType), f.nullable)))
+
+  private[lake] def physicalSchema(m: Manifest): StructType =
+    StructType(m.fields.map(f =>
+      StructField(physName(f.id), DataType.fromJson(f.dataType), nullable = true))
+      :+ StructField(RowIdCol, LongType, nullable = true))
+
+  /** Create a new dataset at `path` (fails if one exists). */
+  def create(spark: SparkSession, path: String, schema: StructType): LakeDataset = {
+    val root = Paths.get(path)
+    val manifests = root.resolve("_manifests")
+    require(!Files.exists(manifests) ||
+      !Files.list(manifests).iterator().hasNext, s"dataset exists at $path")
+    Files.createDirectories(manifests)
+    Files.createDirectories(root.resolve("data"))
+    Files.createDirectories(root.resolve("_refs").resolve("tags"))
+    val fields = schema.fields.zipWithIndex.map { case (sf, i) =>
+      FieldDef(i + 1, sf.name, sf.dataType.json, sf.nullable)
+    }.toSeq
+    val m = Manifest(1, fields, fields.size, Nil, 0, 0, None,
+      System.currentTimeMillis(), "create")
+    Files.writeString(
+      manifests.resolve(Manifest.versionFileName(1)), Manifest.toJson(m))
+    new LakeDataset(spark, path, m)
+  }
+
+  /** Open the latest version of an existing dataset. */
+  def open(spark: SparkSession, path: String): LakeDataset =
+    new LakeDataset(spark, path, loadLatest(Paths.get(path)))
+
+  private[lake] def loadLatest(root: Path): Manifest = {
+    val dir = root.resolve("_manifests")
+    require(Files.exists(dir), s"no dataset at $root")
+    val latest = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .maxByOption(identity)
+      .getOrElse(throw new IllegalArgumentException(s"no manifests in $dir"))
+    Manifest.fromJson(Files.readString(dir.resolve(latest)))
+  }
+
+  private[lake] def loadVersion(root: Path, v: Long): Manifest = {
+    val p = root.resolve("_manifests").resolve(Manifest.versionFileName(v))
+    require(Files.exists(p), s"no version $v")
+    Manifest.fromJson(Files.readString(p))
+  }
+}
+
+/** Fluent scanner (reference sdk/scanner.go: WithFilter/WithColumns/
+  * WithLimit/WithOffset/WithRowId). `filter` is a Spark SQL expression
+  * string — a strict superset of the reference's filter DSL. */
+final case class Scanner(
+    ds: LakeDataset,
+    filter: Option[String],
+    columns: Seq[String],
+    limit: Option[Int],
+    offset: Option[Int],
+    rowId: Boolean) {
+
+  def withFilter(f: String): Scanner = copy(filter = Some(f))
+  def withColumns(cs: String*): Scanner = copy(columns = cs)
+  def withLimit(n: Int): Scanner = copy(limit = Some(n))
+  def withOffset(n: Int): Scanner = copy(offset = Some(n))
+  def withRowId: Scanner = copy(rowId = true)
+
+  def build(): DataFrame = {
+    val man = ds.manifest
+    val frags = filter.map(f => ds.pruneFragments(man, f))
+      .getOrElse(man.fragments)
+    var df = ds.readFragments(man, frags, withRowId = rowId)
+    filter.foreach(f => df = df.filter(org.apache.spark.sql.functions.expr(f)))
+    if (columns.nonEmpty) {
+      val cs = if (rowId) columns :+ LakeDataset.RowIdCol else columns
+      df = df.select(cs.map(org.apache.spark.sql.functions.col): _*)
+    }
+    offset.foreach(n => df = df.offset(n))
+    limit.foreach(n => df = df.limit(n))
+    df
+  }
+}

@@ -1,0 +1,55 @@
+package graft.lake
+
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** Manifest-per-version metadata for the versioned dataset layer — the
+  * Spark-native re-expression of the reference's Lance-aligned storage2
+  * engine (manifest model: /root/reference/pkg/storage2/manifest.go,
+  * table_format.go; SDK surface: sdk/dataset.go:223-330).
+  *
+  * Layout on storage:
+  * {{{
+  *   <root>/_manifests/v<20-digit>.json   one immutable manifest per version
+  *   <root>/_refs/tags/<name>.json        tag → version (refs.go:386-432)
+  *   <root>/data/frag-*.parquet           immutable fragment data files
+  * }}}
+  *
+  * Columns are stored physically as `f<fieldId>` (Iceberg/Lance-style field
+  * ids), so rename/drop/add of columns are metadata-only commits; the
+  * logical name ↔ field id mapping lives in [[FieldDef]].
+  */
+final case class ColumnStats(min: Option[String], max: Option[String],
+    nullCount: Long)
+
+/** One immutable data fragment (single parquet file) + its zonemap stats
+  * (fragment min/max pruning ≈ storage2 zonemap_index.go:18-210). Stats are
+  * keyed by field id. */
+final case class Fragment(id: Long, file: String, rowCount: Long,
+    stats: Map[String, ColumnStats])
+
+/** Logical field: stable id, current name, Catalyst DataType JSON. */
+final case class FieldDef(id: Int, name: String, dataType: String,
+    nullable: Boolean)
+
+final case class Manifest(
+    version: Long,
+    fields: Seq[FieldDef],
+    maxFieldId: Int,
+    fragments: Seq[Fragment],
+    maxFragmentId: Long,
+    /** Next stable row-id to hand out (rowids.go model: rowids survive
+      * rewrites; new appends claim fresh ranges). */
+    nextRowId: Long,
+    parentVersion: Option[Long],
+    createdMs: Long,
+    operation: String)
+
+object Manifest {
+  implicit val formats: Formats = DefaultFormats
+
+  def toJson(m: Manifest): String = Serialization.writePretty(m)
+  def fromJson(s: String): Manifest = Serialization.read[Manifest](s)
+
+  def versionFileName(v: Long): String = f"v$v%020d.json"
+}

@@ -115,5 +115,31 @@ object Ann {
       .limit(20)
   }
 
-  def all: Seq[Q] = Seq(brute, lsh, nearDupPairs)
+  /** KNN with a metadata prefilter (reference prefilter.go:32-90 — the
+    * bitmap prefilter composed with index search): restrict the corpus by a
+    * predicate BEFORE ranking, so top-k comes from the filtered set. */
+  val prefiltered = Q(
+    "ann_prefilter_topk",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.qid, e.vec_id,
+       |             list_cosine_similarity(e.embedding, q.qvec) AS sim
+       |           FROM embeddings e, q
+       |           WHERE e.vec_id <> q.qid AND e.label = 3)
+       |SELECT qid, vec_id, rn, round(sim, 4) AS sim
+       |FROM (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid
+       |                           ORDER BY sim DESC, vec_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val scored = e.filter(col("label") === 3)
+      .crossJoin(broadcast(queries(e)))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        call_function("cosine_sim", col("embedding"), col("qvec")))
+    topKPerQuery(scored)
+  }
+
+  def all: Seq[Q] = Seq(brute, lsh, prefiltered, nearDupPairs)
 }

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text search: BM25 top-k over `documents` — the Spark-native
+  * re-expression of the reference's inverted index + BM25 + WAND top-k
+  * (pkg/storage2/fts_index.go:36-220, fts_wand.go:35-260).
+  *
+  * On Spark, the "index" is the postings DataFrame (term → doc, tf) which
+  * at scale would be a persisted bucketed table keyed by term; a query
+  * touches only its own terms' postings (partition pruning on the term
+  * key), which is the WAND-ish skipping analogue. Scoring is pure
+  * aggregation — no driver-side anything.
+  */
+object Fts {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Postings: one row per (doc, term) with term frequency. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k scoring of `queryTerms` against the corpus. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    val post = postings(docs)
+    val docLen = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("len"))
+    val corpus = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(split(col("text"), " "))).as("avglen"))
+    val qp = post.filter(col("term").isin(queryTerms: _*))
+    val df_ = qp.groupBy("term")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    qp.join(broadcast(df_), "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * col("tf") * (K1 + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / col("avglen"))))
+      .groupBy("doc_id")
+      .agg(round(sum("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private val queryTerms = Seq("spark", "table", "scan")
+
+  /** Registry entry: fixed 3-term query, top-10, with a DuckDB oracle that
+    * implements the identical BM25 formula in SQL. */
+  val topk = Q(
+    "fts_bm25_topk",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+       |       FROM toks GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |            avg(len(string_split(text, ' '))) AS avglen
+       |          FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       |       WHERE term IN ('spark','table','scan') GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |          FROM toks WHERE term IN ('spark','table','scan')
+       |          GROUP BY term)
+       |SELECT doc_id,
+       |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |    * tf * (${K1} + 1.0)
+       |    / (tf + ${K1} * (1.0 - ${B} + ${B} * len / avglen))), 4) AS score
+       |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    bm25TopK(Tables.load(s, dir, "documents"), queryTerms, 10)
+  }
+
+  def all: Seq[Q] = Seq(topk)
+}

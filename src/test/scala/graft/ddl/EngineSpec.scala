@@ -1,0 +1,46 @@
+package graft.ddl
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class EngineSpec extends SparkTestBase {
+
+  test("create schema/table, insert values, copy from/to, constraints recorded") {
+    val loc = Files.createTempDirectory("engine-spec-").toString
+    val db = "engine_spec_db"
+    try {
+      Engine.createSchema(spark, db, Some(s"$loc/db"))
+      Engine.createTable(spark, s"$db.t",
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKey = Seq("k"))
+      // PK recorded as a table property (declarative, like the reference DDL)
+      val props = spark.sql(s"SHOW TBLPROPERTIES $db.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.primaryKey").contains("k"))
+
+      Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+        java.util.List.of(Row(1L, "one"), Row(2L, "two")),
+        spark.table(s"$db.t").schema))
+      assert(spark.table(s"$db.t").count() == 2)
+
+      // COPY FROM csv with coercion
+      val csv = s"$loc/in.csv"
+      Files.writeString(java.nio.file.Paths.get(csv), "k,v\n3,three\n4,four\n")
+      val n = Engine.copyFrom(spark, s"$db.t", csv, "csv",
+        Map("header" -> "true"))
+      assert(n == 2)
+      assert(spark.table(s"$db.t").count() == 4)
+
+      // COPY TO + read back
+      Engine.copyTo(spark.table(s"$db.t"), s"$loc/out", "parquet")
+      assert(spark.read.parquet(s"$loc/out").count() == 4)
+    } finally {
+      Engine.dropSchema(spark, db)
+    }
+  }
+}

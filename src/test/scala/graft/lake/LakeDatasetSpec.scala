@@ -1,0 +1,203 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mirrors the reference SDK scenarios (sdk/example_test.go,
+  * sdk/dataset_test.go): append → delete → update across versions, time
+  * travel + tags, merge-insert, schema evolution, compaction, scanner,
+  * zonemap pruning, commit conflicts. */
+class LakeDatasetSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("lake-test-").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def rows(r: (Long, String, Double)*) = {
+    val data = new java.util.ArrayList[Row]()
+    r.foreach { case (i, n, s) => data.add(Row(i, n, s)) }
+    spark.createDataFrame(data, schema)
+  }
+
+  test("create / append / read round-trip with versions") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    assert(ds.version == 1 && ds.read().count() == 0)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))
+    assert(ds.version == 2)
+    ds.append(rows((3, "c", 3.0)))
+    assert(ds.version == 3)
+    assert(ds.read().count() == 3)
+    // time travel
+    assert(ds.readVersion(2).count() == 2)
+    assert(ds.readVersion(1).count() == 0)
+    assert(ds.versions == Seq(1L, 2L, 3L))
+  }
+
+  test("delete is copy-on-write and only rewrites matching fragments") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))
+    ds.append(rows((10, "x", 10.0), (11, "y", 11.0)))
+    val fragsBefore = ds.manifest.fragments.map(_.id).toSet
+    val deleted = ds.delete("id >= 10 AND id < 11")
+    assert(deleted == 1)
+    assert(ds.read().count() == 3)
+    // the fragment holding ids 1,2 must be untouched (same fragment id)
+    val fragsAfter = ds.manifest.fragments.map(_.id).toSet
+    assert(fragsBefore.intersect(fragsAfter).nonEmpty,
+      s"before=$fragsBefore after=$fragsAfter")
+    // deleting nothing commits nothing
+    val v = ds.version
+    assert(ds.delete("id = 99999") == 0 && ds.version == v)
+  }
+
+  test("update rewrites matched rows and preserves stable row ids") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    val ridBefore = ds.scanner().withRowId.build()
+      .select("id", "_rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ds.update("id = 2", Map("score" -> "score * 10", "name" -> "'B'"))
+    assert(n == 1)
+    val after = ds.read().orderBy("id").collect()
+    assert(after.map(_.getString(1)).toSeq == Seq("a", "B", "c"))
+    assert(after.map(_.getDouble(2)).toSeq == Seq(1.0, 20.0, 3.0))
+    val ridAfter = ds.scanner().withRowId.build()
+      .select("id", "_rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ridBefore == ridAfter, "rewrites must preserve row ids")
+  }
+
+  test("merge-insert: matched update + not-matched insert") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))
+    val source = rows((2, "b2", 20.0), (5, "e", 5.0))
+    val (matched, inserted) = ds.mergeInsert(source, Seq("id"))
+    assert(matched == 1 && inserted == 1)
+    val out = ds.read().orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b2", 20.0), (5L, "e", 5.0)))
+  }
+
+  test("merge-insert without update leaves matched rows; without insert skips new") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0)))
+    val (m1, i1) = ds.mergeInsert(rows((1, "zzz", 99.0)), Seq("id"),
+      updateMatched = false, insertNotMatched = false)
+    assert(m1 == 1 && i1 == 0)
+    assert(ds.read().collect().head.getString(1) == "a")
+  }
+
+  test("restore and tags") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0)))
+    ds.createTag("after-first")
+    ds.append(rows((2, "b", 2.0)))
+    ds.delete("id = 1")
+    assert(ds.read().count() == 1)
+    ds.restore(ds.tags("after-first"))
+    assert(ds.read().count() == 1)
+    assert(ds.read().collect().head.getLong(0) == 1L)
+    assert(ds.checkoutTag("after-first").read().count() == 1)
+    intercept[CommitConflictException](ds.createTag("after-first"))
+    ds.deleteTag("after-first")
+    assert(!ds.tags.contains("after-first"))
+  }
+
+  test("schema evolution: add, rename, drop are metadata-only") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0)))
+    val dataFilesBefore = ds.manifest.fragments.map(_.file).toSet
+
+    ds.addColumns(StructType(Seq(StructField("extra", IntegerType))))
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "name", "score", "extra"))
+    assert(ds.read().select("extra").collect().head.isNullAt(0))
+
+    ds.renameColumn("score", "points")
+    assert(ds.read().select("points").collect().head.getDouble(0) == 1.0)
+
+    ds.dropColumns(Seq("name"))
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "points", "extra"))
+
+    // all three were metadata-only commits
+    assert(ds.manifest.fragments.map(_.file).toSet == dataFilesBefore)
+
+    // new appends under the evolved schema coexist with old fragments
+    val evolved = spark.createDataFrame(
+      java.util.List.of(Row(7L, 7.5, 70)),
+      StructType(Seq(StructField("id", LongType), StructField("points", DoubleType),
+        StructField("extra", IntegerType))))
+    ds.append(evolved)
+    val all = ds.read().orderBy("id").collect()
+    assert(all.length == 2)
+    assert(all(1).getInt(2) == 70)
+    // old row reads NULL for the post-hoc column
+    assert(all(0).isNullAt(2))
+  }
+
+  test("zonemap stats prune fragments on scan") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)).coalesce(1))
+    ds.append(rows((100, "x", 100.0), (200, "y", 200.0)).coalesce(1))
+    ds.append(rows((1000, "z", 1000.0)).coalesce(1))
+    assert(ds.manifest.fragments.size == 3)
+    assert(ds.prunedFileCount("id >= 1000") == 1)
+    assert(ds.prunedFileCount("id < 3") == 1)
+    assert(ds.prunedFileCount("id = 150") == 1) // 100..200 fragment may match
+    assert(ds.prunedFileCount("name = 'nosuch'") == 0) // string stats prune all
+    val out = ds.scanner().withFilter("id >= 100 AND id <= 200")
+      .withColumns("id").build().orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L, 200L))
+  }
+
+  test("scanner: filter DSL + columns + limit + offset + rowid") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1 to 10).map(i => (i.toLong, s"n$i", i * 1.0)): _*))
+    val page = ds.scanner()
+      .withFilter("score >= 3.0")
+      .withColumns("id", "score")
+      .withOffset(2).withLimit(3)
+      .build()
+    assert(page.columns.toSeq == Seq("id", "score"))
+    assert(page.count() == 3)
+    val withRid = ds.scanner().withRowId.build()
+    assert(withRid.columns.contains("_rowid"))
+    assert(withRid.select("_rowid").distinct().count() == 10)
+  }
+
+  test("concurrent commit: loser gets conflict, append auto-rebases") {
+    val dir = tmpDir()
+    val ds1 = LakeDataset.create(spark, dir, schema)
+    ds1.append(rows((1, "a", 1.0)))
+    val ds2 = LakeDataset.open(spark, dir)
+    // ds1 commits first; ds2's delete (no auto-retry) must conflict…
+    ds1.append(rows((2, "b", 2.0)))
+    intercept[CommitConflictException](ds2.delete("id = 1"))
+    // …but ds2's append rebases onto the winner and succeeds
+    ds2.refresh()
+    ds2.append(rows((3, "c", 3.0)))
+    assert(LakeDataset.open(spark, dir).read().count() == 3)
+  }
+
+  test("compaction merges small fragments and preserves data + row ids") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    (1 to 5).foreach(i => ds.append(rows((i.toLong, s"n$i", i * 1.0))))
+    val before = ds.read().orderBy("id").collect().map(_.toSeq).toSeq
+    val ridBefore = ds.scanner().withRowId.build()
+      .select("id", "_rowid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ds.manifest.fragments.size >= 5)
+    ds.compact(targetRows = 100)
+    assert(ds.manifest.fragments.size < 5)
+    assert(ds.read().orderBy("id").collect().map(_.toSeq).toSeq == before)
+    val ridAfter = ds.scanner().withRowId.build()
+      .select("id", "_rowid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ridBefore == ridAfter)
+  }
+}
