@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` shape (event_id, ts,
+  * user_id, event_type, value, props). The reference has no streaming
+  * (SURVEY §2.4); this is north-star surface: the same transforms run
+  * identically on a batch DataFrame and on a `readStream` source —
+  * declare-once, run-either.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond it is dropped, state evicted); sessionization keys
+  * state by user_id — state size is O(active users), and event-time timeout
+  * closes sessions without waiting for new input per key.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Internal running-session state (public: the state encoder's generated
+    * code must be able to reach the accessors). */
+  final case class SessionAcc(start: Long, end: Long, n: Long,
+      total: Double)
+
+  /** Tumbling-window aggregation with a watermark; works on both batch and
+    * streaming inputs (same plan, streaming adds state eviction). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with mapGroupsWithState-family custom state:
+    * a session closes when no event arrives within `gapMinutes` (event
+    * time, enforced by watermark timeout). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var acc = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              acc match {
+                case Some(a) if t - a.end <= gapMs =>
+                  acc = Some(a.copy(end = math.max(a.end, t), n = a.n + 1,
+                    total = a.total + e.value))
+                case Some(a) =>
+                  closed ::= Session(user, new Timestamp(a.start),
+                    new Timestamp(a.end), a.n, a.total)
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg over a memory stream matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      EventStream.Event(1, ts("2026-01-01 00:10:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2026-01-01 00:40:00"), 1, "click", 2.0),
+      EventStream.Event(3, ts("2026-01-01 01:10:00"), 2, "view", 5.0),
+      EventStream.Event(4, ts("2026-01-01 03:10:00"), 2, "view", 7.0))
+
+    val stream = MemoryStream[EventStream.Event]
+    val q = EventStream.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize all windows
+      stream.addData(EventStream.Event(9, ts("2026-01-01 09:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg")
+        .filter(col("event_type").isin("click", "view"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventStream.windowedAgg(events.toDF())
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(batch == Set(
+        ("2026-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 01:00:00.0", "view", 1L, 5.0),
+        ("2026-01-01 03:00:00.0", "view", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions after the gap via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        EventStream.Event(1, ts("2026-01-01 00:00:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2026-01-01 00:10:00"), 1, "click", 2.0),
+        // same user, 3h later → new session; the first must close
+        EventStream.Event(3, ts("2026-01-01 03:00:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      // push the watermark forward so the timeout fires for session 2
+      stream.addData(EventStream.Event(9, ts("2026-01-01 09:00:00"), 2, "x", 0.0))
+      q.processAllAvailable()
+      stream.addData(EventStream.Event(10, ts("2026-01-01 23:00:00"), 3, "x", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter(col("user_id") === 1).orderBy("start").collect()
+      assert(sessions.length == 2)
+      assert(sessions(0).getAs[Timestamp]("start") == ts("2026-01-01 00:00:00"))
+      assert(sessions(0).getAs[Timestamp]("end") == ts("2026-01-01 00:10:00"))
+      assert(sessions(0).getAs[Long]("n_events") == 2)
+      assert(sessions(0).getAs[Double]("total_value") == 3.0)
+      assert(sessions(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("windowed agg runs identically over the batch events table") {
+    val out = EventStream.windowedAgg(Tables.load(spark, sf0001, "events"))
+    assert(out.count() > 0)
+    assert(out.columns.toSeq ==
+      Seq("window_start", "event_type", "n_events", "sum_value"))
+  }
+}
