@@ -23,24 +23,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Schema inference costs ~50-100 ms per parquet read; memoize the loaded
+  // DataFrames per (session, dir, table) so each of the ~50 registry queries
+  // doesn't re-pay it (they're immutable logical plans — safe to share).
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]
+
   /** Load one table raw — filters on its columns remain pushable.
     *
     * `events.ts` is physically timestamp[ns] (FIXTURES.md §B), which Spark's
     * parquet reader rejects; it is read as a nanosecond long (legacy conf)
     * and converted to a microsecond TimestampType column. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    loadCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name), _ =>
+        if (name == "events") {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$dir/$name.parquet")
+            .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        } else {
+          spark.read.parquet(s"$dir/$name.parquet")
+        })
 
-  /** Register all tables of a scale-factor dir as temp views (idempotent).
-    * Views are raw, same reason as [[load]]. */
-  def register(spark: SparkSession, dir: String): Unit =
-    all.foreach { n =>
-      load(spark, dir, n).createOrReplaceTempView(n)
+  /** Register all tables of a scale-factor dir as temp views. Idempotent and
+    * memoized per (session, dir); re-registers only when the dir changes. */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark)
+    if (registeredDir.put(key, dir) != dir) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     }
+  }
 }

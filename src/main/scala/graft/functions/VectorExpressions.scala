@@ -83,6 +83,35 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** minhash_sig(array<string>, k) → array<bigint>: k-permutation MinHash
+  * signature in one pass (see VectorOps.minhashSig). `k` must be foldable. */
+case class MinHashSig(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, kExpr.dataType, kExpr.foldable) match {
+      case (ArrayType(StringType, _), IntegerType, true) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects (array<string>, int literal), got $other")
+    }
+
+  override def nullSafeEval(tokens: Any, k: Any): Any =
+    VectorOps.minhashSig(tokens.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" graft.functions.VectorOps.minhashSig($t, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, kExpr = r)
+}
+
 /** Session-scoped registration so the expressions are callable through
   * `call_function` / SQL. Idempotent. */
 object GraftFunctions {
@@ -90,7 +119,8 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_distance" -> (es => L2Distance(es(0), es(1))),
-    "simhash64" -> (es => SimHash64(es.head)))
+    "simhash64" -> (es => SimHash64(es.head)),
+    "minhash_sig" -> (es => MinHashSig(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -34,16 +34,15 @@ object LakeQueries {
           Row(Integer.valueOf(99), "NEW_NATION", Integer.valueOf(9))),
         ds.schema),
       keys = Seq("n_nationkey"))
+    val preRestore = ds.read().count()
     ds.restore(ds.tags("loaded"))
     val restoredCount = ds.read().count()
-    // deterministic summary across the whole scenario
-    val summary = ds.versions.map { v =>
-      (v, ds.readVersion(v).count(), deleted, updated, matched, inserted,
-        restoredCount)
-    }
+    // deterministic one-row summary of the whole scenario
     import s.implicits._
-    summary.toDF("version", "rows_at_version", "n_deleted", "n_updated",
-      "n_merge_matched", "n_merge_inserted", "rows_after_restore")
+    Seq((ds.versions.size, preRestore, deleted, updated, matched, inserted,
+      restoredCount))
+      .toDF("n_versions", "rows_before_restore", "n_deleted", "n_updated",
+        "n_merge_matched", "n_merge_inserted", "rows_after_restore")
   }
 
   def all: Seq[Q] = Seq(versionedCrud)

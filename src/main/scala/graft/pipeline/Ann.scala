@@ -28,6 +28,10 @@ object Ann {
   val NumQueries = 5
   val TopK = 10
   val Bits = 4 // 2^4 buckets; multi-probe Hamming-1 → 5 buckets scanned
+  /** Near-dup pair mining uses finer buckets: the within-bucket self-join is
+    * quadratic per bucket, so bucket count must scale with corpus size
+    * (2^10 buckets keeps the candidate set ~N²/1024 pairs). */
+  val NearDupBits = 10
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -37,12 +41,13 @@ object Ann {
   /** Deterministic ±1 hyperplanes (seeded), dim 64. */
   private lazy val hyperplanes: Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(Bits)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    Seq.fill(math.max(Bits, NearDupBits))(
+      Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
   /** LSH bucket id of a vector column: one sign bit per hyperplane. */
-  def bucketOf(vec: Column): Column =
-    (0 until Bits).map { i =>
+  def bucketOf(vec: Column, bits: Int = Bits): Column =
+    (0 until bits).map { i =>
       when(call_function("dot_product", vec, typedlit(hyperplanes(i))) >= 0,
         lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -102,7 +107,7 @@ object Ann {
     * candidates (bucketed, never all-pairs). */
   val nearDupPairs = Q.noOracle("dedup_embed_cos") { (s, dir) =>
     val e = emb(s, dir)
-    val bucketed = e.withColumn("bucket", bucketOf(col("embedding")))
+    val bucketed = e.withColumn("bucket", bucketOf(col("embedding"), NearDupBits))
     val a = bucketed.select(col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("vec_b"),

@@ -37,12 +37,12 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: element j = min over shingles of xxhash64(shingle, j).
-    * One array column, NumHashes longs. */
+  /** MinHash signature: one array column of NumHashes longs, computed in a
+    * single pass by the codegen'd [[graft.functions.MinHashSig]] (each
+    * shingle string-hashed once, then k multiply-adds — not k full
+    * `transform` passes). */
   def minhashSignature(sh: Column): Column =
-    array((0 until NumHashes).map { j =>
-      array_min(transform(sh, s => xxhash64(s, lit(j))))
-    }: _*)
+    call_function("minhash_sig", sh, lit(NumHashes))
 
   /** Band keys: hash of each band's RowsPerBand signature slice (+ band id
     * so different bands never collide). */
@@ -56,6 +56,7 @@ object Dedup {
   /** Candidate pairs via LSH banding, then exact shingle-Jaccard verify.
     * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. */
   def minhashDedup(d: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(d.sparkSession)
     val sigs = d.select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh")))
@@ -83,13 +84,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Exact duplicate groups (hash-groupBy on full text). */
+  /** Exact duplicate groups. Hash-groupBy on md5(text), NOT on the text
+    * itself — the shuffle then moves 32-byte digests instead of whole
+    * documents (at 100 TB that's the difference between shuffling hashes
+    * and shuffling the corpus). */
   val exact = Q(
     "dedup_exact",
     """SELECT count(*) AS n_groups, coalesce(sum(copies), 0) AS n_dup_docs
       |FROM (SELECT count(*) AS copies FROM documents
-      |      GROUP BY text HAVING count(*) > 1) g""".stripMargin) { (s, dir) =>
-    docs(s, dir).groupBy("text").agg(count(lit(1)).as("copies"))
+      |      GROUP BY md5(text) HAVING count(*) > 1) g""".stripMargin) { (s, dir) =>
+    docs(s, dir).groupBy(md5(col("text"))).agg(count(lit(1)).as("copies"))
       .filter(col("copies") > 1)
       .agg(count(lit(1)).as("n_groups"),
         coalesce(sum("copies"), lit(0)).as("n_dup_docs"))
