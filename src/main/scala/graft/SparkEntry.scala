@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ddl.DdlQueries
 import graft.lake.LakeQueries
 import graft.pipeline.{Ann, Dedup, Fts, Multimodal, TextOps}
-import graft.queries.{Rel, Tpch, TpchMore}
+import graft.queries.{Extra, Rel, Tpch, TpchMore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,7 @@ object SparkEntry {
   /** Full capability registry; each Q covers one operator/capability from
     * SURVEY.md §2 (or a beyond-reference pipeline operator). */
   lazy val registry: Seq[Q] =
-    Tpch.all ++ TpchMore.all ++ Rel.all ++
+    Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++
       TextOps.all ++ Dedup.all ++ Ann.all ++ Fts.all ++ Multimodal.all ++
       LakeQueries.all ++ DdlQueries.all
 

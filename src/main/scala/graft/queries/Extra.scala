@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Coverage for the remaining SURVEY §2.2 expression rows: date ± interval
+  * arithmetic, the CAST matrix, EXTRACT parts, nested IN-subqueries
+  * (q20-shape), select-list correlated scalar subqueries, and a pure
+  * range-condition join. */
+object Extra {
+
+  /** date ± INTERVAL arithmetic in pushable filter position (reference
+    * common/date.go:28-45, q1/q4/q15/q20 canonical forms). The folded
+    * literal keeps parquet pushdown intact. */
+  val interval = Q.sql(
+    "expr_date_interval",
+    """SELECT count(*) AS n,
+      |  min(CAST(l_shipdate AS DATE)) AS min_d,
+      |  max(CAST(l_shipdate AS DATE)) AS max_d
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '2001-12-01' - INTERVAL 90 DAY
+      |  AND l_shipdate >= DATE '1995-03-01' + INTERVAL 30 DAY""".stripMargin)
+
+  /** CAST matrix: int↔string, double→floor→bigint, timestamp→date→string,
+    * plus EXTRACT month/quarter (function_cast.go:54-105; double→int is
+    * avoided in shared SQL because Spark truncates while DuckDB rounds —
+    * floor() first makes both exact). */
+  val casts = Q(
+    "expr_cast_matrix",
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+      |  EXTRACT(month FROM o_orderdate) AS o_month,
+      |  EXTRACT(quarter FROM o_orderdate) AS o_quarter
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderkey").cast("string").as("key_str"),
+      floor(col("o_totalprice")).cast("long").as("price_floor"),
+      col("o_orderdate").cast("date").cast("string").as("date_str"),
+      month(col("o_orderdate")).as("o_month"),
+      quarter(col("o_orderdate")).as("o_quarter"))
+  }
+
+  /** q20-shape: IN-subquery nested inside an IN-subquery with HAVING. */
+  val nestedSemi = Q.sql(
+    "q20_nested_semi",
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_name LIKE 'big%')
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  /** Correlated scalar subquery in the SELECT list. */
+  val selectScalar = Q.sql(
+    "expr_select_scalar_subq",
+    """SELECT r_regionkey, r_name,
+      |  (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+      |    AS n_nations
+      |FROM region""".stripMargin)
+
+  /** Pure range-condition join (no equi key): part sizes banded into
+    * categories. The tiny ranges side is broadcast → a broadcast
+    * nested-loop with a range predicate, the correct 100 TB plan
+    * (reference theta-join residuals, executor_join.go:209-236). */
+  val rangeJoin = Q(
+    "rel_range_join",
+    """SELECT cat, count(*) AS n_parts
+      |FROM part JOIN (VALUES ('small', 1, 17), ('mid', 17, 34),
+      |                       ('big', 34, 51)) AS c(cat, lo, hi)
+      |  ON p_size >= lo AND p_size < hi
+      |GROUP BY cat""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cats = Seq(("small", 1, 17), ("mid", 17, 34), ("big", 34, 51))
+      .toDF("cat", "lo", "hi")
+    Tables.load(s, dir, "part")
+      .join(broadcast(cats), col("p_size") >= col("lo") && col("p_size") < col("hi"))
+      .groupBy("cat").agg(count(lit(1)).as("n_parts"))
+  }
+
+  def all: Seq[Q] = Seq(interval, casts, nestedSemi, selectScalar, rangeJoin)
+}

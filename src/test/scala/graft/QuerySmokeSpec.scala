@@ -16,7 +16,8 @@ class QuerySmokeSpec extends SparkTestBase {
   /** Queries whose correct sf0.001 result may be empty (tiny-SF artifacts);
     * still must run without error. */
   private val emptyOk =
-    Set("rel_not_in_subq", "rel_except", "q17_corr_scalar", "q7_nation_pairs")
+    Set("rel_not_in_subq", "rel_except", "q17_corr_scalar", "q7_nation_pairs",
+      "q20_nested_semi")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs on sf0.001") {
