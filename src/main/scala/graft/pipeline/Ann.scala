@@ -103,6 +103,64 @@ object Ann {
     topKPerQuery(scored)
   }
 
+  /** IVF (inverted-file) ANN — the k-means scale path (reference
+    * ivf_index.go:12-165). Centroids are trained with two Lloyd iterations
+    * entirely in DataFrame ops (assign = broadcast-centroid cross join +
+    * argmin; recompute = posexplode → per-(cluster,dim) avg → regroup), so
+    * training is two shuffles of O(N·dim) — no driver-side math. Queries
+    * probe the `NProbe` nearest clusters only.
+    */
+  val NumClusters = 16
+  val NProbe = 4
+
+  /** (assignments: vec_id → cluster, centroids: cluster → array<float>) */
+  def trainIvf(e: DataFrame, iterations: Int = 2): (DataFrame, DataFrame) = {
+    GraftFunctions.register(e.sparkSession)
+    // deterministic init: the NumClusters lowest vec_ids
+    var centroids = e.orderBy("vec_id").limit(NumClusters)
+      .select(monotonically_increasing_id().cast("int").as("cluster"),
+        col("embedding").as("centroid"))
+    var assign: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      assign = assignClusters(e, centroids)
+      centroids = e.join(assign, "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg("v").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m").cast("float")).as("centroid"))
+    }
+    (assignClusters(e, centroids), centroids)
+  }
+
+  private def assignClusters(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("d", call_function("l2_distance", col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"))
+
+  /** IVF top-k: per query, rank only vectors in the NProbe nearest
+    * clusters. */
+  val ivf = Q.noOracle("ann_ivf_topk") { (s, dir) =>
+    val e = emb(s, dir)
+    val (assign, centroids) = trainIvf(e)
+    val q = queries(e)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d", call_function("l2_distance", col("qvec"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("cluster"))))
+      .filter(col("rn") <= NProbe)
+      .select("qid", "qvec", "cluster")
+    val scored = e.join(assign, "vec_id")
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        call_function("cosine_sim", col("embedding"), col("qvec")))
+    topKPerQuery(scored)
+  }
+
   /** Embedding near-dup report: top-20 most-similar pairs among same-bucket
     * candidates (bucketed, never all-pairs). */
   val nearDupPairs = Q.noOracle("dedup_embed_cos") { (s, dir) =>
@@ -146,5 +204,5 @@ object Ann {
     topKPerQuery(scored)
   }
 
-  def all: Seq[Q] = Seq(brute, lsh, prefiltered, nearDupPairs)
+  def all: Seq[Q] = Seq(brute, lsh, ivf, prefiltered, nearDupPairs)
 }

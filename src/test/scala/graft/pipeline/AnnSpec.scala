@@ -63,6 +63,24 @@ class AnnSpec extends SparkTestBase {
     assert(recall <= 1.0)
   }
 
+  test("IVF: every vector gets exactly one cluster; top-k overlaps exact") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val (assign, centroids) = Ann.trainIvf(e)
+    assert(assign.count() == e.count())
+    assert(assign.select("vec_id").distinct().count() == e.count())
+    assert(centroids.count() == Ann.NumClusters)
+    assert(centroids.select(size(col("centroid"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(64))
+    val brute = Ann.brute.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivf.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf).toDouble / brute.size
+    // probes 4/16 clusters; direction-uniform data bounds recall near that
+    assert(recall >= 0.15, s"ivf recall $recall")
+  }
+
   test("LSH bucket assignment is deterministic") {
     val b1 = Ann.lsh.run(spark, sf0001).collect().map(_.toSeq)
     val b2 = Ann.lsh.run(spark, sf0001).collect().map(_.toSeq)
