@@ -58,5 +58,24 @@ object Multimodal {
       .toDF()
   }
 
-  def all: Seq[Q] = Seq(decodeFeatures)
+  /** Video-style frame sampling: each media item expands to every Nth
+    * "frame" (deterministic pseudo-frame-count from metadata), each frame a
+    * row with its own byte-slice payload — the explode-then-process shape a
+    * real frame sampler produces. Narrow ops only (explode is per-row). */
+  val frameSample = Q.noOracle("mm_frame_sample") { (s, dir) =>
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        (pmod(col("doc_id"), lit(24)) + 2).cast("int").as("n_frames"))
+    media
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // stub "frame decode": a deterministic slice of the payload
+        substring(base64(col("payload")), 1, 16).as("frame_sig"),
+        (col("frame_idx") / greatest(col("n_frames") - 1, lit(1)))
+          .as("timestamp_frac"))
+  }
+
+  def all: Seq[Q] = Seq(decodeFeatures, frameSample)
 }

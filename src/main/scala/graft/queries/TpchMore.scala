@@ -95,6 +95,26 @@ object TpchMore {
         .as("revenue"))
   }
 
+  /** Q8: national market share — 8-table join, CASE-in-ratio over year
+    * groups (q8.sql; p_type = 'PROMO', region ASIA, synthetic nation). */
+  val q8 = Q.sql(
+    "q8_mkt_share",
+    """SELECT o_year,
+      |  sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+      |    / sum(volume) AS mkt_share
+      |FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      |        l_extendedprice * (1 - l_discount) AS volume,
+      |        n2.n_name AS nation
+      |      FROM part, supplier, lineitem, orders, customer,
+      |           nation n1, nation n2, region
+      |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |        AND c_nationkey = n1.n_nationkey
+      |        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |        AND s_nationkey = n2.n_nationkey
+      |        AND p_type = 'PROMO') allnations
+      |GROUP BY o_year""".stripMargin)
+
   /** Q9: LIKE filter on part name + year grouping (q9.sql, partsupp-free). */
   val q9 = Q.sql(
     "q9_like_year",
@@ -266,6 +286,37 @@ object TpchMore {
         .as("revenue"))
   }
 
+  /** Q21: EXISTS + NOT EXISTS against the same table in one query (q21.sql
+    * minus receiptdate/commitdate) — both correlated subqueries decorrelate
+    * to semi + anti joins over lineitem self-references. */
+  val q21 = Q.sql(
+    "q21_exists_notexists",
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name""".stripMargin)
+
+  /** Decimal aggregation semantics (SURVEY §7.3 decimal risk): explicit
+    * DECIMAL casts so the decimal sum path (reference hugeint/decimal
+    * accumulators, function_aggr.go:223) is exercised even though testdata
+    * stores doubles. */
+  val decimalAgg = Q.sql(
+    "agg_decimal_sum",
+    """SELECT l_returnflag,
+      |  sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(38,2)))
+      |    AS dec_sum,
+      |  sum(CAST(l_orderkey AS DECIMAL(38,0))) AS key_sum
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin)
+
   /** Q22: NOT EXISTS (anti join) + SUBSTRING + IN + scalar subquery
     * (q22.sql; phone absent → customer-name digits as "country code"). */
   val q22 = Q.sql(
@@ -281,6 +332,6 @@ object TpchMore {
       |                    AND o_orderpriority = '1-URGENT')
       |GROUP BY cntrycode""".stripMargin)
 
-  def all: Seq[Q] = Seq(q2, qMinMax, q4, q7, q9, q11, q12, q13, q14, q15,
-    q16, q17, q18, q19, q22)
+  def all: Seq[Q] = Seq(q2, qMinMax, q4, q7, q8, q9, q11, q12, q13, q14, q15,
+    q16, q17, q18, q19, q21, q22, decimalAgg)
 }
