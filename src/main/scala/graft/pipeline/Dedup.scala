@@ -57,9 +57,15 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. */
   def minhashDedup(d: DataFrame, threshold: Double): DataFrame = {
     GraftFunctions.register(d.sparkSession)
+    // The signature relation feeds three consumers (banding + both sides of
+    // the verify join); materialize it once instead of re-scanning and
+    // re-shingling the corpus three times. (At cluster scale this would be
+    // a persisted signature index table — reference fts_persistence.go
+    // analogue; localCheckpoint is the single-job equivalent.)
     val sigs = d.select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh")))
+      .localCheckpoint()
     val buckets = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bucket"))
     // Skew guard: drop degenerate hot buckets (see scaladoc).
