@@ -112,6 +112,15 @@ case class MinHashSig(child: Expression, kExpr: Expression)
     copy(child = l, kExpr = r)
 }
 
+/** `spark.sql.extensions`-style registration: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` at session build
+  * and the vector/simhash functions exist in every new session without any
+  * imperative register call. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injectInto(ext)
+}
+
 /** Session-scoped registration so the expressions are callable through
   * `call_function` / SQL. Idempotent. */
 object GraftFunctions {
@@ -129,4 +138,14 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
+
+  /** Extension-point form for [[GraftExtensions]]. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftFunctions.type].getName, name),
+        b))
+    }
 }

@@ -122,17 +122,10 @@ final class LakeDataset private (
     val touched = matchedFragments(candidates, pred)
     if (touched.isEmpty) return 0L
     val touchedIds = touched.map(_._1.id).toSet
-    val untouched = m.fragments.filterNot(f => touchedIds(f.id))
     val remaining = readFragments(m, touched.map(_._1), withRowId = true)
       .filter(!pred)
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(remaining, m), m)
-    commit(m.copy(
-      version = m.version + 1,
-      fragments = untouched ++ frags,
-      maxFragmentId = m.maxFragmentId + frags.size,
-      parentVersion = Some(m.version),
-      createdMs = System.currentTimeMillis(),
-      operation = "delete"))
+    commitRewrite(touchedIds, frags, "delete")
     touched.map(_._2).sum
   }
 
@@ -147,20 +140,13 @@ final class LakeDataset private (
     val touched = matchedFragments(candidates, pred)
     if (touched.isEmpty) return 0L
     val touchedIds = touched.map(_._1.id).toSet
-    val untouched = m.fragments.filterNot(f => touchedIds(f.id))
     val rewritten = set.foldLeft(
       readFragments(m, touched.map(_._1), withRowId = true)) {
       case (df, (c, e)) =>
         df.withColumn(c, when(pred, expr(e)).otherwise(col(c)))
     }
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(rewritten, m), m)
-    commit(m.copy(
-      version = m.version + 1,
-      fragments = untouched ++ frags,
-      maxFragmentId = m.maxFragmentId + frags.size,
-      parentVersion = Some(m.version),
-      createdMs = System.currentTimeMillis(),
-      operation = "update"))
+    commitRewrite(touchedIds, frags, "update")
     touched.map(_._2).sum
   }
 
@@ -342,13 +328,38 @@ final class LakeDataset private (
       (if (total % targetRows > 0) 1 else 0))
     val merged = readFragments(m, small, withRowId = true).repartition(parts)
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(merged, m), m)
-    commit(m.copy(
-      version = m.version + 1,
-      fragments = m.fragments.filterNot(f => smallIds(f.id)) ++ frags,
-      maxFragmentId = m.maxFragmentId + frags.size,
-      parentVersion = Some(m.version),
-      createdMs = System.currentTimeMillis(),
-      operation = "compact"))
+    commitRewrite(smallIds, frags, "compact")
+  }
+
+  /** Garbage-collect data files referenced by no retained manifest: keep the
+    * newest `keepVersions` manifests (plus every tagged version), delete the
+    * rest and any fragment file only they reference (Delta VACUUM shape;
+    * also reaps stage leftovers from failed/rebased commits). Returns the
+    * number of files deleted. */
+  def vacuum(keepVersions: Int = 2): Int = {
+    val all = versions
+    val tagged = tags.values.toSet
+    val keep = (all.takeRight(keepVersions).toSet ++ tagged + m.version)
+    val keptManifests = keep.toSeq.sorted.map(v => loadVersion(rootPath, v))
+    val referenced = keptManifests.flatMap(_.fragments.map(f => fileName(f.file))).toSet
+    var deleted = 0
+    // drop unreferenced data files
+    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      val isFrag = n.startsWith("frag-") && n.endsWith(".parquet")
+      if ((isFrag && !referenced(n)) || n.startsWith("stage-")) {
+        if (Files.isDirectory(p)) {
+          Files.list(p).iterator().asScala.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(p)
+        } else Files.deleteIfExists(p)
+        deleted += 1
+      }
+    }
+    // drop unretained manifests
+    all.filterNot(keep).foreach { v =>
+      Files.deleteIfExists(manifestsDir.resolve(Manifest.versionFileName(v)))
+    }
+    deleted
   }
 
   // ------------------------------------------------------------- internals
@@ -357,6 +368,43 @@ final class LakeDataset private (
   private def manifestsDir: Path = rootPath.resolve("_manifests")
   private def tagsDir: Path = rootPath.resolve("_refs").resolve("tags")
   private def dataDir: Path = rootPath.resolve("data")
+
+  /** Commit a copy-on-write rewrite (delete/update/compact): replace
+    * `touchedIds` with `newFrags`. On a concurrent-commit conflict the
+    * reference conflict matrix (conflict.go:33-360) allows rewrite+append
+    * to coexist when they touch disjoint fragments: rebase onto the winner
+    * iff every touched fragment is still present unchanged there (the
+    * winner only appended / rewrote OTHER fragments); otherwise surface the
+    * conflict. */
+  private def commitRewrite(touchedIds: Set[Long], newFrags0: Seq[Fragment],
+      op: String, attempts: Int = 3): Unit = {
+    var left = attempts
+    var newFrags = newFrags0
+    while (true) {
+      val untouched = m.fragments.filterNot(f => touchedIds(f.id))
+      try {
+        commit(m.copy(
+          version = m.version + 1,
+          fragments = untouched ++ newFrags,
+          maxFragmentId = math.max(m.maxFragmentId,
+            (0L +: newFrags.map(_.id)).max),
+          parentVersion = Some(m.version),
+          createdMs = System.currentTimeMillis(),
+          operation = op))
+        return
+      } catch {
+        case e: CommitConflictException =>
+          left -= 1
+          if (left == 0) throw e
+          refresh()
+          val winnerIds = m.fragments.map(_.id).toSet
+          if (!touchedIds.subsetOf(winnerIds)) throw e // semantic conflict
+          // avoid fragment-id collisions with the winner's new fragments
+          var nid = m.maxFragmentId
+          newFrags = newFrags.map { f => nid += 1; f.copy(id = nid) }
+      }
+    }
+  }
 
   private def withAppendRetry(attempts: Int)(body: => Unit): Unit = {
     var left = attempts

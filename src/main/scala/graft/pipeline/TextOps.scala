@@ -53,6 +53,24 @@ object TextOps {
           .as("mean_token_len"))
   }
 
+  /** Token counting for LLM budgeting: regex word/punct tokens plus a
+    * BPE-ish subword estimate (≈ ceil(len/4) pieces per word — the common
+    * 4-chars-per-token heuristic), both as narrow expressions. */
+  val tokenEstimate = Q(
+    "text_token_estimate",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))
+      |    AS n_word_tokens,
+      |  (SELECT coalesce(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)), 0)
+      |   FROM unnest(string_split(text, ' ')) AS t(w)) AS n_subword_est
+      |FROM documents""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).as("n_word_tokens"),
+      aggregate(tokensCol, lit(0L),
+        (acc, w) => acc + ceil(length(w) / 4.0)).as("n_subword_est"))
+  }
+
   /** Marker tokens per language for the n-gram/stopword language-ID
     * heuristic. Deterministic; scored by marker-hit count. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -90,5 +108,5 @@ object TextOps {
         .as("bag_hash"))
   }
 
-  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint)
+  def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint)
 }

@@ -172,18 +172,45 @@ class LakeDatasetSpec extends SparkTestBase {
     assert(withRid.select("_rowid").distinct().count() == 10)
   }
 
-  test("concurrent commit: loser gets conflict, append auto-rebases") {
+  test("concurrent commits: disjoint ops rebase, overlapping rewrites conflict") {
     val dir = tmpDir()
     val ds1 = LakeDataset.create(spark, dir, schema)
-    ds1.append(rows((1, "a", 1.0)))
+    ds1.append(rows((1, "a", 1.0)).coalesce(1))
     val ds2 = LakeDataset.open(spark, dir)
-    // ds1 commits first; ds2's delete (no auto-retry) must conflict…
-    ds1.append(rows((2, "b", 2.0)))
-    intercept[CommitConflictException](ds2.delete("id = 1"))
-    // …but ds2's append rebases onto the winner and succeeds
-    ds2.refresh()
-    ds2.append(rows((3, "c", 3.0)))
-    assert(LakeDataset.open(spark, dir).read().count() == 3)
+    // winner appends; loser's delete touches an untouched fragment → rebase
+    ds1.append(rows((2, "b", 2.0)).coalesce(1))
+    assert(ds2.delete("id = 1") == 1)
+    val now = LakeDataset.open(spark, dir)
+    assert(now.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // overlapping rewrites: both update the same fragment → loser conflicts
+    val a = LakeDataset.open(spark, dir)
+    val b = LakeDataset.open(spark, dir)
+    a.update("id = 2", Map("score" -> "99.0"))
+    intercept[CommitConflictException](b.update("id = 2", Map("score" -> "-1.0")))
+    assert(LakeDataset.open(spark, dir).read().collect().head.getDouble(2) == 99.0)
+
+    // loser's append still rebases fine
+    b.refresh()
+    b.append(rows((3, "c", 3.0)))
+    assert(LakeDataset.open(spark, dir).read().count() == 2)
+  }
+
+  test("vacuum removes unreferenced files but keeps tagged + recent versions") {
+    val dir = tmpDir()
+    val ds = LakeDataset.create(spark, dir, schema)
+    ds.append(rows((1, "a", 1.0)).coalesce(1))
+    ds.createTag("keepme")
+    ds.update("id = 1", Map("score" -> "2.0")) // rewrites the only fragment
+    ds.update("id = 1", Map("score" -> "3.0"))
+    val nFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "data")).count()
+    assert(nFiles >= 3)
+    val deleted = ds.vacuum(keepVersions = 1)
+    assert(deleted >= 1)
+    // live read + tagged version still work
+    assert(ds.read().collect().head.getDouble(2) == 3.0)
+    assert(ds.checkoutTag("keepme").read().collect().head.getDouble(2) == 1.0)
   }
 
   test("compaction merges small fragments and preserves data + row ids") {
