@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *    set is tiny and broadcast; the corpus side streams, so the plan is a
   *    single narrow pass + per-query top-k (no corpus shuffle). This is the
   *    right plan even at 100 TB *when k·queries is small*.
-  *  - [[lsh]]: sign-random-projection LSH bucketing — the scale path. Bucket
+  *  - [[lsh]]: sign-random-projection LSH bucketing (Charikar, STOC 2002;
+  *    multi-probe per Lv et al., VLDB 2007) — the scale path. Bucket
   *    assignment is a narrow map (codegen'd dot products against fixed
   *    hyperplanes); candidates come from probing the query bucket ±1 bit
   *    (multi-probe), so per-query work is a fraction of the corpus.
@@ -104,7 +105,9 @@ object Ann {
   }
 
   /** IVF (inverted-file) ANN — the k-means scale path (reference
-    * ivf_index.go:12-165). Centroids are trained with two Lloyd iterations
+    * ivf_index.go:12-165; coarse-quantizer design per Jégou et al.,
+    * "Product quantization for nearest neighbor search", TPAMI 2011,
+    * minus the PQ refinement). Centroids are trained with two Lloyd iterations
     * entirely in DataFrame ops (assign = broadcast-centroid cross join +
     * argmin; recompute = posexplode → per-(cluster,dim) avg → regroup), so
     * training is two shuffles of O(N·dim) — no driver-side math. Queries

@@ -6,7 +6,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (beyond-reference pipeline
-  * mandate). The scale discipline everywhere: candidates come from
+  * mandate). MinHash/LSH banding follows Broder, "On the resemblance and
+  * containment of documents" (1997) and the banding analysis in Leskovec/
+  * Rajaraman/Ullman, Mining of Massive Datasets ch. 3; SimHash follows
+  * Charikar, "Similarity estimation techniques from rounding algorithms"
+  * (STOC 2002). The scale discipline everywhere: candidates come from
   * *bucket joins* (band-hash equality), NEVER an all-pairs product; exact
   * similarity is computed only on candidates.
   *

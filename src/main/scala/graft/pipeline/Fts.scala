@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Full-text search: BM25 top-k over `documents` — the Spark-native
   * re-expression of the reference's inverted index + BM25 + WAND top-k
-  * (pkg/storage2/fts_index.go:36-220, fts_wand.go:35-260).
+  * (pkg/storage2/fts_index.go:36-220, fts_wand.go:35-260). Scoring is
+  * Okapi BM25 (Robertson & Walker, SIGIR 1994) with the standard
+  * k1/b parameterization.
   *
   * On Spark, the "index" is the postings DataFrame (term → doc, tf) which
   * at scale would be a persisted bucketed table keyed by term; a query
