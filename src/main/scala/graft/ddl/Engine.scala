@@ -60,6 +60,14 @@ object Engine {
     src.count()
   }
 
+  /** ANALYZE: compute table + column statistics so Catalyst's CBO
+    * (join reorder, build-side choice) has real cardinalities — the Spark
+    * counterpart of the reference's stats-driven join order
+    * (optimizer_joinorder.go TDoms from storage/stats.go distinct counts).
+    * Pair with spark.sql.cbo.enabled=true / joinReorder.enabled=true. */
+  def analyze(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+
   /** COPY TO: export a query result (builder_dml.go:470+). */
   def copyTo(df: DataFrame, path: String, format: String = "parquet",
       options: Map[String, String] = Map.empty): Unit =

@@ -94,6 +94,38 @@ final class LakeDataset private (
       operation = "append"))
   }
 
+  /** Two-phase ("detached") append: phase 1 writes the fragment files
+    * without committing (long-running ingest, durable once staged); phase 2
+    * commits the manifest swap. Mirrors the reference's detached
+    * transactions (storage2/detached_txn.go:23-330). A staged append that
+    * is never committed is garbage-collected by [[vacuum]]. */
+  def stageAppend(df: DataFrame): StagedAppend = {
+    val base = m.nextRowId
+    val (frags, maxRid) =
+      stageFragments(toPhysical(df, m)
+        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
+    StagedAppend(frags, base, maxRid)
+  }
+
+  /** Commit a staged append (rebases like [[append]], but staged files
+    * carry their rowids already — if a concurrent commit claimed the same
+    * rowid range, the conflict is surfaced instead of silently colliding). */
+  def commitStaged(staged: StagedAppend): Unit = withAppendRetry(3) {
+    if (m.nextRowId > staged.baseRowId)
+      throw new CommitConflictException(
+        s"rowid range from ${staged.baseRowId} was claimed concurrently; re-stage")
+    var nid = m.maxFragmentId
+    val frags = staged.fragments.map { f => nid += 1; f.copy(id = nid) }
+    commit(m.copy(
+      version = m.version + 1,
+      fragments = m.fragments ++ frags,
+      maxFragmentId = nid,
+      nextRowId = math.max(m.nextRowId, staged.maxRowId + 1),
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = "append_detached"))
+  }
+
   /** Replace all data with `df` in one commit. */
   def overwrite(df: DataFrame): Unit = {
     val base = m.nextRowId
@@ -335,7 +367,8 @@ final class LakeDataset private (
     * newest `keepVersions` manifests (plus every tagged version), delete the
     * rest and any fragment file only they reference (Delta VACUUM shape;
     * also reaps stage leftovers from failed/rebased commits). Returns the
-    * number of files deleted. */
+    * number of files deleted. Caveat: a [[stageAppend]] not yet committed
+    * looks unreferenced — do not vacuum between stage and commit. */
   def vacuum(keepVersions: Int = 2): Int = {
     val all = versions
     val tagged = tags.values.toSet
@@ -589,6 +622,10 @@ final class LakeDataset private (
     m = next
   }
 }
+
+/** Durable uncommitted append (phase 1 of a detached transaction). */
+final case class StagedAppend(fragments: Seq[Fragment], baseRowId: Long,
+    maxRowId: Long)
 
 object LakeDataset {
   val RowIdCol = "_rowid"

@@ -43,4 +43,23 @@ class EngineSpec extends SparkTestBase {
       Engine.dropSchema(spark, db)
     }
   }
+
+  test("ANALYZE computes stats the CBO can use") {
+    val loc = Files.createTempDirectory("engine-analyze-").toString
+    val db = "engine_analyze_db"
+    try {
+      Engine.createSchema(spark, db, Some(s"$loc/db"))
+      Engine.createTable(spark, s"$db.s",
+        StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+      Engine.insertInto(spark, s"$db.s", spark.createDataFrame(
+        java.util.List.of(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")),
+        spark.table(s"$db.s").schema))
+      Engine.analyze(spark, s"$db.s")
+      val stats = spark.sql(s"DESCRIBE EXTENDED $db.s").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(stats.get("Statistics").exists(_.contains("3 rows")), stats)
+    } finally {
+      Engine.dropSchema(spark, db)
+    }
+  }
 }
