@@ -479,12 +479,20 @@ final class LakeDataset private (
         byName.get(parts.mkString(".")).flatMap(f => frag.stats.get(f.id.toString))
       case _ => None
     }
-    def cmp(stat: String, l: Literal): Option[Int] = l.value match {
-      case null => None
-      case v: Number =>
+    def cmp(stat: String, l: Literal): Option[Int] = (l.value, l.dataType) match {
+      case (null, _) => None
+      // timestamp literals: micros → ISO string; lexical order == time order
+      case (micros: java.lang.Long, _: TimestampType) =>
+        val iso = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.EPOCH.plusNanos(micros * 1000L),
+          java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        Some(stat.take(iso.length).compareTo(iso))
+      case (v: Number, _) =>
         try Some(BigDecimal(stat).compare(BigDecimal(v.toString)))
         catch { case _: NumberFormatException => None }
-      case v: org.apache.spark.unsafe.types.UTF8String =>
+      case (v: org.apache.spark.unsafe.types.UTF8String, _) =>
         Some(stat.compareTo(v.toString))
       case _ => None
     }

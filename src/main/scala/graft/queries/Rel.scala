@@ -169,6 +169,18 @@ object Rel {
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
   }
 
+  /** EXPLAIN surface (reference explain.go:1-300): the formatted physical
+    * plan as a result set. Plan-shape regressions are pinned separately by
+    * PlanGoldenSpec. */
+  val explainQ = Q.noOracle("rel_explain") { (s, dir) =>
+    Tables.register(s, dir)
+    s.sql(
+      """EXPLAIN FORMATTED
+        |SELECT l_returnflag, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
-    window, rollup, distinctQ, limitOffset, values, evJson, evDay)
+    window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ)
 }

@@ -157,6 +157,26 @@ class LakeDatasetSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq == Seq(100L, 200L))
   }
 
+  test("zonemap prunes on timestamp predicates") {
+    import java.sql.Timestamp
+    val dir = tmpDir()
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    val ds = LakeDataset.create(spark, dir, tsSchema)
+    def row(i: Long, s: String) = Row(i, Timestamp.valueOf(s))
+    ds.append(spark.createDataFrame(
+      java.util.List.of(row(1, "2025-01-01 00:00:00"), row(2, "2025-06-01 00:00:00")),
+      tsSchema).coalesce(1))
+    ds.append(spark.createDataFrame(
+      java.util.List.of(row(3, "2026-01-01 00:00:00"), row(4, "2026-06-01 00:00:00")),
+      tsSchema).coalesce(1))
+    assert(ds.prunedFileCount("ts >= TIMESTAMP '2026-01-01 00:00:00'") == 1)
+    assert(ds.prunedFileCount("ts < TIMESTAMP '2025-02-01 00:00:00'") == 1)
+    val out = ds.scanner()
+      .withFilter("ts >= TIMESTAMP '2026-01-01 00:00:00'").build()
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("scanner: filter DSL + columns + limit + offset + rowid") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     ds.append(rows((1 to 10).map(i => (i.toLong, s"n$i", i * 1.0)): _*))
