@@ -82,5 +82,45 @@ object Extra {
       .groupBy("cat").agg(count(lit(1)).as("n_parts"))
   }
 
-  def all: Seq[Q] = Seq(interval, casts, nestedSemi, selectScalar, rangeJoin)
+  /** CUBE + GROUPING() disambiguation of subtotal rows. */
+  val cube = Q.sql(
+    "rel_cube_grouping",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+
+  /** Batch sessionization with lag + running-sum window functions — the
+    * batch twin of streaming.EventStream.sessionize (30-minute gap). */
+  val sessions = Q.sql(
+    "ev_sessions_batch",
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  sum(value) AS total_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin)
+
+  /** Statistical aggregates beyond sum/avg: median, stddev, correlation. */
+  val statsAgg = Q.sql(
+    "agg_stats",
+    """SELECT l_returnflag,
+      |  round(median(l_quantity), 4) AS med_qty,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin)
+
+  def all: Seq[Q] = Seq(interval, casts, nestedSemi, selectScalar, rangeJoin,
+    cube, sessions, statsAgg)
 }
