@@ -19,4 +19,16 @@ object Bucketing {
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Write `df` directory-partitioned by `partCols` — the 100 TB layout for
+    * time/tenant-sliced fact tables: predicates on the partition columns
+    * prune whole directories before any file IO (shows up as
+    * PartitionFilters on the scan, asserted in BucketingSpec). */
+  def writePartitioned(df: DataFrame, path: String,
+      partCols: String*): Unit =
+    df.write
+      .format("parquet")
+      .partitionBy(partCols: _*)
+      .mode("overwrite")
+      .save(path)
 }

@@ -36,6 +36,26 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("directory partitioning prunes partitions before file IO") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val loc = Files.createTempDirectory("partitioning-").toString
+    Bucketing.writePartitioned(
+      Tables.load(spark, sf0001, "orders")
+        .withColumn("o_year", year(col("o_orderdate"))),
+      s"$loc/orders_by_year", "o_year")
+    val df = spark.read.parquet(s"$loc/orders_by_year")
+      .filter(col("o_year") === 1997)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }.head
+    // the year predicate is a partition filter, not a data filter
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("o_year")),
+      scan.partitionFilters.mkString(", "))
+    val expected = Tables.load(spark, sf0001, "orders")
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(df.count() == expected && expected > 0)
+  }
+
   test("groupBy on the bucket key aggregates without an exchange") {
     val loc = Files.createTempDirectory("bucketing-agg-").toString
     try {
