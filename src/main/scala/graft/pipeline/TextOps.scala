@@ -108,5 +108,18 @@ object TextOps {
         .as("bag_hash"))
   }
 
-  def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint)
+  /** HyperLogLog-sketch distinct counts (sketch implementations differ
+    * across engines, so no SQL oracle; TextOpsSpec bounds the error against
+    * exact counts). At 100 TB this replaces exact countDistinct wherever a
+    * ±2% answer is acceptable — sketch merge is associative, so partial
+    * aggregation stays map-side. */
+  val approxDistinct = Q.noOracle("agg_approx_distinct") { (s, dir) =>
+    docs(s, dir).groupBy("lang").agg(
+      approx_count_distinct(col("source"), rsd = 0.02).as("approx_sources"),
+      approx_count_distinct(md5(col("text")), rsd = 0.02).as("approx_texts"),
+      count(lit(1)).as("n_docs"))
+  }
+
+  def all: Seq[Q] =
+    Seq(stats, quality, tokenEstimate, langId, fingerprint, approxDistinct)
 }

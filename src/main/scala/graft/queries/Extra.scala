@@ -121,6 +121,37 @@ object Extra {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin)
 
+  /** Window frames: sliding average, lead lookahead, ntile bucketing. */
+  val windowFrames = Q.sql(
+    "rel_window_frames",
+    """SELECT o_custkey, o_orderkey,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+      |  lead(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS next_price,
+      |  ntile(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice, o_orderkey) AS quartile
+      |FROM orders""".stripMargin)
+
+  /** Higher-order array functions over the embedding column (lambda
+    * aggregate/filter — the array-processing surface the pipeline ops are
+    * built from). Sums accumulate in DOUBLE sequentially on both engines. */
+  val arrayHof = Q(
+    "expr_array_hof",
+    """SELECT vec_id,
+      |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_comp,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  round(list_max(embedding), 6) AS max_comp
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings").select(
+      col("vec_id"),
+      round(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x), 4).as("sum_comp"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+      round(array_max(col("embedding")).cast("double"), 6).as("max_comp"))
+  }
+
   def all: Seq[Q] = Seq(interval, casts, nestedSemi, selectScalar, rangeJoin,
-    cube, sessions, statsAgg)
+    cube, sessions, statsAgg, windowFrames, arrayHof)
 }

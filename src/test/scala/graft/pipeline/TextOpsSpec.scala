@@ -31,6 +31,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(fp(0).getLong(2) != fp(2).getLong(2))
   }
 
+  test("approx distinct sketches stay within 5% of exact counts") {
+    val approx = TextOps.approxDistinct.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.load(spark, sf0001, "documents")
+      .groupBy("lang")
+      .agg(countDistinct("source").as("s"), countDistinct("text").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (lang, (s, t)) =>
+      val (as, at) = approx(lang)
+      assert(math.abs(as - s).toDouble / s <= 0.05, s"$lang sources: $as vs $s")
+      assert(math.abs(at - t).toDouble / t <= 0.05, s"$lang texts: $at vs $t")
+    }
+  }
+
   test("quality ratios are in [0,1] and token stats match manual counts") {
     val r = TextOps.quality.run(spark, sf0001).collect()
     assert(r.nonEmpty)
