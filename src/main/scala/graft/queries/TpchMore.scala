@@ -304,6 +304,54 @@ object TpchMore {
       |                    AND l3.l_shipdate > l1.l_shipdate)
       |GROUP BY s_name""".stripMargin)
 
+  /** q21 rewritten to a SINGLE lineitem scan with window functions: the
+    * EXISTS becomes `nsupp > 1` (another supplier in the order) and the
+    * NOT EXISTS becomes `shipdate >= max-shipdate-of-OTHER-suppliers`,
+    * where max-other is derived from the order-level max, its distinct
+    * owner count, and the runner-up (all computed over one orderkey
+    * window). Same oracle SQL as q21 — the rewrite is equivalence-checked
+    * by the driver gate. At scale: 3 scans + 2 broadcasts of lineitem
+    * become 1 scan + 2 keyed shuffles. */
+  val q21Window = Q(
+    "q21_window_rewrite",
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wOrder = Window.partitionBy("l_orderkey")
+    val wSupp = Window.partitionBy("l_orderkey", "l_suppkey")
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .withColumn("smax", max("l_shipdate").over(wSupp))
+      .withColumn("m1", max("l_shipdate").over(wOrder))
+      .withColumn("m1_owners",
+        size(collect_set(when(col("smax") === col("m1"), col("l_suppkey")))
+          .over(wOrder)))
+      .withColumn("m2",
+        max(when(col("smax") < col("m1"), col("smax"))).over(wOrder))
+      .withColumn("nsupp", size(collect_set("l_suppkey").over(wOrder)))
+      .filter(col("nsupp") > 1)
+      .withColumn("max_other",
+        when(col("smax") === col("m1") && col("m1_owners") === 1, col("m2"))
+          .otherwise(col("m1")))
+      .filter(col("l_shipdate") >= col("max_other"))
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+  }
+
   /** Decimal aggregation semantics (SURVEY §7.3 decimal risk): explicit
     * DECIMAL casts so the decimal sum path (reference hugeint/decimal
     * accumulators, function_aggr.go:223) is exercised even though testdata
@@ -333,5 +381,5 @@ object TpchMore {
       |GROUP BY cntrycode""".stripMargin)
 
   def all: Seq[Q] = Seq(q2, qMinMax, q4, q7, q8, q9, q11, q12, q13, q14, q15,
-    q16, q17, q18, q19, q21, q22, decimalAgg)
+    q16, q17, q18, q19, q21, q21Window, q22, decimalAgg)
 }
