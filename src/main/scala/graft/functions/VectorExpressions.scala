@@ -129,7 +129,9 @@ object GraftFunctions {
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_distance" -> (es => L2Distance(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
-    "minhash_sig" -> (es => MinHashSig(es(0), es(1))))
+    "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
+    "kmv_distinct" -> (es =>
+      KmvDistinct(es.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

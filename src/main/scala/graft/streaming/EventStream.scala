@@ -41,6 +41,16 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exactly-once-per-key dedup: drops repeats of `idCols` seen
+    * within the watermark window (state evicted past it — bounded memory,
+    * the streaming half of the dedup mandate; at-least-once sources become
+    * effectively-once sinks). */
+  def dedupStream(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Gap-based sessionization with mapGroupsWithState-family custom state:
     * a session closes when no event arrives within `gapMinutes` (event
     * time, enforced by watermark timeout). */

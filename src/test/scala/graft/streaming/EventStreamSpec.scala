@@ -74,6 +74,29 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        EventStream.Event(1, ts("2026-01-01 00:00:00"), 1, "click", 1.0),
+        EventStream.Event(1, ts("2026-01-01 00:00:01"), 1, "click", 1.0), // dup id
+        EventStream.Event(2, ts("2026-01-01 00:00:02"), 1, "click", 2.0))
+      q.processAllAvailable()
+      stream.addData( // replayed dup in a later batch, still in watermark
+        EventStream.Event(1, ts("2026-01-01 00:10:00"), 1, "click", 1.0),
+        EventStream.Event(3, ts("2026-01-01 00:10:01"), 2, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("windowed agg runs identically over the batch events table") {
     val out = EventStream.windowedAgg(Tables.load(spark, sf0001, "events"))
     assert(out.count() > 0)
