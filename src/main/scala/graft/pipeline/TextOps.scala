@@ -120,6 +120,15 @@ object TextOps {
       count(lit(1)).as("n_docs"))
   }
 
-  def all: Seq[Q] =
-    Seq(stats, quality, tokenEstimate, langId, fingerprint, approxDistinct)
+  /** Custom KMV sketch aggregate beside the exact count (no SQL oracle —
+    * sketch estimates are engine-specific; KmvSketchSpec bounds the error). */
+  val kmvDistinct = Q.noOracle("agg_kmv_distinct") { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      call_function("kmv_distinct", col("l_orderkey")).as("kmv_orders"),
+      countDistinct("l_orderkey").as("exact_orders"))
+  }
+
+  def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint,
+    approxDistinct, kmvDistinct)
 }

@@ -233,6 +233,23 @@ class LakeDatasetSpec extends SparkTestBase {
     assert(ds.checkoutTag("keepme").read().collect().head.getDouble(2) == 1.0)
   }
 
+  test("edge cases: empty append, delete-all, read after") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))
+    val v = ds.version
+    // empty append: version bumps (an intentional commit), zero fragments added
+    ds.append(rows().limit(0))
+    assert(ds.version == v + 1)
+    assert(ds.read().count() == 2)
+    // delete everything → readable empty dataset with intact schema
+    assert(ds.delete("id > 0") == 2)
+    assert(ds.read().count() == 0)
+    assert(ds.read().columns.toSeq == Seq("id", "name", "score"))
+    // and appends still work afterwards
+    ds.append(rows((9, "z", 9.0)))
+    assert(ds.read().count() == 1)
+  }
+
   test("compaction merges small fragments and preserves data + row ids") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     (1 to 5).foreach(i => ds.append(rows((i.toLong, s"n$i", i * 1.0))))

@@ -54,6 +54,40 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.7, s"simhash recall $recall over ${tight.size} tight pairs")
   }
 
+  test("minhash signature agreement estimates jaccard within tolerance") {
+    // Statistical quality of the splitmix-mixed hash family: for the
+    // planted near-dup pairs, fraction-of-agreeing-signature-slots must
+    // track true shingle jaccard (binomial sd ≈ sqrt(j(1-j)/64) ≤ 0.063).
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(col("sh")))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sig").as("sig_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sig").as("sig_b"))
+    val pairs = Dedup.minhashDedup(docs, 0.8)
+      .select("doc_a", "doc_b")
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("true_j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("est_j",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          Dedup.NumHashes)
+      .select("true_j", "est_j").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.25,
+        s"true=${r.getDouble(0)} est=${r.getDouble(1)}")
+    }
+    val meanErr = pairs.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+      .sum / pairs.length
+    assert(meanErr <= 0.08, s"mean |true-est| = $meanErr")
+  }
+
   test("exact dedup on constructed corpus counts duplicate groups") {
     import spark.implicits._
     val d = Seq(
