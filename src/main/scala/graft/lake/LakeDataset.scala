@@ -72,7 +72,7 @@ final class LakeDataset private (
       .toSeq.sorted
 
   /** Scanner builder (reference sdk/scanner.go:42-480). */
-  def scanner(): Scanner = Scanner(this, None, Nil, None, None, false)
+  def scanner(): Scanner = Scanner(this, None, Nil, None, None, false, false)
 
   // --------------------------------------------------------------- writes
 
@@ -701,13 +701,16 @@ final case class Scanner(
     columns: Seq[String],
     limit: Option[Int],
     offset: Option[Int],
-    rowId: Boolean) {
+    rowId: Boolean,
+    inOrder: Boolean) {
 
   def withFilter(f: String): Scanner = copy(filter = Some(f))
   def withColumns(cs: String*): Scanner = copy(columns = cs)
   def withLimit(n: Int): Scanner = copy(limit = Some(n))
   def withOffset(n: Int): Scanner = copy(offset = Some(n))
   def withRowId: Scanner = copy(rowId = true)
+  /** Stable row-id order (reference ScanInOrder); implies withRowId. */
+  def scanInOrder: Scanner = copy(rowId = true, inOrder = true)
 
   def build(): DataFrame = {
     val man = ds.manifest
@@ -715,6 +718,8 @@ final case class Scanner(
       .getOrElse(man.fragments)
     var df = ds.readFragments(man, frags, withRowId = rowId)
     filter.foreach(f => df = df.filter(org.apache.spark.sql.functions.expr(f)))
+    if (inOrder)
+      df = df.orderBy(org.apache.spark.sql.functions.col(LakeDataset.RowIdCol))
     if (columns.nonEmpty) {
       val cs = if (rowId) columns :+ LakeDataset.RowIdCol else columns
       df = df.select(cs.map(org.apache.spark.sql.functions.col): _*)

@@ -190,6 +190,29 @@ class LakeDatasetSpec extends SparkTestBase {
     val withRid = ds.scanner().withRowId.build()
     assert(withRid.columns.contains("_rowid"))
     assert(withRid.select("_rowid").distinct().count() == 10)
+    // scanInOrder: pagination over stable rowid order is reproducible
+    val page1 = ds.scanner().scanInOrder.withLimit(4).build()
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val page2 = ds.scanner().scanInOrder.withOffset(4).withLimit(4).build()
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert((page1 ++ page2).distinct.size == 8)
+  }
+
+  test("scanner filter accepts the reference DSL operator set") {
+    // = != < <= > >= AND OR NOT IN LIKE IS [NOT] NULL
+    // (storage2/filter_parser.go:15-270 — Spark SQL is a strict superset)
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "alpha", 1.0), (2, "beta", 2.0), (3, "gamma", 3.0)))
+    def n(f: String): Long = ds.scanner().withFilter(f).build().count()
+    assert(n("id = 2") == 1)
+    assert(n("id != 2") == 2)
+    assert(n("id < 3 AND score >= 2.0") == 1)
+    assert(n("id <= 1 OR id > 2") == 2)
+    assert(n("NOT (name = 'beta')") == 2)
+    assert(n("name IN ('alpha', 'gamma')") == 2)
+    assert(n("name LIKE 'ga%'") == 1)
+    assert(n("name IS NOT NULL") == 3)
+    assert(n("name IS NULL") == 0)
   }
 
   test("concurrent commits: disjoint ops rebase, overlapping rewrites conflict") {
