@@ -144,11 +144,21 @@ object Ann {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cluster"))
 
+  // An IVF index is trained once and queried many times; memoize the
+  // (assignments, centroids) pair per session+corpus — the in-session
+  // analogue of the persisted lake.VectorIndex.
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (DataFrame, DataFrame)]
+
   /** IVF top-k: per query, rank only vectors in the NProbe nearest
     * clusters. */
   val ivf = Q.noOracle("ann_ivf_topk") { (s, dir) =>
     val e = emb(s, dir)
-    val (assign, centroids) = trainIvf(e)
+    val (assign, centroids) = ivfCache.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => {
+        val (a, c) = trainIvf(e)
+        (a.localCheckpoint(), c.localCheckpoint())
+      })
     val q = queries(e)
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d", call_function("l2_distance", col("qvec"), col("centroid")))
