@@ -497,6 +497,10 @@ final class LakeDataset private (
       case _ => None
     }
     c match {
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a) =>
+        stats(a).forall(_.nullCount > 0)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
+        stats(a).forall(s => frag.rowCount == 0 || s.nullCount < frag.rowCount)
       case EqualTo(a, l: Literal) =>
         stats(a).forall(s => (for {
           mn <- s.min; mx <- s.max

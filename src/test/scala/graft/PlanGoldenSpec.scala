@@ -36,7 +36,8 @@ class PlanGoldenSpec extends SparkTestBase {
     }
   }
 
-  Seq(Tpch.q1, Tpch.q3, Tpch.q5, Tpch.q6, Tpch.q10).foreach { q =>
+  Seq(Tpch.q1, Tpch.q3, Tpch.q5, Tpch.q6, Tpch.q10,
+    graft.queries.TpchMore.q21Window).foreach { q =>
     test(s"${q.name} physical plan matches golden") {
       // Render untruncated: scan metadata is char-truncated by default, and
       // the cut point shifts with expression-id width → flaky goldens.

@@ -198,6 +198,16 @@ class LakeDatasetSpec extends SparkTestBase {
     assert((page1 ++ page2).distinct.size == 8)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)).coalesce(1)) // no nulls
+    ds.append(spark.createDataFrame(
+      java.util.List.of(Row(3L, null, 3.0)), schema).coalesce(1))
+    assert(ds.prunedFileCount("name IS NULL") == 1) // only the null-bearing one
+    assert(ds.prunedFileCount("name IS NOT NULL") == 1) // all-null frag pruned
+    assert(ds.scanner().withFilter("name IS NULL").build().count() == 1)
+  }
+
   test("scanner filter accepts the reference DSL operator set") {
     // = != < <= > >= AND OR NOT IN LIKE IS [NOT] NULL
     // (storage2/filter_parser.go:15-270 — Spark SQL is a strict superset)
