@@ -72,13 +72,13 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(sn)} rows)")
             n_pass += 1
         else:
-            print(f"FAIL {name}: rows {len(sn)} vs {len(dn)}")
+            detail = (f"row counts {len(sn)} vs {len(dn)}"
+                      if len(sn) != len(dn) else "cell contents differ")
+            print(f"FAIL {name}: {detail}")
             only_s = [r for r in sn if r not in dn][:3]
             only_d = [r for r in dn if r not in sn][:3]
-            if only_s:
-                print(f"  spark-only: {only_s}")
-            if only_d:
-                print(f"  duck-only:  {only_d}")
+            print(f"  spark-only: {only_s}")
+            print(f"  duck-only:  {only_d}")
             n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
