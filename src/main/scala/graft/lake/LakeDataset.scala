@@ -573,7 +573,14 @@ final class LakeDataset private (
   private def stageFragments(physDf: DataFrame,
       man: Manifest): (Seq[Fragment], Long) = {
     val stage = dataDir.resolve(s"stage-${UUID.randomUUID()}")
-    physDf.write.parquet(stage.toString)
+    physDf.write
+      // zstd: ~2× better ratio than snappy at comparable scan speed — at
+      // 100 TB the scan is IO-bound, so smaller files win twice (storage +
+      // read). Bounded rows/file keeps copy-on-write rewrite units and
+      // zonemap granularity predictable regardless of input partitioning.
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", 1 << 20)
+      .parquet(stage.toString)
     val parts = Files.list(stage).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
