@@ -83,6 +83,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** sorted_jaccard(array<bigint>, array<bigint>) → double: exact Jaccard of
+  * two sorted distinct long arrays (merge walk, see VectorOps). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_jaccard expects (array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.sortedJaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** minhash_sig(array<string>, k) → array<bigint>: k-permutation MinHash
   * signature in one pass (see VectorOps.minhashSig). `k` must be foldable. */
 case class MinHashSig(child: Expression, kExpr: Expression)
@@ -130,6 +156,7 @@ object GraftFunctions {
     "l2_distance" -> (es => L2Distance(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
+    "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
     "kmv_distinct" -> (es =>
       KmvDistinct(es.head).toAggregateExpression()))
 

@@ -102,6 +102,23 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Exact Jaccard of two SORTED-ascending distinct long arrays via a
+    * single merge walk — O(n+m), no per-row hash sets (the
+    * array_intersect/array_union formulation builds two hash maps per
+    * pair). Used to verify dedup candidates on hashed shingles. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
+  }
+
   /** 64-bit SimHash over a token array: per token, hash to 64 bits; each bit
     * votes +1/-1; the sign of each accumulator becomes the output bit.
     * Near-duplicate docs → small Hamming distance. */

@@ -66,9 +66,16 @@ object Dedup {
     // re-shingling the corpus three times. (At cluster scale this would be
     // a persisted signature index table — reference fts_persistence.go
     // analogue; localCheckpoint is the single-job equivalent.)
+    // `shh` = sorted hashed shingles: verification then shuffles fixed-width
+    // longs instead of shingle strings, and exact Jaccard is a codegen'd
+    // merge walk (sorted_jaccard) rather than per-pair hash sets. Hash
+    // collisions (~2^-64 per shingle pair) are the usual accepted epsilon.
     val sigs = d.select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("shh",
+        sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))))
       .withColumn("sig", minhashSignature(col("sh")))
+      .drop("sh")
       .localCheckpoint()
     val buckets = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bucket"))
@@ -84,12 +91,11 @@ object Dedup {
     val candidates = a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("shh").as("shh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("shh").as("shh_b"))
     candidates.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        call_function("sorted_jaccard", col("shh_a"), col("shh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
