@@ -142,11 +142,43 @@ object Dedup {
       .filter(col("hamming") <= 6)
   }
 
+  /** Resolve near-dup PAIRS into duplicate clusters and a keep/drop
+    * decision: iterative min-label propagation (each doc adopts the
+    * smallest doc_id reachable over pair edges; `iterations` bounds the
+    * diameter handled — near-dup clusters are shallow in practice). Every
+    * doc keeps its cluster's minimum id; others are marked dropped. */
+  def resolveClusters(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+    (1 to iterations).foreach { _ =>
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min("label").as("nlabel"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+    }
+    labels.withColumn("keep", col("doc_id") === col("label"))
+  }
+
+  /** End-to-end dedup decision over the corpus: minhash pairs → clusters →
+    * per-doc keep/drop. */
+  val resolve = Q.noOracle("dedup_resolve") { (s, dir) =>
+    val pairs = minhashDedup(docs(s, dir), 0.8)
+    resolveClusters(pairs)
+      .groupBy("keep").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** N-gram Jaccard similarity report: exact Jaccard on LSH candidates at a
     * lower threshold (0.5) — the "similarity join" form of dedup. */
   val ngram = Q.noOracle("dedup_ngram_jaccard") { (s, dir) =>
     minhashDedup(docs(s, dir), 0.5)
   }
 
-  def all: Seq[Q] = Seq(exact, minhash, simhash, ngram)
+  def all: Seq[Q] = Seq(exact, minhash, simhash, ngram, resolve)
 }

@@ -181,6 +181,18 @@ object Rel {
         |GROUP BY l_returnflag""".stripMargin)
   }
 
+  /** The streaming module's windowed aggregation run in BATCH mode against
+    * the events table, oracle-checked — declare-once, run-either
+    * (graft.streaming.EventStream.windowedAgg; DuckDB time_bucket). */
+  val evWindowAgg = Q(
+    "ev_window_agg",
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n_events, sum(value) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStream.windowedAgg(Tables.load(s, dir, "events"))
+  }
+
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
-    window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ)
+    window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
+    evWindowAgg)
 }

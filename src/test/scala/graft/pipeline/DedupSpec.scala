@@ -101,6 +101,21 @@ class DedupSpec extends SparkTestBase {
     assert(res.getLong(0) == 2 && res.getLong(1) == 5)
   }
 
+  test("cluster resolution: chains collapse to min-id keeper") {
+    import spark.implicits._
+    // pairs: 1-2, 2-3 (one cluster), 7-9 (another); 5 untouched by pairs
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.95))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val res = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res(1L) == (1L, true))
+    assert(res(2L) == (1L, false))
+    assert(res(3L) == (1L, false)) // transitively reaches 1 via 2
+    assert(res(7L) == (7L, true))
+    assert(res(9L) == (7L, false))
+    assert(!res.contains(5L)) // only docs appearing in pairs get labels
+  }
+
   test("minhash on constructed corpus: planted near-dup found, disjoint not") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"w$i").mkString(" ")
