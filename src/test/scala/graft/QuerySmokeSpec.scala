@@ -33,4 +33,11 @@ class QuerySmokeSpec extends SparkTestBase {
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("registry names are unique (duplicates would silently drop queries)") {
+    val names = SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: $dups")
+    assert(SparkEntry.queries.size == names.size)
+  }
 }
