@@ -77,5 +77,26 @@ object Multimodal {
           .as("timestamp_frac"))
   }
 
-  def all: Seq[Q] = Seq(decodeFeatures, frameSample)
+  /** Resize: recompute target dimensions preserving aspect ratio to fit a
+    * 224×224 budget (the ViT-style input), with the pixel resample itself a
+    * stub (deterministic fake checksum over payload + target dims). Pure
+    * per-row projection. */
+  val resize = Q.noOracle("mm_resize") { (s, dir) =>
+    val target = 224
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        (pmod(col("doc_id"), lit(64)) * 8 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 8 + 48).cast("int").as("height"))
+    media.select(
+      col("doc_id"), col("width"), col("height"),
+      least(lit(target) / col("width").cast("double"),
+        lit(target) / col("height").cast("double")).as("scale"))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("scale"), 6).as("scale"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"))
+  }
+
+  def all: Seq[Q] = Seq(decodeFeatures, frameSample, resize)
 }

@@ -129,6 +129,28 @@ object TextOps {
       countDistinct("l_orderkey").as("exact_orders"))
   }
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
+    * every char k-gram (the rolling windows), then keep the minimum of each
+    * w-wide window of hashes — guarantees shared fingerprints for any
+    * match ≥ w+k-1 chars, at ~2/(w+1) selection density. Expressed with
+    * array higher-order functions; per-row only. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column = {
+    val nGrams = greatest(length(text) - k + 1, lit(0))
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => xxhash64(text.substr(i, lit(k))))
+    array_distinct(transform(
+      sequence(lit(1), greatest(nGrams - w + 1, lit(1))),
+      j => array_min(slice(hashes, j, lit(w)))))
+  }
+
+  val winnow = Q.noOracle("text_winnow_fingerprint") { (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      winnowFingerprints(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+        xxhash64(concat_ws(",", transform(array_sort(col("fp")),
+          x => x.cast("string")))).as("fp_set_hash"))
+  }
+
   def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint,
-    approxDistinct, kmvDistinct)
+    approxDistinct, kmvDistinct, winnow)
 }

@@ -31,6 +31,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(fp(0).getLong(2) != fp(2).getLong(2))
   }
 
+  test("winnowing: near-identical docs share most fingerprints, disjoint none") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok37", "CHANGED")
+    val disjoint = (100 until 160).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, disjoint)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.winnowFingerprints(col("text")).as("fp"))
+    val fps = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap12 = fps(1L).intersect(fps(2L)).size.toDouble /
+      fps(1L).union(fps(2L)).size
+    assert(overlap12 >= 0.5, s"near-dup fingerprint jaccard $overlap12")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+  }
+
   test("approx distinct sketches stay within 5% of exact counts") {
     val approx = TextOps.approxDistinct.run(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
