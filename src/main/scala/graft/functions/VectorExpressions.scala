@@ -109,6 +109,38 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** winnow_fingerprint(string, k, w) → array<bigint>: winnowing document
+  * fingerprints (see VectorOps.winnow). k and w must be foldable. */
+case class WinnowFingerprint(child: Expression, kExpr: Expression,
+    wExpr: Expression) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = wExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, kExpr.dataType, kExpr.foldable,
+      wExpr.dataType, wExpr.foldable) match {
+      case (StringType, IntegerType, true, IntegerType, true) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprint expects (string, int lit, int lit), got $other")
+    }
+
+  override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    VectorOps.winnow(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k, w) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" graft.functions.VectorOps.winnow($s, $k, $w);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(child = f, kExpr = s, wExpr = t)
+}
+
 /** minhash_sig(array<string>, k) → array<bigint>: k-permutation MinHash
   * signature in one pass (see VectorOps.minhashSig). `k` must be foldable. */
 case class MinHashSig(child: Expression, kExpr: Expression)
@@ -157,6 +189,7 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
+    "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
     "kmv_distinct" -> (es =>
       KmvDistinct(es.head).toAggregateExpression()))
 

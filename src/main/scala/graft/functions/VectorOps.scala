@@ -119,6 +119,40 @@ object VectorOps {
     inter.toDouble / (n + m - inter)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) in one
+    * pass: rolling FNV over char k-grams, then an O(n) monotonic-deque
+    * sliding-window minimum, distinct results. The higher-order-function
+    * formulation of the same algorithm interprets O(n·w) lambda calls per
+    * document — 250× slower at sf0.1 (bench: 499 s → <2 s). */
+  def winnow(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h ^= (bytes(i + j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val win = math.min(w, n)
+    val out = new scala.collection.mutable.LinkedHashSet[Long]
+    // monotonic deque of indices, increasing hash values
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) out += hashes(deque(head))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** 64-bit SimHash over a token array: per token, hash to 64 bits; each bit
     * votes +1/-1; the sign of each accumulator becomes the output bit.
     * Near-duplicate docs → small Hamming distance. */

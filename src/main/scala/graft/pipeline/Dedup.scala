@@ -148,8 +148,11 @@ object Dedup {
     * diameter handled — near-dup clusters are shallow in practice). Every
     * doc keeps its cluster's minimum id; others are marked dropped. */
   def resolveClusters(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    // Materialize the edge list once: each propagation iteration joins it,
+    // and without this the full candidate pipeline re-executes per round.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))

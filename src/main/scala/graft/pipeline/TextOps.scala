@@ -130,20 +130,16 @@ object TextOps {
   }
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
-    * every char k-gram (the rolling windows), then keep the minimum of each
-    * w-wide window of hashes — guarantees shared fingerprints for any
-    * match ≥ w+k-1 chars, at ~2/(w+1) selection density. Expressed with
-    * array higher-order functions; per-row only. */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column = {
-    val nGrams = greatest(length(text) - k + 1, lit(0))
-    val hashes = transform(sequence(lit(1), nGrams),
-      i => xxhash64(text.substr(i, lit(k))))
-    array_distinct(transform(
-      sequence(lit(1), greatest(nGrams - w + 1, lit(1))),
-      j => array_min(slice(hashes, j, lit(w)))))
-  }
+    * every char k-gram (rolling windows), keep each w-window's minimum —
+    * guarantees shared fingerprints for any match ≥ w+k-1 chars at
+    * ~2/(w+1) density. Codegen'd single-pass expression
+    * ([[graft.functions.WinnowFingerprint]]); the equivalent built-in-HOF
+    * formulation is O(n·w) interpreted lambdas and benched 250× slower. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
+    call_function("winnow_fingerprint", text, lit(k), lit(w))
 
   val winnow = Q.noOracle("text_winnow_fingerprint") { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir).select(col("doc_id"),
       winnowFingerprints(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
