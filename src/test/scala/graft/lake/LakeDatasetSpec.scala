@@ -266,6 +266,18 @@ class LakeDatasetSpec extends SparkTestBase {
     assert(ds.checkoutTag("keepme").read().collect().head.getDouble(2) == 1.0)
   }
 
+  test("append coerces compatible column types to the declared schema") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema) // id: long, score: double
+    val narrow = spark.createDataFrame(
+      java.util.List.of(Row(7, "x", 5)), // int id, int score
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("name", StringType), StructField("score", IntegerType))))
+    ds.append(narrow)
+    val r = ds.read().collect().head
+    assert(r.getLong(0) == 7L && r.getDouble(2) == 5.0)
+    assert(ds.read().schema("id").dataType == LongType)
+  }
+
   test("edge cases: empty append, delete-all, read after") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))

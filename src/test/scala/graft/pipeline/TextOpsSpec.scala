@@ -46,6 +46,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(fps(1L).intersect(fps(3L)).isEmpty)
   }
 
+  test("winnowing edge cases: short text, exact-k text, determinism") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "ab"),            // shorter than k=8 → no k-grams
+      (2L, "abcdefgh"),      // exactly k chars → one k-gram
+      (3L, "abcdefgh" * 10)  // repeated content → few distinct prints
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.winnowFingerprints(col("text")).as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(1L).isEmpty)
+    assert(fp(2L).size == 1)
+    assert(fp(3L).nonEmpty && fp(3L).size <= 10)
+    val again = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp == again)
+  }
+
   test("approx distinct sketches stay within 5% of exact counts") {
     val approx = TextOps.approxDistinct.run(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
