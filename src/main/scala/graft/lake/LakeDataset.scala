@@ -71,8 +71,29 @@ final class LakeDataset private (
       .map(n => n.substring(1, n.length - 5).toLong)
       .toSeq.sorted
 
+  /** Commit log across all retained versions (Delta DESCRIBE HISTORY
+    * shape): version, operation, parent, fragment/row counts, timestamp. */
+  def history(): DataFrame = {
+    val rows = versions.map { v =>
+      val man = loadVersion(rootPath, v)
+      Row(man.version, man.operation, man.parentVersion.orNull,
+        man.fragments.size, man.fragments.map(_.rowCount).sum,
+        new java.sql.Timestamp(man.createdMs))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType(Seq(
+        StructField("version", LongType),
+        StructField("operation", StringType),
+        StructField("parent_version", LongType),
+        StructField("n_fragments", IntegerType),
+        StructField("n_rows", LongType),
+        StructField("committed_at", TimestampType))))
+  }
+
   /** Scanner builder (reference sdk/scanner.go:42-480). */
-  def scanner(): Scanner = Scanner(this, None, Nil, None, None, false, false)
+  def scanner(): Scanner =
+    Scanner(this, None, None, Nil, None, None, false, false)
 
   // --------------------------------------------------------------- writes
 
@@ -708,6 +729,7 @@ object LakeDataset {
   * string — a strict superset of the reference's filter DSL. */
 final case class Scanner(
     ds: LakeDataset,
+    version: Option[Long],
     filter: Option[String],
     columns: Seq[String],
     limit: Option[Int],
@@ -715,6 +737,8 @@ final case class Scanner(
     rowId: Boolean,
     inOrder: Boolean) {
 
+  /** Pin the scan to an older version (time travel without checkout). */
+  def withVersion(v: Long): Scanner = copy(version = Some(v))
   def withFilter(f: String): Scanner = copy(filter = Some(f))
   def withColumns(cs: String*): Scanner = copy(columns = cs)
   def withLimit(n: Int): Scanner = copy(limit = Some(n))
@@ -724,7 +748,9 @@ final case class Scanner(
   def scanInOrder: Scanner = copy(rowId = true, inOrder = true)
 
   def build(): DataFrame = {
-    val man = ds.manifest
+    val man = version
+      .map(v => LakeDataset.loadVersion(java.nio.file.Paths.get(ds.root), v))
+      .getOrElse(ds.manifest)
     val frags = filter.map(f => ds.pruneFragments(man, f))
       .getOrElse(man.fragments)
     var df = ds.readFragments(man, frags, withRowId = rowId)

@@ -266,6 +266,20 @@ class LakeDatasetSpec extends SparkTestBase {
     assert(ds.checkoutTag("keepme").read().collect().head.getDouble(2) == 1.0)
   }
 
+  test("history() lists every commit; scanner pins to a version") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0)))
+    ds.append(rows((2, "b", 2.0)))
+    ds.delete("id = 1")
+    val h = ds.history().orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq ==
+      Seq("create", "append", "append", "delete"))
+    assert(h.last.getLong(4) == 1) // rows after delete
+    // version-pinned scan sees the pre-delete state
+    val atV3 = ds.scanner().withVersion(3).build().count()
+    assert(atV3 == 2 && ds.read().count() == 1)
+  }
+
   test("append coerces compatible column types to the declared schema") {
     val ds = LakeDataset.create(spark, tmpDir(), schema) // id: long, score: double
     val narrow = spark.createDataFrame(
