@@ -34,6 +34,10 @@ object Bench {
       val t =
         try { once(fn); once(fn) } // warm, then measure
         catch { case _: Throwable => -1.0 }
+      // Release checkpoint blocks a pipeline query persisted, so later
+      // queries aren't measured under leaked block-manager pressure
+      // (round-2 verdict: q7/q9 0.9 s standalone vs 13-15 s in-session).
+      SessionHygiene.sweep(spark)
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -26,32 +26,46 @@ object Tables {
   // Schema inference costs ~50-100 ms per parquet read; memoize the loaded
   // DataFrames per (session, dir, table) so each of the ~50 registry queries
   // doesn't re-pay it (they're immutable logical plans — safe to share).
-  private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]
+  // Weak session keys: a closed SparkSession must not be pinned for the JVM
+  // lifetime, and identity-hash collisions must not leak plans across
+  // sessions.
+  private val loadCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+  private val registeredDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionCache(spark: SparkSession) = {
+    var m = loadCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+      loadCache.put(spark, m)
+    }
+    m
+  }
 
   /** Load one table raw — filters on its columns remain pushable.
     *
     * `events.ts` is physically timestamp[ns] (FIXTURES.md §B), which Spark's
     * parquet reader rejects; it is read as a nanosecond long (legacy conf)
-    * and converted to a microsecond TimestampType column. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name), _ =>
-        if (name == "events") {
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$dir/$name.parquet")
-            .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-        } else {
-          spark.read.parquet(s"$dir/$name.parquet")
-        })
+    * and converted to a microsecond TimestampType column. The conf is set
+    * outside the memoization so its effect doesn't depend on cache state. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sessionCache(spark).computeIfAbsent((dir, name), _ =>
+      if (name == "events") {
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      } else {
+        spark.read.parquet(s"$dir/$name.parquet")
+      })
+  }
 
   /** Register all tables of a scale-factor dir as temp views. Idempotent and
     * memoized per (session, dir); re-registers only when the dir changes. */
   def register(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark)
-    if (registeredDir.put(key, dir) != dir) {
+    if (registeredDir.put(spark, dir) != dir) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     }
   }

@@ -175,8 +175,11 @@ final class LakeDataset private (
     val touched = matchedFragments(candidates, pred)
     if (touched.isEmpty) return 0L
     val touchedIds = touched.map(_._1.id).toSet
+    // SQL DELETE three-valued semantics: delete only where pred IS TRUE, so
+    // keep rows where it is FALSE or NULL — a bare !pred would silently drop
+    // NULL-evaluating rows (NOT(NULL) = NULL is filtered out).
     val remaining = readFragments(m, touched.map(_._1), withRowId = true)
-      .filter(!pred)
+      .filter(!coalesce(pred, lit(false)))
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(remaining, m), m)
     commitRewrite(touchedIds, frags, "delete")
     touched.map(_._2).sum
@@ -212,6 +215,13 @@ final class LakeDataset private (
       insertNotMatched: Boolean = true): (Long, Long) = {
     val fieldNames = m.fields.map(_.name)
     require(keys.forall(source.columns.contains), "source missing key columns")
+    // A duplicate source key would multiply each matched target row in the
+    // left_outer rewrite join, duplicating _rowid values and breaking the
+    // stable-rowid invariant (the reference resolves exactly one source row
+    // per target row) — fail fast instead of corrupting.
+    val dupKey = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+    require(dupKey.isEmpty, s"mergeInsert source has duplicate keys on $keys")
     val srcCols = source.columns.filter(fieldNames.contains).toSeq
     val src = source.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
     val keyCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
@@ -251,15 +261,17 @@ final class LakeDataset private (
       val targetKeys = read().select(keys.map(col): _*)
       val keyCondSwapped = keys.map(k => col(s"_src_$k") === col(k)).reduce(_ && _)
       val ins = src.join(targetKeys, keyCondSwapped, "left_anti")
-      inserted = ins.count()
+      val insLogical = m.fields.foldLeft(ins) { (df, f) =>
+        if (srcCols.contains(f.name)) df.withColumn(f.name, col(s"_src_${f.name}"))
+        else df.withColumn(f.name, lit(null).cast(DataType.fromJson(f.dataType)))
+      }.select(m.fields.map(f => col(f.name)): _*)
+      // Stage first, count from the written fragments — running the insert
+      // plan once, not count()-then-write twice.
+      val (fr, maxRid) = stageFragments(
+        toPhysical(insLogical, m)
+          .withColumn(RowIdCol, lit(nextRid) + monotonically_increasing_id()), m)
+      inserted = fr.map(_.rowCount).sum
       if (inserted > 0) {
-        val insLogical = m.fields.foldLeft(ins) { (df, f) =>
-          if (srcCols.contains(f.name)) df.withColumn(f.name, col(s"_src_${f.name}"))
-          else df.withColumn(f.name, lit(null).cast(DataType.fromJson(f.dataType)))
-        }.select(m.fields.map(f => col(f.name)): _*)
-        val (fr, maxRid) = stageFragments(
-          toPhysical(insLogical, m)
-            .withColumn(RowIdCol, lit(nextRid) + monotonically_increasing_id()), m)
         newFrags ++= fr
         maxFragId += fr.size
         nextRid = math.max(nextRid, maxRid + 1)
@@ -388,20 +400,30 @@ final class LakeDataset private (
     * newest `keepVersions` manifests (plus every tagged version), delete the
     * rest and any fragment file only they reference (Delta VACUUM shape;
     * also reaps stage leftovers from failed/rebased commits). Returns the
-    * number of files deleted. Caveat: a [[stageAppend]] not yet committed
-    * looks unreferenced — do not vacuum between stage and commit. */
-  def vacuum(keepVersions: Int = 2): Int = {
+    * number of files deleted.
+    *
+    * `graceMs` (Delta VACUUM's retention model): files whose mtime is within
+    * the window are kept even when unreferenced, so a concurrent writer
+    * mid-commit (fragments staged/moved but manifest not yet published, or a
+    * pending [[stageAppend]]) never has its data deleted out from under it.
+    * Pass 0 only when no other writer can exist (tests, single-process). */
+  def vacuum(keepVersions: Int = 2,
+      graceMs: Long = DefaultVacuumGraceMs): Int = {
     val all = versions
     val tagged = tags.values.toSet
     val keep = (all.takeRight(keepVersions).toSet ++ tagged + m.version)
     val keptManifests = keep.toSeq.sorted.map(v => loadVersion(rootPath, v))
     val referenced = keptManifests.flatMap(_.fragments.map(f => fileName(f.file))).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
     var deleted = 0
-    // drop unreferenced data files
+    // drop unreferenced data files older than the grace window
     Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
       val n = p.getFileName.toString
       val isFrag = n.startsWith("frag-") && n.endsWith(".parquet")
-      if ((isFrag && !referenced(n)) || n.startsWith("stage-")) {
+      if (((isFrag && !referenced(n)) || n.startsWith("stage-")) && oldEnough(p)) {
         if (Files.isDirectory(p)) {
           Files.list(p).iterator().asScala.foreach(Files.deleteIfExists(_))
           Files.deleteIfExists(p)
@@ -502,14 +524,21 @@ final class LakeDataset private (
     }
     def cmp(stat: String, l: Literal): Option[Int] = (l.value, l.dataType) match {
       case (null, _) => None
-      // timestamp literals: micros → ISO string; lexical order == time order
+      // Timestamp literals: micros → string in the SESSION timezone (stat
+      // strings come from a cast-to-string, which uses it too); lexical
+      // order == time order at whole-second granularity. Comparison is
+      // truncated to seconds, so equality is UNKNOWN (sub-second stat or
+      // literal digits may differ either way) → None keeps pruning
+      // conservative; only strict <,> at second granularity may prune.
       case (micros: java.lang.Long, _: TimestampType) =>
-        val iso = java.time.LocalDateTime.ofInstant(
-          java.time.Instant.EPOCH.plusNanos(micros * 1000L),
-          java.time.ZoneOffset.UTC)
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val iso = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+          .atZone(zone).toLocalDateTime
           .format(java.time.format.DateTimeFormatter
             .ofPattern("yyyy-MM-dd HH:mm:ss"))
-        Some(stat.take(iso.length).compareTo(iso))
+        val c = stat.take(iso.length).compareTo(iso)
+        if (c == 0) None else Some(c)
       case (v: Number, _) =>
         try Some(BigDecimal(stat).compare(BigDecimal(v.toString)))
         catch { case _: NumberFormatException => None }
@@ -669,6 +698,9 @@ final case class StagedAppend(fragments: Seq[Fragment], baseRowId: Long,
 
 object LakeDataset {
   val RowIdCol = "_rowid"
+
+  /** Default vacuum retention: 7 days, Delta VACUUM's model. */
+  val DefaultVacuumGraceMs: Long = 7L * 24 * 3600 * 1000
 
   private[lake] def physName(id: Int): String = s"f$id"
   private[lake] def fileName(rel: String): String =

@@ -119,9 +119,12 @@ object Ann {
   /** (assignments: vec_id → cluster, centroids: cluster → array<float>) */
   def trainIvf(e: DataFrame, iterations: Int = 2): (DataFrame, DataFrame) = {
     GraftFunctions.register(e.sparkSession)
-    // deterministic init: the NumClusters lowest vec_ids
+    // deterministic init: the NumClusters lowest vec_ids, numbered by rank
+    // (not monotonically_increasing_id, whose contiguity after limit() is an
+    // implementation accident)
     var centroids = e.orderBy("vec_id").limit(NumClusters)
-      .select(monotonically_increasing_id().cast("int").as("cluster"),
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("cluster"),
         col("embedding").as("centroid"))
     var assign: DataFrame = null
     (1 to iterations).foreach { _ =>
@@ -146,19 +149,38 @@ object Ann {
 
   // An IVF index is trained once and queried many times; memoize the
   // (assignments, centroids) pair per session+corpus — the in-session
-  // analogue of the persisted lake.VectorIndex.
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame)]
+  // analogue of the persisted lake.VectorIndex. Weak session keys so a
+  // closed session's plans/checkpoints aren't pinned; evictable via
+  // [[clearIvfCache]] so a long-lived session (the bench harness) can
+  // release the checkpoint blocks between queries.
+  private val ivfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]]())
+
+  /** Drop this session's memoized IVF index (its localCheckpoint blocks are
+    * released by the caller's persistent-RDD sweep — see
+    * [[graft.SessionHygiene.sweep]]). */
+  def clearIvfCache(s: SparkSession): Unit = {
+    val m = ivfCache.get(s)
+    if (m != null) m.clear()
+  }
 
   /** IVF top-k: per query, rank only vectors in the NProbe nearest
     * clusters. */
   val ivf = Q.noOracle("ann_ivf_topk") { (s, dir) =>
     val e = emb(s, dir)
-    val (assign, centroids) = ivfCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
-        val (a, c) = trainIvf(e)
-        (a.localCheckpoint(), c.localCheckpoint())
-      })
+    val perSession = {
+      var m = ivfCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+        ivfCache.put(s, m)
+      }
+      m
+    }
+    val (assign, centroids) = perSession.computeIfAbsent(dir, _ => {
+      val (a, c) = trainIvf(e)
+      (a.localCheckpoint(), c.localCheckpoint())
+    })
     val q = queries(e)
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d", call_function("l2_distance", col("qvec"), col("centroid")))

@@ -106,7 +106,8 @@ object Dedup {
     * and shuffling the corpus). */
   val exact = Q(
     "dedup_exact",
-    """SELECT count(*) AS n_groups, coalesce(sum(copies), 0) AS n_dup_docs
+    """SELECT count(*) AS n_groups,
+      |  CAST(coalesce(sum(copies), 0) AS BIGINT) AS n_dup_docs
       |FROM (SELECT count(*) AS copies FROM documents
       |      GROUP BY md5(text) HAVING count(*) > 1) g""".stripMargin) { (s, dir) =>
     docs(s, dir).groupBy(md5(col("text"))).agg(count(lit(1)).as("copies"))

@@ -61,8 +61,9 @@ object TextOps {
     """SELECT doc_id,
       |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))
       |    AS n_word_tokens,
-      |  (SELECT coalesce(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)), 0)
-      |   FROM unnest(string_split(text, ' ')) AS t(w)) AS n_subword_est
+      |  CAST((SELECT coalesce(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)), 0)
+      |   FROM unnest(string_split(text, ' ')) AS t(w)) AS BIGINT)
+      |    AS n_subword_est
       |FROM documents""".stripMargin) { (s, dir) =>
     docs(s, dir).select(col("doc_id"),
       size(regexp_extract_all(col("text"),

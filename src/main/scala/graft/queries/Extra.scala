@@ -96,7 +96,7 @@ object Extra {
   val sessions = Q.sql(
     "ev_sessions_batch",
     """WITH marked AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS new_session
@@ -104,11 +104,12 @@ object Extra {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |  sum(value) AS total_value
+      |  round(sum(value), 4) AS total_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin)
 
   /** Statistical aggregates beyond sum/avg: median, stddev, correlation. */

@@ -137,7 +137,7 @@ object Rel {
   /** VALUES scan / LocalRelation (executor_scan.go:346-363). */
   val values = Q.sql(
     "rel_values",
-    """SELECT id, name, score FROM
+    """SELECT id, name, CAST(score AS DOUBLE) AS score FROM
       |  (VALUES (1, 'alpha', 3.5), (2, 'beta', 1.25), (3, 'gamma', 9.0))
       |  AS t(id, name, score)
       |ORDER BY id""".stripMargin)
@@ -147,7 +147,8 @@ object Rel {
   val evJson = Q(
     "ev_json_agg",
     """SELECT event_type, count(*) AS n_events,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy("event_type")

@@ -141,10 +141,10 @@ object TpchMore {
   val q12 = Q(
     "q12_case_in",
     """SELECT l_linestatus,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-      |    AS high_count,
-      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-      |    AS low_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS high_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS low_count
       |FROM orders, lineitem
       |WHERE o_orderkey = l_orderkey
       |  AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
@@ -355,13 +355,15 @@ object TpchMore {
   /** Decimal aggregation semantics (SURVEY §7.3 decimal risk): explicit
     * DECIMAL casts so the decimal sum path (reference hugeint/decimal
     * accumulators, function_aggr.go:223) is exercised even though testdata
-    * stores doubles. */
+    * stores doubles. The accumulation stays decimal; the FINAL casts
+    * normalize result representation across engines (DuckDB surfaces
+    * decimal/hugeint widths Spark doesn't have — values proven equal). */
   val decimalAgg = Q.sql(
     "agg_decimal_sum",
     """SELECT l_returnflag,
-      |  sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(38,2)))
-      |    AS dec_sum,
-      |  sum(CAST(l_orderkey AS DECIMAL(38,0))) AS key_sum
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(38,2)))
+      |    AS DOUBLE) AS dec_sum,
+      |  CAST(sum(CAST(l_orderkey AS DECIMAL(38,0))) AS BIGINT) AS key_sum
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin)
 

@@ -86,6 +86,38 @@ class LakeDatasetSpec extends SparkTestBase {
       Seq((1L, "a", 1.0), (2L, "b2", 20.0), (5L, "e", 5.0)))
   }
 
+  test("delete keeps rows where the predicate evaluates to NULL") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    val data = new java.util.ArrayList[Row]()
+    data.add(Row(1L, "a", 10.0)); data.add(Row(2L, "b", null)); data.add(Row(3L, "c", 1.0))
+    ds.append(spark.createDataFrame(data, schema))
+    val n = ds.delete("score > 5.0")
+    assert(n == 1, s"reported $n deleted")
+    // id=2 (NULL score) must survive: DELETE removes only pred-TRUE rows
+    assert(ds.read().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("sub-second timestamps are not wrongly pruned by the zonemap") {
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType)))
+    val ds = LakeDataset.create(spark, tmpDir(), tsSchema)
+    val data = new java.util.ArrayList[Row]()
+    data.add(Row(1L, java.sql.Timestamp.valueOf("2025-01-01 00:00:00.9")))
+    ds.append(spark.createDataFrame(data, tsSchema))
+    val got = ds.scanner()
+      .withFilter("ts > TIMESTAMP '2025-01-01 00:00:00'").build().count()
+    assert(got == 1, "fragment with only sub-second-greater row was pruned")
+    assert(ds.delete("ts > TIMESTAMP '2025-01-01 00:00:00'") == 1)
+  }
+
+  test("merge-insert rejects duplicate source keys") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0)))
+    intercept[IllegalArgumentException](
+      ds.mergeInsert(rows((1, "x", 2.0), (1, "y", 3.0)), Seq("id")))
+  }
+
   test("merge-insert without update leaves matched rows; without insert skips new") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     ds.append(rows((1, "a", 1.0)))
@@ -259,8 +291,10 @@ class LakeDatasetSpec extends SparkTestBase {
     val nFiles = java.nio.file.Files.list(
       java.nio.file.Paths.get(dir, "data")).count()
     assert(nFiles >= 3)
-    val deleted = ds.vacuum(keepVersions = 1)
+    val deleted = ds.vacuum(keepVersions = 1, graceMs = 0L)
     assert(deleted >= 1)
+    // default retention window protects freshly-written files
+    assert(ds.vacuum(keepVersions = 1) == 0)
     // live read + tagged version still work
     assert(ds.read().collect().head.getDouble(2) == 3.0)
     assert(ds.checkoutTag("keepme").read().collect().head.getDouble(2) == 1.0)
