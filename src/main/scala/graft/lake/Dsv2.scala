@@ -1,0 +1,241 @@
+package graft.lake
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 integration for the lake: `spark.read.format("lake")`,
+  * `CREATE TEMPORARY VIEW ... USING lake OPTIONS (...)`, and
+  * `df.write.format("lake")` all route through the versioned manifest.
+  *
+  * This is the SQL-facing door the reference exposes through its sdk (the
+  * sdk surface is storage2's only user entry point, sdk/dataset.go:223-330);
+  * here the door is Spark's connector API instead of a bespoke client.
+  *
+  * Options:
+  *  - `path`        dataset root (also the `.load(path)` argument)
+  *  - `versionAsOf` pin the scan to a version (time travel)
+  *  - `tag`         pin the scan to a named tag
+  *
+  * Read path: DSv2 `ScanBuilder` with filter + column pushdown. Pushed
+  * filters prune whole fragments via the manifest zonemaps BEFORE any file
+  * is opened; the surviving fragments are then read through Spark's own
+  * vectorized parquet source (via the connector V1 read bridge, the same
+  * shape the built-in JDBC connector uses), so parquet row-group pruning
+  * and columnar decoding stay native. All filters are also reported back as
+  * residuals, keeping Spark's evaluation authoritative — zonemap pruning is
+  * a strict IO optimization and can never change results.
+  *
+  * Write path: `append` / `overwrite` save modes commit through
+  * [[LakeDataset]]'s optimistic manifest swap, so SQL writers and API
+  * writers share one commit protocol.
+  */
+final class LakeDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "lake"
+
+  // Writes may target a dataset that doesn't exist yet (created on first
+  // insert): Spark then passes the query schema instead of calling
+  // inferSchema on a missing dataset.
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "lake: 'path' option is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val ds = LakeDataset.open(spark, rootOf(options))
+    LakeDataset.logicalSchema(pinnedManifest(ds, options))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new LakeTable(rootOf(options), options, Option(schema))
+  }
+
+  private[lake] def pinnedManifest(ds: LakeDataset,
+      options: CaseInsensitiveStringMap): Manifest = {
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("tag")).map(t =>
+        ds.tags.getOrElse(t,
+          throw new IllegalArgumentException(s"lake: no tag '$t'"))))
+    v.map(ds.checkout(_).manifest).getOrElse(ds.manifest)
+  }
+}
+
+object LakeDataSource {
+  /** Last scan's (scannedFragments, totalFragments) per dataset root —
+    * test observability for pruning through the opaque DSv2 path (specs
+    * assert point lookups open fewer files than the full fragment list). */
+  private val scanStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]
+  private[lake] def recordScan(root: String, scanned: Int, total: Int): Unit =
+    scanStats.put(root, (scanned, total))
+  def lastScan(root: String): Option[(Int, Int)] = Option(scanStats.get(root))
+}
+
+private[lake] final class LakeTable(root: String,
+    options: CaseInsensitiveStringMap,
+    providedSchema: Option[StructType])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def pinned: Boolean =
+    options.containsKey("versionAsOf") || options.containsKey("tag")
+
+  override def name(): String = s"lake.`$root`"
+
+  // The manifest is authoritative once the dataset exists; the schema Spark
+  // passed in (the write query's) only describes a dataset about to be
+  // created on first insert.
+  override lazy val schema: StructType =
+    if (LakeDataset.exists(root)) {
+      val ds = LakeDataset.open(SparkSession.active, root)
+      LakeDataset.logicalSchema(
+        new LakeDataSource().pinnedManifest(ds, options))
+    } else providedSchema.getOrElse(
+      throw new IllegalArgumentException(s"lake: no dataset at $root"))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    // BATCH_WRITE admits the write at the DataFrameWriter gate;
+    // V1_BATCH_WRITE routes execution through the V1Write bridge.
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(root, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned, "lake: cannot write through a version-pinned table")
+    new LakeWriteBuilder(root)
+  }
+}
+
+private[lake] final class LakeScanBuilder(root: String,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var predicates: Seq[String] = Nil
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val translated = filters.flatMap(f => LakeFilters.toSql(f).map(f -> _))
+    pushed = translated.map(_._1)
+    predicates = translated.map(_._2).toSeq
+    // Everything stays a residual: Spark re-evaluates every filter after the
+    // scan, so fragment pruning is purely an IO win and never a semantics
+    // risk (mirrors how conservative zonemap pruning must behave).
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = new V1Scan {
+    private val spark = SparkSession.active
+    private val ds = LakeDataset.open(spark, root)
+    private val man = new LakeDataSource().pinnedManifest(ds, options)
+    private val outSchema = required.getOrElse(LakeDataset.logicalSchema(man))
+
+    override def readSchema(): StructType = outSchema
+
+    override def description(): String = {
+      val frags =
+        if (predicates.isEmpty) man.fragments
+        else ds.pruneFragments(man, predicates.mkString(" AND "))
+      s"lake v${man.version} [${frags.size}/${man.fragments.size} fragments," +
+        s" pushed: ${predicates.mkString(" AND ")}]"
+    }
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = outSchema
+        override def buildScan(): RDD[Row] = {
+          val frags =
+            if (predicates.isEmpty) man.fragments
+            else ds.pruneFragments(man, predicates.mkString(" AND "))
+          LakeDataSource.recordScan(root, frags.size, man.fragments.size)
+          var df: DataFrame = ds.readFragments(man, frags, withRowId = false)
+          // Re-apply pushed predicates inside the inner parquet scan too, so
+          // row groups within surviving fragments are skipped natively.
+          predicates.foreach(p => df = df.filter(expr(p)))
+          df.select(outSchema.fieldNames.map(col).toSeq: _*).rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+/** Translate connector pushdown filters to the lake predicate DSL (Spark SQL
+  * expression strings) for zonemap pruning. Unsupported shapes translate to
+  * None and simply don't prune. */
+private[lake] object LakeFilters {
+
+  private def lit(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some("'" + u.toString.replace("'", "''") + "'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case t: java.time.Instant =>
+      Some(s"TIMESTAMP '${java.sql.Timestamp.from(t)}'")
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case n: java.lang.Number => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  def toSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => lit(v).map(r => s"`$a` = $r")
+    case GreaterThan(a, v) => lit(v).map(r => s"`$a` > $r")
+    case GreaterThanOrEqual(a, v) => lit(v).map(r => s"`$a` >= $r")
+    case LessThan(a, v) => lit(v).map(r => s"`$a` < $r")
+    case LessThanOrEqual(a, v) => lit(v).map(r => s"`$a` <= $r")
+    case IsNull(a) => Some(s"`$a` IS NULL")
+    case IsNotNull(a) => Some(s"`$a` IS NOT NULL")
+    case And(l, r) =>
+      for { ls <- toSql(l); rs <- toSql(r) } yield s"($ls AND $rs)"
+    case _ => None
+  }
+}
+
+private[lake] final class LakeWriteBuilder(root: String)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+          val spark = data.sparkSession
+          val ds =
+            if (LakeDataset.exists(root)) LakeDataset.open(spark, root)
+            else LakeDataset.create(spark, root, data.schema)
+          if (overwrite) ds.overwrite(data) else ds.append(data)
+        }
+      }
+  }
+}

@@ -734,6 +734,13 @@ object LakeDataset {
     new LakeDataset(spark, path, m)
   }
 
+  /** True iff a dataset (≥1 committed manifest) exists at `path`. */
+  def exists(path: String): Boolean = {
+    val dir = Paths.get(path).resolve("_manifests")
+    Files.exists(dir) && Files.list(dir).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".json"))
+  }
+
   /** Open the latest version of an existing dataset. */
   def open(spark: SparkSession, path: String): LakeDataset =
     new LakeDataset(spark, path, loadLatest(Paths.get(path)))

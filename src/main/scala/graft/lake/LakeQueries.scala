@@ -45,5 +45,28 @@ object LakeQueries {
         "n_merge_matched", "n_merge_inserted", "rows_after_restore")
   }
 
-  def all: Seq[Q] = Seq(versionedCrud)
+  /** SQL reads a lake table through the DSv2 door (`USING lake`): seed a
+    * scratch dataset with the exact content of `nation`, then query it via
+    * `spark.sql`. The DuckDB oracle runs the same relational query against
+    * the original parquet — hash-equal iff the lake roundtrip (append →
+    * manifest → DSv2 scan with zonemap pruning) is lossless. */
+  val dsv2Read: Q = Q(
+    "lake_dsv2_read",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-dsv2-${UUID.randomUUID()}")
+      .toString
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.filter(col("n_nationkey") < 13).coalesce(1)
+      .write.format("lake").mode("append").save(root)
+    nation.filter(col("n_nationkey") >= 13).coalesce(1)
+      .write.format("lake").mode("append").save(root)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_nation
+             |USING lake OPTIONS (path '$root')""".stripMargin)
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey FROM lake_nation
+            |WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(versionedCrud, dsv2Read)
 }
