@@ -184,5 +184,36 @@ object Dedup {
     minhashDedup(docs(s, dir), 0.5)
   }
 
-  def all: Seq[Q] = Seq(exact, minhash, simhash, ngram, resolve)
+  /** Cluster resolution with a PORTABLE edge rule, so the whole
+    * pairs→clusters→keep/drop operator is oracle-checked end-to-end: edges
+    * connect docs sharing a 40-char text prefix (an equivalence relation →
+    * components are cliques, so bounded-iteration min-label propagation is
+    * exact), and DuckDB replays the label propagation as a recursive-CTE
+    * transitive closure. [[resolve]] runs the same operator on LSH pairs. */
+  val resolveSql = Q(
+    "dedup_resolve_sql",
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, substring(text, 1, 40) AS pfx FROM documents),
+      |edges AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id <> b.doc_id),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_a, doc_b FROM edges
+      |  UNION
+      |  SELECT reach.doc_id, e.doc_b FROM reach
+      |  JOIN edges e ON reach.r = e.doc_a
+      |  WHERE e.doc_b <> reach.doc_id)
+      |SELECT doc_id, least(doc_id, min(r)) AS label,
+      |  doc_id = least(doc_id, min(r)) AS keep
+      |FROM reach GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+    val a = d.select(col("doc_id").as("doc_a"), col("pfx"))
+    val b = d.select(col("doc_id").as("doc_b"), col("pfx"))
+    val pairs = a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    resolveClusters(pairs)
+  }
+
+  def all: Seq[Q] = Seq(exact, minhash, simhash, ngram, resolve, resolveSql)
 }

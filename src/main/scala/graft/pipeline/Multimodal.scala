@@ -6,63 +6,59 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads + typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB; everything Spark-side is real —
-  * schema (binary + metadata struct), typed Dataset, and the
-  * `mapPartitions` batch shape where a real decoder would amortize codec /
-  * model initialization once per partition (the Scala analogue of a
-  * `mapInPandas` batch UDF).
+  * The image path is REAL: payloads are genuine PNGs (synthesized
+  * deterministically per doc, since testdata has no binary column) and the
+  * decode extracts width/height/brightness from actual pixels via the JDK's
+  * `javax.imageio` codec inside a `mapPartitions` batch (one codec warm-up
+  * per partition — the Scala analogue of a `mapInPandas` batch UDF). Audio/
+  * video codecs don't ship in the JDK, so frame sampling demonstrates the
+  * explode-then-process shape over byte slices instead.
   */
 object Multimodal {
 
-  /** Extracted per-media features (what a decoder would emit). */
+  /** Extracted per-media features (what the decoder emits). */
   final case class MediaFeature(
       doc_id: Long,
       n_bytes: Int,
       width: Int,
       height: Int,
-      checksum: Long,
       brightness: Double)
 
-  /** STUB "decode": a real implementation would decode `payload` with an
-    * image codec. Deterministic fake: rolling checksum + derived stats. */
-  private def decodeStub(id: Long, payload: Array[Byte],
-      width: Int, height: Int): MediaFeature = {
-    var crc = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { crc = crc * 31 + (payload(i) & 0xff); i += 1 }
-    MediaFeature(id, payload.length, width, height, crc,
-      math.abs(crc % 1000) / 1000.0)
-  }
-
-  /** Binary payload + metadata → per-partition batched feature extraction.
-    * Payload is synthesized from text (no binary column in testdata); the
-    * pipeline downstream of the scan is exactly what real media takes. */
+  /** Per-doc media payload: a real PNG whose dims + pixels derive from
+    * doc_id, then a real decode back out of the bytes. */
   val decodeFeatures = Q.noOracle("mm_decode_features") { (s, dir) =>
     import s.implicits._
-    val media = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        encode(col("text"), "utf-8").as("payload"),
-        struct(
-          (pmod(col("doc_id"), lit(64)) * 8 + 64).cast("int").as("width"),
-          (pmod(col("doc_id"), lit(48)) * 8 + 48).cast("int").as("height"),
-          lit("fake/rgb8").as("format")).as("meta"))
-    media
-      .select(col("doc_id"), col("payload"),
-        col("meta.width"), col("meta.height"))
-      .as[(Long, Array[Byte], Int, Int)]
+        (pmod(col("doc_id"), lit(48)) * 2 + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(32)) * 2 + 12).cast("int").as("height"))
+      .as[(Long, Int, Int)]
       .mapPartitions { rows =>
-        // One decoder init per partition would go here (codec / model).
-        rows.map { case (id, bytes, w, h) => decodeStub(id, bytes, w, h) }
+        // codec init amortized once per partition (ImageIO scans plugins on
+        // first use); each row: encode payload PNG -> decode real stats
+        rows.map { case (id, w, h) =>
+          val png = Images.synthPng(id, w, h)
+          val (dw, dh, bright) = Images.decodeStats(png)
+          MediaFeature(id, png.length, dw, dh, math.rint(bright * 1e6) / 1e6)
+        }
       }
       .toDF()
   }
 
-  /** Video-style frame sampling: each media item expands to every Nth
+  /** Video-style frame sampling: each media item expands to every 4th
     * "frame" (deterministic pseudo-frame-count from metadata), each frame a
-    * row with its own byte-slice payload — the explode-then-process shape a
-    * real frame sampler produces. Narrow ops only (explode is per-row). */
-  val frameSample = Q.noOracle("mm_frame_sample") { (s, dir) =>
+    * row with its own byte-slice signature — the explode-then-process shape
+    * a real frame sampler produces. Narrow ops only (explode is per-row). */
+  val frameSample = Q(
+    "mm_frame_sample",
+    """SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+      |  substring(base64(encode(text)), 1, 16) AS frame_sig,
+      |  round(CAST(f.frame_idx AS DOUBLE) / greatest(n_frames - 1, 1), 6)
+      |    AS timestamp_frac
+      |FROM (SELECT doc_id, text, CAST(doc_id % 24 + 2 AS INT) AS n_frames
+      |      FROM documents) t,
+      |  unnest(generate_series(0, n_frames - 1, 4)) AS f(frame_idx)""".stripMargin
+  ) { (s, dir) =>
     val media = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         encode(col("text"), "utf-8").as("payload"),
@@ -71,21 +67,32 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
-        // stub "frame decode": a deterministic slice of the payload
+        // frame "decode": a deterministic slice of the payload bytes
         substring(base64(col("payload")), 1, 16).as("frame_sig"),
-        (col("frame_idx") / greatest(col("n_frames") - 1, lit(1)))
-          .as("timestamp_frac"))
+        round(col("frame_idx").cast("double") /
+          greatest(col("n_frames") - 1, lit(1)), 6).as("timestamp_frac"))
   }
 
-  /** Resize: recompute target dimensions preserving aspect ratio to fit a
-    * 224×224 budget (the ViT-style input), with the pixel resample itself a
-    * stub (deterministic fake checksum over payload + target dims). Pure
-    * per-row projection. */
-  val resize = Q.noOracle("mm_resize") { (s, dir) =>
+  /** Resize planning: target dimensions preserving aspect ratio to fit a
+    * 224×224 budget (the ViT-style input). Pure per-row integer/double
+    * arithmetic — oracle-checked; the pixel resample kernel itself
+    * ([[Images.resizePng]]) is real and pinned by MultimodalSpec. */
+  val resize = Q(
+    "mm_resize",
+    """SELECT doc_id, width, height,
+      |  round(scale, 6) AS scale,
+      |  CAST(floor(width * scale) AS INT) AS out_w,
+      |  CAST(floor(height * scale) AS INT) AS out_h
+      |FROM (
+      |  SELECT doc_id, width, height,
+      |    least(224.0 / width, 224.0 / height) AS scale
+      |  FROM (SELECT doc_id,
+      |          CAST((doc_id % 64) * 8 + 64 AS INT) AS width,
+      |          CAST((doc_id % 48) * 8 + 48 AS INT) AS height
+      |        FROM documents) t) s""".stripMargin) { (s, dir) =>
     val target = 224
     val media = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        encode(col("text"), "utf-8").as("payload"),
         (pmod(col("doc_id"), lit(64)) * 8 + 64).cast("int").as("width"),
         (pmod(col("doc_id"), lit(48)) * 8 + 48).cast("int").as("height"))
     media.select(

@@ -7,16 +7,43 @@ class MultimodalSpec extends SparkTestBase {
   test("decode pipeline emits one feature row per media item, deterministic") {
     val df = Multimodal.decodeFeatures.run(spark, sf0001)
     assert(df.columns.toSeq ==
-      Seq("doc_id", "n_bytes", "width", "height", "checksum", "brightness"))
+      Seq("doc_id", "n_bytes", "width", "height", "brightness"))
     val rows = df.collect()
     assert(rows.length == 500)
     assert(rows.forall(r => r.getInt(1) > 0))
+    // decoded dims must equal the metadata dims the PNG was synthesized at
     assert(rows.forall { r =>
-      val bright = r.getDouble(5)
+      val id = r.getLong(0)
+      r.getInt(2) == (id % 48) * 2 + 16 && r.getInt(3) == (id % 32) * 2 + 12
+    })
+    assert(rows.forall { r =>
+      val bright = r.getDouble(4)
       bright >= 0.0 && bright < 1.0
     })
     val again = Multimodal.decodeFeatures.run(spark, sf0001).collect()
     assert(rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq ==
       again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq)
+  }
+
+  test("decode extracts exact dims and brightness from real pixels") {
+    // constant color (60, 120, 240): brightness = (60+120+240)/3/255
+    val png = Images.constPng(10, 8, 60, 120, 240)
+    val (w, h, bright) = Images.decodeStats(png)
+    assert(w == 10 && h == 8)
+    assert(math.abs(bright - (60 + 120 + 240) / (3.0 * 255.0)) < 1e-12)
+    // PNG round-trip is lossless: synth -> decode -> re-encode -> same stats
+    val png2 = Images.synthPng(42L, 33, 17)
+    val s1 = Images.decodeStats(png2)
+    val s2 = Images.decodeStats(Images.toPng(Images.fromPng(png2)))
+    assert(s1 == s2)
+  }
+
+  test("real resize kernel: output dims exact, constant image preserved") {
+    val png = Images.constPng(64, 48, 200, 100, 50)
+    val out = Images.resizePng(png, 32, 24)
+    val (w, h, bright) = Images.decodeStats(out)
+    assert(w == 32 && h == 24)
+    // bilinear resample of a constant image is the same constant
+    assert(math.abs(bright - (200 + 100 + 50) / (3.0 * 255.0)) < 1e-12)
   }
 }
