@@ -191,7 +191,9 @@ object GraftFunctions {
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
     "kmv_distinct" -> (es =>
-      KmvDistinct(es.head).toAggregateExpression()))
+      KmvDistinct(es.head).toAggregateExpression()),
+    "bloom_agg" -> (es =>
+      BloomAgg(es(0), es(1), es(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

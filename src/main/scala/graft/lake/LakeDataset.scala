@@ -380,6 +380,67 @@ final class LakeDataset private (
     checkout(tags.getOrElse(name,
       throw new IllegalArgumentException(s"no tag $name")))
 
+  // ------------------------------------------------------- secondary index
+
+  /** Build per-fragment bloom filters on `cols` (high-cardinality point-
+    * lookup columns) and declare them in the manifest; every future
+    * append/rewrite stages blooms for its new fragments automatically.
+    * One distributed job for all existing fragments (bloom state is a
+    * mergeable bit array — map-side partials, OR-merge). Sidecar files live
+    * under `_indexes/bloom/`, keeping manifests metadata-sized.
+    * (Reference: bloomfilter_index.go; consulted by the equality arm of
+    * [[pruneFragments]] per index_selector.go:36-170.) */
+  def enableBloomIndex(cols: Seq[String], bitsPerRow: Int = 10,
+      numHashes: Int = 5): Unit = {
+    val fields = cols.map(c => m.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"no column $c")))
+    val maxRows = (m.fragments.map(_.rowCount) :+ 4096L).max
+    val numBits = bitsPerRow * maxRows
+    val next = m.copy(bloomFields = fields.map(_.id),
+      bloomNumBits = numBits, bloomNumHashes = numHashes)
+    val updatedFrags =
+      if (m.fragments.isEmpty) m.fragments
+      else {
+        val byFile = buildBlooms(next, m.fragments)
+        m.fragments.map(f => f.copy(blooms = byFile.getOrElse(f.id, Map.empty)))
+      }
+    commit(next.copy(
+      version = m.version + 1,
+      fragments = updatedFrags,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"create_bloom_index(${cols.mkString(",")})"))
+  }
+
+  /** One job: per (fragment, bloom field) serialized bloom → sidecar file.
+    * Returns fragmentId → (fieldId → sidecar relative path). */
+  private def buildBlooms(man: Manifest,
+      frags: Seq[Fragment]): Map[Long, Map[String, String]] = {
+    if (man.bloomFields.isEmpty || frags.isEmpty) return Map.empty
+    graft.functions.GraftFunctions.register(spark)
+    Files.createDirectories(bloomDir)
+    val phys = physicalSchema(man)
+    val aggCols = man.bloomFields.map { fid =>
+      call_function("bloom_agg", xxhash64(col(physName(fid))),
+        lit(man.bloomNumBits), lit(man.bloomNumHashes)).as(s"_bloom_$fid")
+    }
+    val rows = spark.read.schema(phys)
+      .parquet(frags.map(f => rootPath.resolve(f.file).toString): _*)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    frags.flatMap { f =>
+      rows.find(_.getString(0).endsWith(fileName(f.file))).map { r =>
+        f.id -> man.bloomFields.map { fid =>
+          val bytes = r.getAs[Array[Byte]](s"_bloom_$fid")
+          val name = s"bloom-${f.id}-f$fid.bin"
+          Files.write(bloomDir.resolve(name), bytes)
+          fid.toString -> s"_indexes/bloom/$name"
+        }.toMap
+      }
+    }.toMap
+  }
+
   // ------------------------------------------------------------ compaction
 
   /** OPTIMIZE-style rewrite: merge fragments smaller than `targetRows` into
@@ -431,6 +492,17 @@ final class LakeDataset private (
         deleted += 1
       }
     }
+    // drop unreferenced bloom sidecars older than the grace window
+    if (Files.exists(bloomDir)) {
+      val refBlooms = keptManifests
+        .flatMap(_.fragments.flatMap(_.blooms.values)).map(fileName).toSet
+      Files.list(bloomDir).iterator().asScala.toSeq.foreach { p =>
+        val n = p.getFileName.toString
+        if (!refBlooms(n) && oldEnough(p)) {
+          Files.deleteIfExists(p); deleted += 1
+        }
+      }
+    }
     // drop unretained manifests
     all.filterNot(keep).foreach { v =>
       Files.deleteIfExists(manifestsDir.resolve(Manifest.versionFileName(v)))
@@ -444,6 +516,17 @@ final class LakeDataset private (
   private def manifestsDir: Path = rootPath.resolve("_manifests")
   private def tagsDir: Path = rootPath.resolve("_refs").resolve("tags")
   private def dataDir: Path = rootPath.resolve("data")
+  private def bloomDir: Path =
+    rootPath.resolve("_indexes").resolve("bloom")
+
+  // Bloom sidecars are immutable once written; cache deserialized filters
+  // per handle so repeated point-lookup planning doesn't re-read files.
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.BloomFilter]
+  private def loadBloom(rel: String): graft.functions.BloomFilter =
+    bloomCache.computeIfAbsent(rel, r =>
+      graft.functions.BloomFilter.deserialize(
+        Files.readAllBytes(rootPath.resolve(r))))
 
   /** Commit a copy-on-write rewrite (delete/update/compact): replace
     * `touchedIds` with `newFrags`. On a concurrent-commit conflict the
@@ -555,7 +638,8 @@ final class LakeDataset private (
         stats(a).forall(s => (for {
           mn <- s.min; mx <- s.max
           c1 <- cmp(mn, l); c2 <- cmp(mx, l)
-        } yield c1 <= 0 && c2 >= 0).getOrElse(true))
+        } yield c1 <= 0 && c2 >= 0).getOrElse(true)) &&
+          bloomMayContain(frag, byName, a, l)
       case GreaterThan(a, l: Literal) =>
         stats(a).forall(s =>
           (for { mx <- s.max; c2 <- cmp(mx, l) } yield c2 > 0).getOrElse(true))
@@ -570,6 +654,34 @@ final class LakeDataset private (
           (for { mn <- s.min; c1 <- cmp(mn, l) } yield c1 <= 0).getOrElse(true))
       case _ => true // unsupported shape: never prune on it
     }
+  }
+
+  /** Equality-predicate bloom probe (the index-selector rule: equality →
+    * bloom, ranges → zonemaps). The literal is cast to the FIELD's type and
+    * hashed exactly as the build job hashed column values (xxhash64 seed
+    * 42), so probe and index agree bit-for-bit. Conservative: any missing
+    * piece keeps the fragment. */
+  private def bloomMayContain(frag: Fragment, byName: Map[String, FieldDef],
+      attr: CExpr, l: Literal): Boolean = attr match {
+    case UnresolvedAttribute(parts) =>
+      (for {
+        f <- byName.get(parts.mkString("."))
+        rel <- frag.blooms.get(f.id.toString)
+      } yield {
+        val dt = DataType.fromJson(f.dataType)
+        val casted =
+          try org.apache.spark.sql.catalyst.expressions.Cast(
+            l, dt, Some(spark.sessionState.conf.sessionLocalTimeZone))
+            .eval(null)
+          catch { case _: RuntimeException => null }
+        if (casted == null) true
+        else {
+          val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(Literal(casted, dt))).eval(null).asInstanceOf[Long]
+          loadBloom(rel).mightContain(h)
+        }
+      }).getOrElse(true)
+    case _ => true
   }
 
   /** (fragment, matchedRowCount) for fragments with ≥1 predicate match —
@@ -646,13 +758,21 @@ final class LakeDataset private (
     if (moved.isEmpty) return (Nil, man.nextRowId - 1)
 
     val phys = physicalSchema(man)
+    if (man.bloomFields.nonEmpty) {
+      graft.functions.GraftFunctions.register(spark)
+      Files.createDirectories(bloomDir)
+    }
+    val bloomAggs = man.bloomFields.map { fid =>
+      call_function("bloom_agg", xxhash64(col(physName(fid))),
+        lit(man.bloomNumBits), lit(man.bloomNumHashes)).as(s"_bloom_$fid")
+    }
     val aggs = count(lit(1)).as("_cnt") +: max(col(RowIdCol)).as("_maxrid") +:
-      man.fields.flatMap { f =>
+      (man.fields.flatMap { f =>
         val p = physName(f.id)
         Seq(min(col(p)).cast("string").as(s"_min_${f.id}"),
           max(col(p)).cast("string").as(s"_max_${f.id}"),
           sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.id}"))
-      }
+      } ++ bloomAggs)
     val statRows = spark.read.schema(phys)
       .parquet(moved.map(n => dataDir.resolve(n).toString): _*)
       .groupBy(input_file_name().as("_file"))
@@ -670,7 +790,14 @@ final class LakeDataset private (
           val mx = Option(r.getAs[String](s"_max_${f.id}"))
           f.id.toString -> ColumnStats(mn, mx, r.getAs[Long](s"_nulls_${f.id}"))
         }.toMap
-        Fragment(fragId, s"data/$name", r.getLong(r.fieldIndex("_cnt")), stats)
+        val blooms = man.bloomFields.map { fid =>
+          val sidecar = s"bloom-$fragId-f$fid-${UUID.randomUUID()}.bin"
+          Files.write(bloomDir.resolve(sidecar),
+            r.getAs[Array[Byte]](s"_bloom_$fid"))
+          fid.toString -> s"_indexes/bloom/$sidecar"
+        }.toMap
+        Fragment(fragId, s"data/$name", r.getLong(r.fieldIndex("_cnt")), stats,
+          blooms)
       }
     }
     (frags, maxRid)

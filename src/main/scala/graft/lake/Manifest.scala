@@ -24,9 +24,11 @@ final case class ColumnStats(min: Option[String], max: Option[String],
 
 /** One immutable data fragment (single parquet file) + its zonemap stats
   * (fragment min/max pruning ≈ storage2 zonemap_index.go:18-210). Stats are
-  * keyed by field id. */
+  * keyed by field id. `blooms` maps field id → sidecar bloom-filter file
+  * (relative path) for fields with a bloom index (bloomfilter_index.go). */
 final case class Fragment(id: Long, file: String, rowCount: Long,
-    stats: Map[String, ColumnStats])
+    stats: Map[String, ColumnStats],
+    blooms: Map[String, String] = Map.empty)
 
 /** Logical field: stable id, current name, Catalyst DataType JSON. */
 final case class FieldDef(id: Int, name: String, dataType: String,
@@ -43,7 +45,13 @@ final case class Manifest(
     nextRowId: Long,
     parentVersion: Option[Long],
     createdMs: Long,
-    operation: String)
+    operation: String,
+    /** Field ids with a bloom index; new fragments get blooms built at
+      * stage time (index_selector.go: equality predicates consult blooms,
+      * ranges stay on zonemaps). */
+    bloomFields: Seq[Int] = Nil,
+    bloomNumBits: Long = 0L,
+    bloomNumHashes: Int = 5)
 
 object Manifest {
   implicit val formats: Formats = DefaultFormats
