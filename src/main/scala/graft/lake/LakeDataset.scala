@@ -321,6 +321,38 @@ final class LakeDataset private (
       operation = "drop_columns"))
   }
 
+  /** Widen a column's type: metadata-only commit (reference AlterColumns
+    * with type change, sdk/dataset.go:623-965). Old fragments keep their
+    * physical type and are widened on read by Spark's parquet vectorized
+    * reader (int→long, int→double, float→double are the reader-supported
+    * promotions); new fragments are written at the widened type. Blooms on
+    * the widened field are dropped (the hash of a value differs across
+    * physical types — keeping them would cause false-negative pruning);
+    * re-run [[enableBloomIndex]] to rebuild at the new type. */
+  def alterColumnType(name: String, to: DataType): Unit = {
+    val f = m.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val from = DataType.fromJson(f.dataType)
+    val ok = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => from == to
+    }
+    require(ok, s"unsupported type change $from -> $to (widening only)")
+    if (from == to) return
+    commit(m.copy(
+      version = m.version + 1,
+      fields = m.fields.map(x =>
+        if (x.id == f.id) x.copy(dataType = to.json) else x),
+      fragments = m.fragments.map(fr =>
+        fr.copy(blooms = fr.blooms - f.id.toString)),
+      bloomFields = m.bloomFields.filterNot(_ == f.id),
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"alter_column_type($name)"))
+  }
+
   /** Rename a column: metadata-only (physical name is the field id). */
   def renameColumn(from: String, to: String): Unit = {
     require(m.fields.exists(_.name == from), s"no column $from")
@@ -347,6 +379,38 @@ final class LakeDataset private (
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
       operation = s"restore($v)"))
+  }
+
+  /** Shallow clone (reference ShallowClone, sdk/dataset.go:623-965): a new
+    * dataset whose v1 manifest references THIS dataset's fragment files
+    * (absolute paths) without copying data. The clone then diverges freely —
+    * its writes stage into its own data dir, and its copy-on-write rewrites
+    * replace references to source files with clone-local ones. The clone's
+    * vacuum only ever touches its own data dir, so source files are safe
+    * from the clone; like Delta shallow clones, vacuuming the SOURCE can
+    * break clones that still reference its files. */
+  def shallowClone(targetPath: String): LakeDataset = {
+    val target = Paths.get(targetPath)
+    val manifests = target.resolve("_manifests")
+    require(!Files.exists(manifests) ||
+      !Files.list(manifests).iterator().hasNext,
+      s"dataset exists at $targetPath")
+    Files.createDirectories(manifests)
+    Files.createDirectories(target.resolve("data"))
+    Files.createDirectories(target.resolve("_refs").resolve("tags"))
+    val abs = rootPath.toAbsolutePath
+    val frags = m.fragments.map(f => f.copy(
+      file = abs.resolve(f.file).toString,
+      blooms = f.blooms.map { case (k, v) => k -> abs.resolve(v).toString }))
+    val cm = m.copy(
+      version = 1,
+      fragments = frags,
+      parentVersion = None,
+      createdMs = System.currentTimeMillis(),
+      operation = s"shallow_clone($root@${m.version})")
+    Files.writeString(
+      manifests.resolve(Manifest.versionFileName(1)), Manifest.toJson(cm))
+    new LakeDataset(spark, targetPath, cm)
   }
 
   def createTag(name: String, v: Long = version): Unit = {

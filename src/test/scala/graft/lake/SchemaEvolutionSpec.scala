@@ -1,0 +1,108 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Type widening + shallow clone (reference AlterColumns/ShallowClone,
+  * sdk/dataset.go:623-965). */
+class SchemaEvolutionSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("lake-evo-").toString
+
+  test("widen int->long: old fragments read widened, new write long") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", FloatType)))
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    val d1 = new java.util.ArrayList[Row]()
+    d1.add(Row(1, 1.5f)); d1.add(Row(2, 2.5f))
+    ds.append(spark.createDataFrame(d1, schema).coalesce(1))
+
+    ds.alterColumnType("id", LongType)
+    ds.alterColumnType("v", DoubleType)
+    assert(ds.schema("id").dataType == LongType)
+    assert(ds.schema("v").dataType == DoubleType)
+
+    // old fragment reads at the widened type
+    val old = ds.read().orderBy("id").collect()
+    assert(old.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(old.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+
+    // new append stores values only a long can hold; both cohorts coexist
+    val wide = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType)))
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(1L << 40, 9.25))
+    ds.append(spark.createDataFrame(d2, wide).coalesce(1))
+    val all = ds.read().orderBy("id").collect()
+    assert(all.map(_.getLong(0)).toSeq == Seq(1L, 2L, 1L << 40))
+    // copy-on-write across cohorts still works
+    assert(ds.delete("id = 2") == 1)
+    assert(ds.read().count() == 2)
+  }
+
+  test("non-widening type changes are rejected") {
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    intercept[IllegalArgumentException](ds.alterColumnType("id", IntegerType))
+    intercept[IllegalArgumentException](ds.alterColumnType("id", DoubleType))
+    intercept[IllegalArgumentException](ds.alterColumnType("nope", LongType))
+  }
+
+  test("widening drops blooms on the widened field (hash domain changes)") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType)))
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    val d = new java.util.ArrayList[Row]()
+    (0 until 100).foreach(i => d.add(Row(i, s"n$i")))
+    ds.append(spark.createDataFrame(d, schema).coalesce(1))
+    ds.enableBloomIndex(Seq("id", "name"))
+    assert(ds.manifest.fragments.head.blooms.size == 2)
+    ds.alterColumnType("id", LongType)
+    // id bloom dropped (stale hashes would false-negative), name bloom kept
+    assert(ds.manifest.fragments.head.blooms.keySet == Set("2"))
+    assert(ds.manifest.bloomFields == Seq(2))
+    // correctness preserved: equality scan finds the row without the bloom
+    assert(ds.scanner().withFilter("id = 42").build().count() == 1)
+  }
+
+  test("shallow clone: zero-copy, then diverges independently") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val srcRoot = tmpDir()
+    val src = LakeDataset.create(spark, srcRoot, schema)
+    val d = new java.util.ArrayList[Row]()
+    d.add(Row(1L, "a")); d.add(Row(2L, "b"))
+    src.append(spark.createDataFrame(d, schema).coalesce(1))
+
+    val cloneRoot = tmpDir()
+    val clone = src.shallowClone(cloneRoot)
+    // no data files copied
+    assert(Files.list(java.nio.file.Paths.get(cloneRoot, "data")).count() == 0)
+    assert(clone.read().count() == 2)
+
+    // clone diverges: delete + append there only
+    assert(clone.delete("id = 1") == 1)
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(9L, "z"))
+    clone.append(spark.createDataFrame(d2, schema).coalesce(1))
+    assert(clone.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 9L))
+    // source untouched
+    assert(src.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+    assert(src.version == 2)
+
+    // clone's vacuum never reaches into the source
+    clone.vacuum(keepVersions = 1, graceMs = 0L)
+    assert(src.read().count() == 2)
+    assert(clone.read().count() == 2)
+  }
+}
