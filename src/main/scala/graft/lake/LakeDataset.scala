@@ -97,10 +97,10 @@ final class LakeDataset private (
 
   // --------------------------------------------------------------- writes
 
-  /** Append rows; auto-rebases on concurrent commits (append never
-    * semantically conflicts — reference conflict matrix allows
-    * append+append). */
-  def append(df: DataFrame): Unit = withAppendRetry(3) {
+  /** Append rows; auto-rebases on concurrent commits the conflict matrix
+    * allows (append coexists with append/delete/update/rewrite/index;
+    * a committed overwrite/restore/merge/schema-op conflicts). */
+  def append(df: DataFrame): Unit = withOpRetry(OpKind.Append, 5) {
     val base = m.nextRowId
     val (frags, maxRid) =
       stageFragments(toPhysical(df, m)
@@ -131,7 +131,7 @@ final class LakeDataset private (
   /** Commit a staged append (rebases like [[append]], but staged files
     * carry their rowids already — if a concurrent commit claimed the same
     * rowid range, the conflict is surfaced instead of silently colliding). */
-  def commitStaged(staged: StagedAppend): Unit = withAppendRetry(3) {
+  def commitStaged(staged: StagedAppend): Unit = withOpRetry(OpKind.Append, 5) {
     if (m.nextRowId > staged.baseRowId)
       throw new CommitConflictException(
         s"rowid range from ${staged.baseRowId} was claimed concurrently; re-stage")
@@ -147,8 +147,10 @@ final class LakeDataset private (
       operation = "append_detached"))
   }
 
-  /** Replace all data with `df` in one commit. */
-  def overwrite(df: DataFrame): Unit = {
+  /** Replace all data with `df` in one commit. Overwrite depends on no
+    * prior state, so it rebases over any concurrent commit (matrix row:
+    * all compatible). */
+  def overwrite(df: DataFrame): Unit = withOpRetry(OpKind.Overwrite, 5) {
     val base = m.nextRowId
     val (frags, maxRid) =
       stageFragments(toPhysical(df, m)
@@ -181,7 +183,7 @@ final class LakeDataset private (
     val remaining = readFragments(m, touched.map(_._1), withRowId = true)
       .filter(!coalesce(pred, lit(false)))
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(remaining, m), m)
-    commitRewrite(touchedIds, frags, "delete")
+    commitRewrite(OpKind.DeleteUpdate, touchedIds, frags, "delete")
     touched.map(_._2).sum
   }
 
@@ -202,7 +204,7 @@ final class LakeDataset private (
         df.withColumn(c, when(pred, expr(e)).otherwise(col(c)))
     }
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(rewritten, m), m)
-    commitRewrite(touchedIds, frags, "update")
+    commitRewrite(OpKind.DeleteUpdate, touchedIds, frags, "update")
     touched.map(_._2).sum
   }
 
@@ -278,14 +280,8 @@ final class LakeDataset private (
       }
     }
     if (newFrags.isEmpty && matched == 0) return (0L, 0L)
-    commit(m.copy(
-      version = m.version + 1,
-      fragments = untouched ++ newFrags,
-      maxFragmentId = maxFragId,
-      nextRowId = nextRid,
-      parentVersion = Some(m.version),
-      createdMs = System.currentTimeMillis(),
-      operation = "merge"))
+    commitRewrite(OpKind.Merge, touchedIds, newFrags, "merge",
+      nextRowIdOpt = Some(nextRid))
     (matched, inserted)
   }
 
@@ -293,7 +289,8 @@ final class LakeDataset private (
 
   /** Add null-filled columns: metadata-only commit (field-id mapping means
     * old fragments simply lack the physical column → read as NULL). */
-  def addColumns(newCols: StructType): Unit = {
+  def addColumns(newCols: StructType): Unit =
+      withOpRetry(OpKind.Project, 5) {
     val existing = m.fields.map(_.name).toSet
     require(newCols.fields.forall(f => !existing(f.name)), "column exists")
     val added = newCols.fields.zipWithIndex.map { case (sf, i) =>
@@ -309,7 +306,8 @@ final class LakeDataset private (
   }
 
   /** Drop columns: metadata-only (data stays in old fragments, unread). */
-  def dropColumns(names: Seq[String]): Unit = {
+  def dropColumns(names: Seq[String]): Unit =
+      withOpRetry(OpKind.Project, 5) {
     val keep = m.fields.filterNot(f => names.contains(f.name))
     require(keep.size + names.size == m.fields.size, "unknown column")
     require(keep.nonEmpty, "cannot drop all columns")
@@ -329,7 +327,8 @@ final class LakeDataset private (
     * the widened field are dropped (the hash of a value differs across
     * physical types — keeping them would cause false-negative pruning);
     * re-run [[enableBloomIndex]] to rebuild at the new type. */
-  def alterColumnType(name: String, to: DataType): Unit = {
+  def alterColumnType(name: String, to: DataType): Unit =
+      withOpRetry(OpKind.Project, 5) {
     val f = m.fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val from = DataType.fromJson(f.dataType)
@@ -354,7 +353,8 @@ final class LakeDataset private (
   }
 
   /** Rename a column: metadata-only (physical name is the field id). */
-  def renameColumn(from: String, to: String): Unit = {
+  def renameColumn(from: String, to: String): Unit =
+      withOpRetry(OpKind.Project, 5) {
     require(m.fields.exists(_.name == from), s"no column $from")
     require(!m.fields.exists(_.name == to), s"column $to exists")
     commit(m.copy(
@@ -369,7 +369,7 @@ final class LakeDataset private (
 
   /** Restore: new commit whose content is an old version's (refs.go model —
     * history is preserved; restore is itself a version). */
-  def restore(v: Long): Unit = {
+  def restore(v: Long): Unit = withOpRetry(OpKind.Overwrite, 5) {
     val old = loadVersion(rootPath, v)
     commit(m.copy(
       version = m.version + 1,
@@ -455,7 +455,7 @@ final class LakeDataset private (
     * (Reference: bloomfilter_index.go; consulted by the equality arm of
     * [[pruneFragments]] per index_selector.go:36-170.) */
   def enableBloomIndex(cols: Seq[String], bitsPerRow: Int = 10,
-      numHashes: Int = 5): Unit = {
+      numHashes: Int = 5): Unit = withOpRetry(OpKind.CreateIndex, 5) {
     val fields = cols.map(c => m.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(s"no column $c")))
     val maxRows = (m.fragments.map(_.rowCount) :+ 4096L).max
@@ -466,7 +466,9 @@ final class LakeDataset private (
       if (m.fragments.isEmpty) m.fragments
       else {
         val byFile = buildBlooms(next, m.fragments)
-        m.fragments.map(f => f.copy(blooms = byFile.getOrElse(f.id, Map.empty)))
+        // merge: keep blooms already present on other fields
+        m.fragments.map(f =>
+          f.copy(blooms = f.blooms ++ byFile.getOrElse(f.id, Map.empty)))
       }
     commit(next.copy(
       version = m.version + 1,
@@ -497,7 +499,7 @@ final class LakeDataset private (
       rows.find(_.getString(0).endsWith(fileName(f.file))).map { r =>
         f.id -> man.bloomFields.map { fid =>
           val bytes = r.getAs[Array[Byte]](s"_bloom_$fid")
-          val name = s"bloom-${f.id}-f$fid.bin"
+          val name = s"bloom-${f.id}-f$fid-${UUID.randomUUID()}.bin"
           Files.write(bloomDir.resolve(name), bytes)
           fid.toString -> s"_indexes/bloom/$name"
         }.toMap
@@ -518,7 +520,7 @@ final class LakeDataset private (
       (if (total % targetRows > 0) 1 else 0))
     val merged = readFragments(m, small, withRowId = true).repartition(parts)
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(merged, m), m)
-    commitRewrite(smallIds, frags, "compact")
+    commitRewrite(OpKind.Rewrite, smallIds, frags, "compact")
   }
 
   /** Garbage-collect data files referenced by no retained manifest: keep the
@@ -592,15 +594,17 @@ final class LakeDataset private (
       graft.functions.BloomFilter.deserialize(
         Files.readAllBytes(rootPath.resolve(r))))
 
-  /** Commit a copy-on-write rewrite (delete/update/compact): replace
-    * `touchedIds` with `newFrags`. On a concurrent-commit conflict the
-    * reference conflict matrix (conflict.go:33-360) allows rewrite+append
-    * to coexist when they touch disjoint fragments: rebase onto the winner
-    * iff every touched fragment is still present unchanged there (the
-    * winner only appended / rewrote OTHER fragments); otherwise surface the
-    * conflict. */
-  private def commitRewrite(touchedIds: Set[Long], newFrags0: Seq[Fragment],
-      op: String, attempts: Int = 3): Unit = {
+  /** Commit a copy-on-write rewrite (delete/update/compact/merge): replace
+    * `touchedIds` with `newFrags`. On a concurrent-commit conflict, every
+    * intervening committed txn is checked against the conflict matrix
+    * (conflict.go:33-360): delete/update/rewrite pairs conflict only when
+    * their touched fragment sets overlap; merge tolerates only disjoint
+    * rewrites; schema ops, overwrite and restore always conflict with an
+    * in-flight rewrite. Compatible winners → rebase (recompute untouched
+    * from the winner, renumber new fragment ids) and retry. */
+  private def commitRewrite(kind: OpKind.Value, touchedIds: Set[Long],
+      newFrags0: Seq[Fragment], op: String, nextRowIdOpt: Option[Long] = None,
+      attempts: Int = 5): Unit = {
     var left = attempts
     var newFrags = newFrags0
     while (true) {
@@ -611,17 +615,23 @@ final class LakeDataset private (
           fragments = untouched ++ newFrags,
           maxFragmentId = math.max(m.maxFragmentId,
             (0L +: newFrags.map(_.id)).max),
+          nextRowId = nextRowIdOpt.getOrElse(m.nextRowId),
           parentVersion = Some(m.version),
           createdMs = System.currentTimeMillis(),
-          operation = op))
+          operation = op,
+          touchedFragmentIds = touchedIds.toSeq.sorted))
         return
       } catch {
         case e: CommitConflictException =>
           left -= 1
           if (left == 0) throw e
+          val base = m.version
           refresh()
+          checkIntervening(base, kind, touchedIds)
+          // defensive invariant: compatible winners must have left our
+          // touched fragments in place
           val winnerIds = m.fragments.map(_.id).toSet
-          if (!touchedIds.subsetOf(winnerIds)) throw e // semantic conflict
+          if (!touchedIds.subsetOf(winnerIds)) throw e
           // avoid fragment-id collisions with the winner's new fragments
           var nid = m.maxFragmentId
           newFrags = newFrags.map { f => nid += 1; f.copy(id = nid) }
@@ -629,18 +639,39 @@ final class LakeDataset private (
     }
   }
 
-  private def withAppendRetry(attempts: Int)(body: => Unit): Unit = {
+  /** Retry loop for ops whose body recomputes everything from the current
+    * manifest (append re-stages to claim fresh rowids; schema ops re-derive
+    * and re-validate their field transforms; overwrite just re-bases the
+    * version number). Before each retry, every intervening committed
+    * operation is checked against the conflict matrix — incompatible
+    * winners surface as [[CommitConflictException]] instead of a blind
+    * rebase. */
+  private def withOpRetry(kind: OpKind.Value, attempts: Int,
+      touched: Set[Long] = Set.empty)(body: => Unit): Unit = {
     var left = attempts
     while (true) {
+      val base = m.version
       try { body; return }
       catch {
         case e: CommitConflictException =>
           left -= 1
           if (left == 0) throw e
-          refresh() // rebase on the winner and retry
+          refresh()
+          checkIntervening(base, kind, touched) // throws on matrix conflict
       }
     }
   }
+
+  /** Matrix-check every committed txn in (base, current]. */
+  private def checkIntervening(base: Long, kind: OpKind.Value,
+      touched: Set[Long]): Unit =
+    (base + 1 to m.version).foreach { v =>
+      val w = loadVersion(rootPath, v)
+      if (conflicts(kind, touched, kindOf(w.operation),
+          w.touchedFragmentIds.toSet))
+        throw new CommitConflictException(
+          s"$kind conflicts with committed '${w.operation}' (v$v)")
+    }
 
   /** Fragments whose [min,max] stats may satisfy the predicate (zonemap
     * skipping; conservative — unknown shapes keep the fragment). */
@@ -889,6 +920,71 @@ final case class StagedAppend(fragments: Seq[Fragment], baseRowId: Long,
 
 object LakeDataset {
   val RowIdCol = "_rowid"
+
+  /** Operation kinds for the optimistic-commit conflict matrix (the
+    * Lance-style matrix the reference implements, conflict.go:33-360).
+    * Project = schema-shape ops (add/drop/rename/alter columns). */
+  private[lake] object OpKind extends Enumeration {
+    val Append, DeleteUpdate, Rewrite, Merge, Overwrite, CreateIndex,
+      Project = Value
+  }
+
+  private[lake] def kindOf(operation: String): OpKind.Value =
+    operation.takeWhile(_ != '(') match {
+      case "append" | "append_detached" | "create" => OpKind.Append
+      case "delete" | "update" => OpKind.DeleteUpdate
+      case "compact" => OpKind.Rewrite
+      case "merge" => OpKind.Merge
+      case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
+      case "add_columns" | "drop_columns" | "rename_column" |
+          "alter_column_type" => OpKind.Project
+      case "create_bloom_index" => OpKind.CreateIndex
+      case _ => OpKind.Merge // unknown: strictest row
+    }
+
+  /** True iff `my` (in-flight, touching `myTouched` fragments) conflicts
+    * with the already-committed `other`. Rows = current op, columns =
+    * committed op; the Delete/Update–Rewrite cells conflict only on
+    * touched-fragment overlap (conflict.go deleteDeleteConflict/
+    * deleteRewriteConflict/rewriteRewriteConflict). Merge-vs-rewrite is
+    * additionally refined by fragment overlap (conservative: the reference
+    * allows it unconditionally after id remapping, which our rebase only
+    * performs for disjoint sets). */
+  private[lake] def conflicts(my: OpKind.Value, myTouched: Set[Long],
+      other: OpKind.Value, otherTouched: Set[Long]): Boolean = {
+    def overlap = myTouched.exists(otherTouched)
+    my match {
+      case OpKind.Overwrite => false
+      case OpKind.Append => other match {
+        case OpKind.Append | OpKind.DeleteUpdate | OpKind.Rewrite |
+            OpKind.CreateIndex => false
+        case _ => true
+      }
+      case OpKind.DeleteUpdate => other match {
+        case OpKind.Append | OpKind.CreateIndex => false
+        case OpKind.DeleteUpdate | OpKind.Rewrite => overlap
+        case _ => true
+      }
+      case OpKind.Rewrite => other match {
+        case OpKind.Append => false
+        case OpKind.DeleteUpdate | OpKind.Rewrite => overlap
+        case _ => true
+      }
+      case OpKind.Merge => other match {
+        case OpKind.Rewrite => overlap
+        case _ => true
+      }
+      case OpKind.CreateIndex => other match {
+        case OpKind.Overwrite => true
+        case _ => false
+      }
+      case OpKind.Project => other match {
+        case OpKind.Append | OpKind.DeleteUpdate | OpKind.Rewrite |
+            OpKind.Project => false
+        case _ => true
+      }
+    }
+  }
 
   /** Default vacuum retention: 7 days, Delta VACUUM's model. */
   val DefaultVacuumGraceMs: Long = 7L * 24 * 3600 * 1000

@@ -51,7 +51,12 @@ final case class Manifest(
       * ranges stay on zonemaps). */
     bloomFields: Seq[Int] = Nil,
     bloomNumBits: Long = 0L,
-    bloomNumHashes: Int = 5)
+    bloomNumHashes: Int = 5,
+    /** Fragment ids this commit removed/rewrote relative to its parent —
+      * the conflict matrix's fragment-overlap refinement (conflict.go:
+      * deleteDeleteConflict/deleteRewriteConflict/rewriteRewriteConflict
+      * conflict only when touching the same fragments). */
+    touchedFragmentIds: Seq[Long] = Nil)
 
 object Manifest {
   implicit val formats: Formats = DefaultFormats
