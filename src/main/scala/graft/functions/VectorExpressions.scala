@@ -193,7 +193,9 @@ object GraftFunctions {
     "kmv_distinct" -> (es =>
       KmvDistinct(es.head).toAggregateExpression()),
     "bloom_agg" -> (es =>
-      BloomAgg(es(0), es(1), es(2)).toAggregateExpression()))
+      BloomAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    "pq_encode" -> (es => PqEncode(es(0), es(1), es(2), es(3))),
+    "pq_adc" -> (es => PqAdc(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -68,5 +68,25 @@ object LakeQueries {
             |WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(versionedCrud, dsv2Read)
+  /** IVF-PQ over a lake dataset: build a persisted product-quantized index
+    * on the embeddings corpus, then search one query through probed
+    * clusters → byte-code ADC ranking → exact re-rank. Deterministic
+    * (seeded init, fixed data); rows-only driver check, recall pinned by
+    * VectorIndexSpec. */
+  val ivfPq: Q = Q.noOracle("ann_ivfpq_topk") { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-pq-${UUID.randomUUID()}")
+      .toString
+    val emb = Tables.load(s, dir, "embeddings")
+      .select("vec_id", "label", "embedding")
+    val ds = LakeDataset.create(s, root, emb.schema)
+    ds.append(emb.coalesce(1))
+    VectorIndex.build(ds, "embedding", name = "ivfpq", pq = true)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    VectorIndex.search(ds, "embedding", q, k = 10, nprobe = 4,
+      name = "ivfpq")
+      .select("vec_id", "label", "similarity")
+  }
+
+  def all: Seq[Q] = Seq(versionedCrud, dsv2Read, ivfPq)
 }

@@ -8,31 +8,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Persisted IVF vector index over a [[LakeDataset]] — the counterpart of
-  * the reference's KNNIndexManager Create/Build/Save/Load/Search
-  * (pkg/storage2/knn.go:14-450) with the IVF layout of ivf_index.go.
+/** Persisted IVF / IVF-PQ vector index over a [[LakeDataset]] — the
+  * counterpart of the reference's KNNIndexManager Create/Build/Save/Load/
+  * Search (pkg/storage2/knn.go:14-450) with the IVF layout of ivf_index.go
+  * and the PQ refinement of ivf_pq_index.go / pq_quantizer.go (design per
+  * Jégou et al., TPAMI 2011).
   *
-  * Layout: `<root>/_indexes/<name>/v<version>/{centroids,assignments}` —
-  * an index is built against a dataset VERSION; `search` uses it when it
-  * matches the current version's vectors and silently stays correct under
-  * later deletes because assignments are keyed by stable `_rowid` and
-  * joined back to the live data (rows deleted since build simply drop out
-  * of the join; the reference's deletion-bitmap prefilter achieves the
-  * same). Rewrites that change vector VALUES require a rebuild.
+  * Layout: `<root>/_indexes/<name>/v<version>/{centroids,assignments
+  * [,codebooks]}` — an index is built against a dataset VERSION; `search`
+  * uses it when it matches the current version's vectors and silently stays
+  * correct under later deletes because assignments are keyed by stable
+  * `_rowid` and joined back to the live data (rows deleted since build
+  * simply drop out of the join; the reference's deletion-bitmap prefilter
+  * achieves the same). Rewrites that change vector VALUES require a rebuild.
   *
-  * Scale: centroids are tiny (broadcast); assignments are parquet with the
-  * cluster id as a leading column, so probing reads only the probed
-  * clusters' row groups (predicate pushdown on `cluster`).
+  * Scale: centroids + codebooks are tiny (broadcast/driver); assignments
+  * are parquet with the cluster id as a leading sort column, so probing
+  * reads only the probed clusters' row groups. With PQ, the per-vector
+  * index state is `m` one-byte codes instead of D floats (64-dim float →
+  * 8 bytes: 32× less IO for the candidate-generation stage), and ranking
+  * is LUT lookups (asymmetric distance) with an exact re-rank of only the
+  * top `refine·k` candidates against full vectors.
   */
 object VectorIndex {
 
   val DefaultClusters: Int = Ann.NumClusters
+  /** PQ subspaces: 64-dim → 8 subvectors of 8 dims, 1 byte each. */
+  val PqM = 8
+  /** Exact-rerank window multiplier: top refine·k ADC candidates get the
+    * full-vector cosine. */
+  val PqRefine = 8
 
   private def indexDir(ds: LakeDataset, name: String, version: Long) =
     Paths.get(ds.root, "_indexes", name, f"v$version%020d")
 
-  /** Build (train + assign + persist) at the dataset's current version. */
-  def build(ds: LakeDataset, vecCol: String, name: String = "ivf"): Unit = {
+  /** Build (train + assign + persist) at the dataset's current version.
+    * With `pq=true`, also trains per-subspace codebooks (on a bounded
+    * deterministic sample — standard PQ practice at scale) and stores
+    * per-vector byte codes beside the cluster assignments. */
+  def build(ds: LakeDataset, vecCol: String, name: String = "ivf",
+      pq: Boolean = false): Unit = {
     val spark = ds.spark
     GraftFunctions.register(spark)
     val data = ds.scanner().withRowId.build()
@@ -43,9 +58,89 @@ object VectorIndex {
     val dir = indexDir(ds, name, ds.version)
     Files.createDirectories(dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    assign.select(col("cluster"), col("vec_id").as("_rowid"))
+
+    val withCodes =
+      if (!pq) assign.select(col("cluster"), col("vec_id").as("_rowid"))
+      else {
+        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
+        val dsub = dim / PqM
+        val n = e.count()
+        // codebook size scales with corpus (≤256 so codes stay 1 byte)
+        val k = math.min(256L, math.max(16L, n / 4)).toInt
+        // quantize UNIT vectors: the search metric is cosine, and on the
+        // unit sphere L2² = 2 − 2·cos, so ADC ranking agrees with cosine
+        // (quantizing raw vectors would rank by magnitude too)
+        val en = e.withColumn("embedding", normalized(col("embedding")))
+        val cb = trainPqCodebooks(en, PqM, k, dsub)
+        cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+        val flat = flattenCodebook(
+          spark.read.parquet(s"$dir/codebooks").collect()
+            .map(r => (r.getInt(0), r.getInt(1),
+              r.getSeq[Float](2).toArray)), PqM, k, dsub)
+        en.join(assign, "vec_id")
+          .select(col("cluster"), col("vec_id").as("_rowid"),
+            call_function("pq_encode", col("embedding"),
+              typedlit(flat.toSeq), lit(PqM), lit(k)).as("codes"))
+      }
+    withCodes
       .repartition(1).sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  /** Per-subspace k-means in DataFrame ops (no driver math): subvectors
+    * for ALL subspaces train jointly — assign is one broadcast join +
+    * windowed argmin, recompute is one per-(sub,code,dim) average. Trained
+    * on a deterministic sample (first `sample` vec_ids). */
+  private[lake] def trainPqCodebooks(e: DataFrame, m: Int, k: Int, dsub: Int,
+      sample: Int = 2048, iterations: Int = 3): DataFrame = {
+    val subs = e.orderBy("vec_id").limit(sample)
+      .select(col("vec_id"), posexplode(array((0 until m).map(mi =>
+        slice(col("embedding"), mi * dsub + 1, dsub)): _*))
+        .as(Seq("sub", "subvec")))
+    var cb = subs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sub").orderBy("vec_id")))
+      .filter(col("rn") <= k)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+        col("subvec").as("cw"))
+    (1 to iterations).foreach { _ =>
+      val a = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d",
+          call_function("l2_distance", col("subvec"), col("cw")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "sub")
+            .orderBy(col("d"), col("code"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "sub", "code")
+      cb = subs.join(a, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy("sub", "code", "pos").agg(avg("v").as("mv"))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s("mv").cast("float")).as("cw"))
+    }
+    cb
+  }
+
+  /** Unit-normalize an array<float> column (codegen-friendly built-ins). */
+  private def normalized(c: org.apache.spark.sql.Column) = {
+    val norm = sqrt(aggregate(transform(c, v => v * v),
+      lit(0.0d), (a, v) => a + v))
+    transform(c, v => (v / norm).cast("float"))
+  }
+
+  /** [m][k][dsub] flattened, NaN in unused codeword slots (skipped by the
+    * encode kernel). */
+  private def flattenCodebook(rows: Array[(Int, Int, Array[Float])],
+      m: Int, k: Int, dsub: Int): Array[Float] = {
+    val flat = Array.fill(m * k * dsub)(Float.NaN)
+    rows.foreach { case (sub, code, cw) =>
+      System.arraycopy(cw, 0, flat, (sub * k + code) * dsub, dsub)
+    }
+    flat
   }
 
   /** Newest built version ≤ the dataset's current version, if any. */
@@ -61,9 +156,12 @@ object VectorIndex {
       .maxOption
   }
 
-  /** IVF top-k cosine search with an optional SQL prefilter over the
+  /** IVF(-PQ) top-k cosine search with an optional SQL prefilter over the
     * dataset's columns (reference prefilter.go composition). Falls back to
-    * brute force when no index exists. */
+    * brute force when no index exists. With a PQ index, candidates inside
+    * the probed clusters are first ranked by asymmetric distance over the
+    * byte codes and only the top refine·k join the full vectors for the
+    * exact re-rank. */
   def search(ds: LakeDataset, vecCol: String, query: Seq[Float], k: Int,
       nprobe: Int = 4, name: String = "ivf",
       prefilter: Option[String] = None): DataFrame = {
@@ -82,10 +180,19 @@ object VectorIndex {
           .orderBy(col("d"), col("cluster")).limit(nprobe)
           .select("cluster")
         // pushdown: only the probed clusters' row groups are read
-        val assignments = spark.read.parquet(s"$dir/assignments")
+        val probedAssign = spark.read.parquet(s"$dir/assignments")
           .join(broadcast(probed), Seq("cluster"))
-          .select(col("_rowid").as("_idx_rowid"))
-        live.join(assignments,
+        val assignments =
+          if (!Files.exists(Paths.get(s"$dir/codebooks"))) probedAssign
+          else {
+            val lut = queryLut(spark, s"$dir/codebooks", query)
+            probedAssign
+              .withColumn("_adc",
+                call_function("pq_adc", col("codes"), typedlit(lut.toSeq)))
+              .orderBy(col("_adc"), col("_rowid"))
+              .limit(PqRefine * k)
+          }
+        live.join(assignments.select(col("_rowid").as("_idx_rowid")),
           col(LakeDataset.RowIdCol) === col("_idx_rowid"))
           .drop("_idx_rowid")
       case None => live
@@ -96,5 +203,32 @@ object VectorIndex {
       .limit(k)
       .select((ds.schema.fieldNames.map(col) :+
         round(col("_sim"), 4).as("similarity")): _*)
+  }
+
+  /** Driver-side LUT [m][k]: squared L2 from each query subvector to each
+    * codeword; unused slots get MaxValue so they never rank. */
+  private def queryLut(spark: SparkSession, cbPath: String,
+      query0: Seq[Float]): Array[Float] = {
+    // codebooks quantize unit vectors — normalize the query to match
+    val qn = math.sqrt(query0.map(v => v.toDouble * v).sum)
+    val query =
+      if (qn == 0.0) query0 else query0.map(v => (v / qn).toFloat)
+    val rows = spark.read.parquet(cbPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val dsub = query.length / m
+    val lut = Array.fill(m * k)(Float.MaxValue)
+    rows.foreach { case (sub, code, cw) =>
+      var s = 0.0f
+      var j = 0
+      while (j < dsub) {
+        val diff = query(sub * dsub + j) - cw(j)
+        s += diff * diff
+        j += 1
+      }
+      lut(sub * k + code) = s
+    }
+    lut
   }
 }

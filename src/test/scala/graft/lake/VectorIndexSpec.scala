@@ -51,6 +51,58 @@ class VectorIndexSpec extends SparkTestBase {
     assert(pre.nonEmpty && pre.forall(_.getInt(1) == 3))
   }
 
+  test("IVF-PQ: recall@10 >= 0.9 vs brute at >= 4x smaller index footprint") {
+    val ds = makeDs()
+    val q = queryVec(ds)
+    // brute-force truth before any index exists
+    val brute = VectorIndex.search(ds, "embedding", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    VectorIndex.build(ds, "embedding", name = "ivfpq", pq = true)
+    val pq = VectorIndex.search(ds, "embedding", q, k = 10,
+      nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
+      .collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10)
+    val recall = (pq & brute).size / 10.0
+    assert(recall >= 0.9, s"recall@10 = $recall")
+
+    // Footprint: the PER-VECTOR index state (rowid + cluster + m byte
+    // codes) must be ≥4× smaller than the raw vectors it stands in for —
+    // that ratio is what holds at corpus scale. Codebooks/centroids are
+    // O(k·D) constants (≤256·64 floats) that amortize to nothing at scale
+    // but would dominate a 500-vector fixture, so they're excluded here.
+    def dirBytes(p: java.nio.file.Path): Long = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.exists(p)) 0L
+      else Files.walk(p).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+    }
+    import scala.jdk.CollectionConverters._
+    val vdir = Files.list(
+      java.nio.file.Paths.get(ds.root, "_indexes", "ivfpq"))
+      .iterator().asScala.toSeq.head
+    val codes = dirBytes(vdir.resolve("assignments"))
+    val data = dirBytes(java.nio.file.Paths.get(ds.root, "data"))
+    assert(codes * 4 <= data, s"codes $codes bytes vs data $data bytes")
+  }
+
+  test("IVF-PQ search stays correct under deletes and prefilters") {
+    val ds = makeDs()
+    val q = queryVec(ds)
+    VectorIndex.build(ds, "embedding", name = "ivfpq", pq = true)
+    val before = VectorIndex.search(ds, "embedding", q, k = 5,
+      nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
+      .collect().map(_.getLong(0))
+    val victim = before(1)
+    ds.delete(s"vec_id = $victim")
+    val after = VectorIndex.search(ds, "embedding", q, k = 5,
+      nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
+      .collect().map(_.getLong(0))
+    assert(!after.contains(victim))
+    val pre = VectorIndex.search(ds, "embedding", q, k = 5, nprobe = 16,
+      name = "ivfpq", prefilter = Some("label = 3")).collect()
+    assert(pre.nonEmpty && pre.forall(_.getInt(1) == 3))
+  }
+
   test("index stays consistent under later deletes (stable rowid join)") {
     val ds = makeDs()
     val q = queryVec(ds)
