@@ -195,7 +195,8 @@ object GraftFunctions {
     "bloom_agg" -> (es =>
       BloomAgg(es(0), es(1), es(2)).toAggregateExpression()),
     "pq_encode" -> (es => PqEncode(es(0), es(1), es(2), es(3))),
-    "pq_adc" -> (es => PqAdc(es(0), es(1))))
+    "pq_adc" -> (es => PqAdc(es(0), es(1))),
+    "cjk_tokens" -> (es => CjkTokens(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

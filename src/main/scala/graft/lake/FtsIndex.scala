@@ -21,17 +21,22 @@ object FtsIndex {
   private def dir(ds: LakeDataset, name: String, v: Long) =
     Paths.get(ds.root, "_indexes", name, f"v$v%020d")
 
-  /** Tokenize + persist postings/doc-lengths/corpus stats at the current
-    * version. */
-  def build(ds: LakeDataset, textCol: String, name: String = "fts"): Unit = {
+  /** Tokenize (with the named tokenizer — whitespace/simple/cjk, see
+    * [[Fts.tokens]]) + persist postings/doc-lengths/corpus stats at the
+    * current version. The tokenizer is recorded in the index meta so
+    * queries are tokenized identically at search time. */
+  def build(ds: LakeDataset, textCol: String, name: String = "fts",
+      tokenizer: String = "whitespace"): Unit = {
     val rows = ds.scanner().withRowId.build()
       .select(col(LakeDataset.RowIdCol).as("_rowid"), col(textCol).as("text"))
       .filter(col("text").isNotNull)
+    graft.functions.GraftFunctions.register(ds.spark)
     val toks = rows.select(col("_rowid"),
-      explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+      explode(Fts.tokens(col("text"), tokenizer)).as("term"))
     val d = dir(ds, name, ds.version)
     Files.createDirectories(d)
+    Files.writeString(d.resolve("meta.json"),
+      s"""{"tokenizer": "$tokenizer"}""")
     toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
       .repartition(1).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$d/postings")
@@ -42,6 +47,23 @@ object FtsIndex {
         .agg(avg("l").as("avglen")))
       .write.mode("overwrite").parquet(s"$d/stats")
   }
+
+  /** The tokenizer an index was built with. */
+  def tokenizerOf(ds: LakeDataset, name: String = "fts"): String = {
+    val v = builtVersion(ds, name).getOrElse(
+      throw new IllegalStateException(s"no FTS index '$name'"))
+    val meta = dir(ds, name, v).resolve("meta.json")
+    if (!Files.exists(meta)) "whitespace"
+    else """"tokenizer"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(Files.readString(meta))
+      .map(_.group(1)).getOrElse("whitespace")
+  }
+
+  /** Search with a free-text query, tokenized the same way the index was
+    * built (a CJK query string becomes bigrams against a cjk index). */
+  def searchText(ds: LakeDataset, query: String, k: Int,
+      name: String = "fts"): DataFrame =
+    search(ds, Fts.tokenizeQuery(query, tokenizerOf(ds, name)), k, name)
 
   def builtVersion(ds: LakeDataset, name: String = "fts"): Option[Long] = {
     val base = Paths.get(ds.root, "_indexes", name)

@@ -1,7 +1,8 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-text search: BM25 top-k over `documents` — the Spark-native
@@ -9,6 +10,12 @@ import org.apache.spark.sql.functions._
   * (pkg/storage2/fts_index.go:36-220, fts_wand.go:35-260). Scoring is
   * Okapi BM25 (Robertson & Walker, SIGIR 1994) with the standard
   * k1/b parameterization.
+  *
+  * Tokenizers (reference fts_index.go tokenizer options):
+  *  - `whitespace`: raw space split (the original corpus contract)
+  *  - `simple`: lowercase + split on non-alphanumeric
+  *  - `cjk`: [[graft.functions.CjkTokens]] — latin words + CJK bigrams,
+  *    so BM25 works on corpora without whitespace word boundaries
   *
   * On Spark, the "index" is the postings DataFrame (term → doc, tf) which
   * at scale would be a persisted bucketed table keyed by term; a query
@@ -21,19 +28,48 @@ object Fts {
   val K1 = 1.2
   val B = 0.75
 
+  /** Tokenize a text column with the named tokenizer → array<string>. */
+  def tokens(text: Column, tokenizer: String = "whitespace"): Column =
+    tokenizer match {
+      case "whitespace" =>
+        filter(split(text, " "), t => length(t) > 0)
+      case "simple" =>
+        filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+      case "cjk" =>
+        call_function("cjk_tokens", text)
+      case other =>
+        throw new IllegalArgumentException(s"unknown tokenizer '$other'")
+    }
+
+  /** Driver-side twin of [[tokens]] for tokenizing query strings the same
+    * way the indexed corpus was tokenized. */
+  def tokenizeQuery(q: String, tokenizer: String): Seq[String] =
+    tokenizer match {
+      case "whitespace" => q.split(" ").filter(_.nonEmpty).toSeq
+      case "simple" =>
+        q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      case "cjk" => graft.functions.TextTokens.cjkTokenize(q)
+      case other =>
+        throw new IllegalArgumentException(s"unknown tokenizer '$other'")
+    }
+
   /** Postings: one row per (doc, term) with term frequency. */
-  def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+  def postings(docs: DataFrame, tokenizer: String = "whitespace"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(tokens(col("text"), tokenizer)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+  }
 
   /** BM25 top-k scoring of `queryTerms` against the corpus. */
-  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
-    val post = postings(docs)
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      tokenizer: String = "whitespace"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val post = postings(docs, tokenizer)
     val docLen = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("double").as("len"))
+      size(tokens(col("text"), tokenizer)).cast("double").as("len"))
     val corpus = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(size(split(col("text"), " "))).as("avglen"))
+      avg(size(tokens(col("text"), tokenizer))).as("avglen"))
     val qp = post.filter(col("term").isin(queryTerms: _*))
     val df_ = qp.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
@@ -80,5 +116,38 @@ object Fts {
     bm25TopK(Tables.load(s, dir, "documents"), queryTerms, 10)
   }
 
-  def all: Seq[Q] = Seq(topk)
+  /** Same query through the `simple` (lowercase, non-alphanumeric-split)
+    * tokenizer — oracle mirrors it with regexp_split_to_array. */
+  val topkSimple = Q(
+    "fts_bm25_simple",
+    s"""WITH toks AS (SELECT doc_id, t.term
+       |              FROM documents,
+       |                unnest(list_filter(
+       |                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                  x -> len(x) > 0)) AS t(term)),
+       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+       |       FROM toks GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |            avg(len(list_filter(
+       |              regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |              x -> len(x) > 0))) AS avglen
+       |          FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       |       WHERE term IN ('spark','table','scan') GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |          FROM toks WHERE term IN ('spark','table','scan')
+       |          GROUP BY term)
+       |SELECT doc_id,
+       |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |    * tf * (${K1} + 1.0)
+       |    / (tf + ${K1} * (1.0 - ${B} + ${B} * len / avglen))), 4) AS score
+       |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    bm25TopK(Tables.load(s, dir, "documents"), queryTerms, 10,
+      tokenizer = "simple")
+  }
+
+  def all: Seq[Q] = Seq(topk, topkSimple)
 }
