@@ -523,6 +523,65 @@ final class LakeDataset private (
     commitRewrite(OpKind.Rewrite, smallIds, frags, "compact")
   }
 
+  /** Compaction plan: greedy bin-pack of small fragments into groups of
+    * ~targetRows (reference compaction_planner.go). Each group is an
+    * independent rewrite unit: groups touch disjoint fragments, so their
+    * commits — from this process or any number of workers — rebase over
+    * each other through the conflict matrix instead of serializing on a
+    * coordinator lock (compaction_coordinator.go's job, done here by the
+    * optimistic manifest protocol itself). */
+  def planCompaction(targetRows: Long = 1 << 20): Seq[Seq[Long]] = {
+    val small = m.fragments.filter(_.rowCount < targetRows)
+    if (small.size <= 1) return Nil
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rows = 0L
+    small.foreach { f =>
+      cur += f.id
+      rows += f.rowCount
+      if (rows >= targetRows) { groups += cur.toSeq; cur.clear(); rows = 0 }
+    }
+    if (cur.size >= 2) groups += cur.toSeq
+    groups.filter(_.size >= 2).toSeq
+  }
+
+  /** Execute one planned group (a worker's unit, compaction_worker.go):
+    * rewrite exactly those fragments into ~targetRows-sized ones. Safe to
+    * run concurrently with other groups' workers — disjoint rewrites rebase;
+    * racing the SAME group surfaces a conflict. */
+  def compactGroup(fragmentIds: Seq[Long], targetRows: Long = 1 << 20): Unit = {
+    val ids = fragmentIds.toSet
+    val frags = m.fragments.filter(f => ids(f.id))
+    require(frags.size == ids.size, "plan is stale: fragment(s) gone")
+    val total = frags.map(_.rowCount).sum
+    val parts = math.max(1, (total / targetRows).toInt +
+      (if (total % targetRows > 0) 1 else 0))
+    val merged = readFragments(m, frags, withRowId = true).repartition(parts)
+    val (newFrags, _) = stageFragments(toPhysicalPreservingRowId(merged, m), m)
+    commitRewrite(OpKind.Rewrite, ids, newFrags, "compact")
+  }
+
+  /** Plan + execute all groups with `parallelism` workers (the
+    * coordinator loop). Returns the number of groups compacted. */
+  def compactAll(targetRows: Long = 1 << 20, parallelism: Int = 2): Int = {
+    val plan = planCompaction(targetRows)
+    if (plan.isEmpty) return 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, parallelism))
+    try {
+      // one handle per worker: a LakeDataset instance's manifest pointer is
+      // not thread-safe, and separate handles is exactly the multi-process
+      // worker shape the commit protocol coordinates
+      val futures = plan.map(g => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          LakeDataset.open(spark, root).compactGroup(g, targetRows)
+      }))
+      futures.foreach(_.get())
+      refresh()
+      plan.size
+    } finally pool.shutdown()
+  }
+
   /** Garbage-collect data files referenced by no retained manifest: keep the
     * newest `keepVersions` manifests (plus every tagged version), delete the
     * rest and any fragment file only they reference (Delta VACUUM shape;

@@ -147,6 +147,26 @@ class ConflictSpec extends SparkTestBase {
     assert(h1.refresh().manifest.fragments.forall(_.blooms.nonEmpty))
   }
 
+  test("distributed compaction: planned groups commit concurrently") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    // 6 small fragments -> plan of 3 disjoint groups at targetRows=40
+    (0 until 6).foreach { i =>
+      ds.append(rows((0 until 20).map(j =>
+        ((i * 100 + j).toLong, s"f$i", j.toDouble)): _*))
+    }
+    val plan = ds.planCompaction(targetRows = 40)
+    assert(plan.size == 3 && plan.flatten.distinct.size == 6)
+    val before = ds.read().count()
+    assert(ds.compactAll(targetRows = 40, parallelism = 3) == 3)
+    assert(ds.read().count() == before)
+    assert(ds.manifest.fragments.size == 3) // 6 -> 3
+    // each group commit is its own version, all rebased cleanly
+    assert(ds.versions.size == 1 + 6 + 3)
+    // re-running a stale plan conflicts (fragments are gone)
+    intercept[Exception](ds.compactGroup(plan.head))
+  }
+
   test("multi-writer stress: rebase or conflict, never a lost update") {
     val root = tmpDir()
     LakeDataset.create(spark, root, schema)
