@@ -30,7 +30,12 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional filter for targeted perf iteration: comma-separated names
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =
         try { once(fn); once(fn) } // warm, then measure
         catch { case _: Throwable => -1.0 }

@@ -76,8 +76,12 @@ object LakeQueries {
   val ivfPq: Q = Q.noOracle("ann_ivfpq_topk") { (s, dir) =>
     val root = Files.createTempDirectory(s"lake-pq-${UUID.randomUUID()}")
       .toString
+    // bounded deterministic corpus: the demo exercises the full persisted
+    // path (create → train → encode → search) at a fixed cost regardless
+    // of SF; recall/footprint at scale are VectorIndexSpec's job
     val emb = Tables.load(s, dir, "embeddings")
       .select("vec_id", "label", "embedding")
+      .filter(col("vec_id") < 5000)
     val ds = LakeDataset.create(s, root, emb.schema)
     ds.append(emb.coalesce(1))
     VectorIndex.build(ds, "embedding", name = "ivfpq", pq = true)

@@ -93,7 +93,7 @@ object VectorIndex {
     * windowed argmin, recompute is one per-(sub,code,dim) average. Trained
     * on a deterministic sample (first `sample` vec_ids). */
   private[lake] def trainPqCodebooks(e: DataFrame, m: Int, k: Int, dsub: Int,
-      sample: Int = 2048, iterations: Int = 3): DataFrame = {
+      sample: Int = 1024, iterations: Int = 3): DataFrame = {
     val subs = e.orderBy("vec_id").limit(sample)
       .select(col("vec_id"), posexplode(array((0 until m).map(mi =>
         slice(col("embedding"), mi * dsub + 1, dsub)): _*))
@@ -105,14 +105,12 @@ object VectorIndex {
       .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
         col("subvec").as("cw"))
     (1 to iterations).foreach { _ =>
+      // argmin via hash-agg min_by (no sort of the sample×k join)
       val a = subs.join(broadcast(cb), Seq("sub"))
         .withColumn("d",
           call_function("l2_distance", col("subvec"), col("cw")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "sub")
-            .orderBy(col("d"), col("code"))))
-        .filter(col("rn") === 1)
-        .select("vec_id", "sub", "code")
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
       cb = subs.join(a, Seq("vec_id", "sub"))
         .select(col("sub"), col("code"),
           posexplode(col("subvec")).as(Seq("pos", "v")))

@@ -140,11 +140,14 @@ object Ann {
   }
 
   private def assignClusters(e: DataFrame, centroids: DataFrame): DataFrame =
+    // argmin as a hash aggregate (min_by with a (d, cluster) tiebreak
+    // struct), not a row_number window — same result, no sort of the
+    // N×clusters cross join
     e.crossJoin(broadcast(centroids))
       .withColumn("d", call_function("l2_distance", col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(min_by(col("cluster"), struct(col("d"), col("cluster")))
+        .as("cluster"))
       .select(col("vec_id"), col("cluster"))
 
   // An IVF index is trained once and queried many times; memoize the

@@ -157,15 +157,22 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint()
     (1 to iterations).foreach { _ =>
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min("label").as("nlabel"))
+      // checkpoint per iteration: without it, iteration i re-executes a
+      // lineage of i nested join+agg stages (quadratic total work — at a
+      // replicated sf1 corpus this was the difference between 64 s and
+      // seconds); with it, each iteration is one bounded job over
+      // fixed-width (id, label) pairs
       labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+        .localCheckpoint()
     }
     labels.withColumn("keep", col("doc_id") === col("label"))
   }
