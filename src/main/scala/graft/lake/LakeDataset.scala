@@ -507,6 +507,68 @@ final class LakeDataset private (
     }.toMap
   }
 
+  /** Declare a value-set (bitmap-style) index on low-cardinality `cols`:
+    * one job computes each fragment's complete distinct set (discarded per
+    * fragment when it exceeds `maxDistinct`); future stages maintain it.
+    * Equality and IN predicates then prune exactly on membership. */
+  def enableValueSetIndex(cols: Seq[String], maxDistinct: Int = 64): Unit =
+      withOpRetry(OpKind.CreateIndex, 5) {
+    val fields = cols.map(c => m.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"no column $c")))
+    val next = m.copy(valueSetFields = fields.map(_.id),
+      valueSetMaxDistinct = maxDistinct)
+    val updated =
+      if (m.fragments.isEmpty) m.fragments
+      else {
+        val phys = physicalSchema(m)
+        val aggs = next.valueSetFields.map { fid =>
+          slice(sort_array(collect_set(col(physName(fid)).cast("string"))),
+            1, maxDistinct + 1).as(s"_vs_$fid")
+        }
+        val rows = spark.read.schema(phys)
+          .parquet(m.fragments.map(f => rootPath.resolve(f.file).toString): _*)
+          .groupBy(input_file_name().as("_file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        m.fragments.map { f =>
+          rows.find(_.getString(0).endsWith(fileName(f.file))).map { r =>
+            val vsets = next.valueSetFields.flatMap { fid =>
+              val vs = r.getSeq[String](r.fieldIndex(s"_vs_$fid"))
+              if (vs.size <= maxDistinct) Some(fid.toString -> vs.toSeq)
+              else None
+            }.toMap
+            f.copy(valueSets = f.valueSets ++ vsets)
+          }.getOrElse(f)
+        }
+      }
+    commit(next.copy(
+      version = m.version + 1,
+      fragments = updated,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"create_valueset_index(${cols.mkString(",")})"))
+  }
+
+  /** Rewrite the dataset range-partitioned and sorted by `sortCol` so
+    * fragment zonemaps become DISJOINT ranges — after this, range and
+    * point predicates prune to the few fragments whose interval overlaps
+    * (the Spark-native role of the reference's btree_index.go: ordered
+    * access by key, expressed as physical layout instead of a tree). One
+    * commit; preserves rowids. */
+  def optimizeLayout(sortCol: String, targetRows: Long = 1 << 20): Unit = {
+    require(m.fields.exists(_.name == sortCol), s"no column $sortCol")
+    if (m.fragments.isEmpty) return
+    val all = m.fragments.map(_.id).toSet
+    val total = m.fragments.map(_.rowCount).sum
+    val parts = math.max(1, (total / targetRows).toInt +
+      (if (total % targetRows > 0) 1 else 0))
+    val sorted = readFragments(m, m.fragments, withRowId = true)
+      .repartitionByRange(parts, col(sortCol))
+      .sortWithinPartitions(sortCol)
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(sorted, m), m)
+    commitRewrite(OpKind.Rewrite, all, frags, s"optimize_layout($sortCol)")
+  }
+
   // ------------------------------------------------------------ compaction
 
   /** OPTIMIZE-style rewrite: merge fragments smaller than `targetRows` into
@@ -793,7 +855,23 @@ final class LakeDataset private (
           mn <- s.min; mx <- s.max
           c1 <- cmp(mn, l); c2 <- cmp(mx, l)
         } yield c1 <= 0 && c2 >= 0).getOrElse(true)) &&
-          bloomMayContain(frag, byName, a, l)
+          bloomMayContain(frag, byName, a, l) &&
+          valueSetMayContain(frag, byName, a, l)
+      // IN over literals: keep the fragment iff ANY value may match —
+      // each value gets the full equality arsenal (zonemap + bloom +
+      // value set), so a point-lookup IN list prunes like a disjunction
+      // of equalities (index_selector's equality arm applied per value)
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { v =>
+          val l = v.asInstanceOf[Literal]
+          stats(a).forall(s => (for {
+            mn <- s.min; mx <- s.max
+            c1 <- cmp(mn, l); c2 <- cmp(mx, l)
+          } yield c1 <= 0 && c2 >= 0).getOrElse(true)) &&
+            bloomMayContain(frag, byName, a, l) &&
+            valueSetMayContain(frag, byName, a, l)
+        }
       case GreaterThan(a, l: Literal) =>
         stats(a).forall(s =>
           (for { mx <- s.max; c2 <- cmp(mx, l) } yield c2 > 0).getOrElse(true))
@@ -809,6 +887,41 @@ final class LakeDataset private (
       case _ => true // unsupported shape: never prune on it
     }
   }
+
+  /** Low-cardinality value-set probe: if the fragment carries the complete
+    * distinct set for this field, equality can prune exactly (the
+    * fragment-granularity bitmap index). Values compare after casting the
+    * literal to the field type and rendering to string exactly as the
+    * stats job rendered column values. */
+  private def valueSetMayContain(frag: Fragment,
+      byName: Map[String, FieldDef], attr: CExpr, l: Literal): Boolean =
+    attr match {
+      case UnresolvedAttribute(parts) =>
+        (for {
+          f <- byName.get(parts.mkString("."))
+          set <- frag.valueSets.get(f.id.toString)
+        } yield {
+          val dt = DataType.fromJson(f.dataType)
+          val casted =
+            try org.apache.spark.sql.catalyst.expressions.Cast(
+              l, StringType, Some(spark.sessionState.conf.sessionLocalTimeZone))
+              .eval(null)
+          catch { case _: RuntimeException => null }
+          if (casted == null) true
+          else {
+            val lv = casted.toString
+            // numeric normalization mirrors the zonemap compare
+            (l.value, dt) match {
+              case (_: Number, _) =>
+                set.exists(v =>
+                  try BigDecimal(v) == BigDecimal(lv)
+                  catch { case _: NumberFormatException => v == lv })
+              case _ => set.contains(lv)
+            }
+          }
+        }).getOrElse(true)
+      case _ => true
+    }
 
   /** Equality-predicate bloom probe (the index-selector rule: equality →
     * bloom, ranges → zonemaps). The literal is cast to the FIELD's type and
@@ -920,13 +1033,19 @@ final class LakeDataset private (
       call_function("bloom_agg", xxhash64(col(physName(fid))),
         lit(man.bloomNumBits), lit(man.bloomNumHashes)).as(s"_bloom_$fid")
     }
+    // distinct sets capped at max+1: an overflowing set comes back with
+    // max+1 entries and is discarded (column not low-card in this file)
+    val vsAggs = man.valueSetFields.map { fid =>
+      slice(sort_array(collect_set(col(physName(fid)).cast("string"))),
+        1, man.valueSetMaxDistinct + 1).as(s"_vs_$fid")
+    }
     val aggs = count(lit(1)).as("_cnt") +: max(col(RowIdCol)).as("_maxrid") +:
       (man.fields.flatMap { f =>
         val p = physName(f.id)
         Seq(min(col(p)).cast("string").as(s"_min_${f.id}"),
           max(col(p)).cast("string").as(s"_max_${f.id}"),
           sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.id}"))
-      } ++ bloomAggs)
+      } ++ bloomAggs ++ vsAggs)
     val statRows = spark.read.schema(phys)
       .parquet(moved.map(n => dataDir.resolve(n).toString): _*)
       .groupBy(input_file_name().as("_file"))
@@ -950,8 +1069,14 @@ final class LakeDataset private (
             r.getAs[Array[Byte]](s"_bloom_$fid"))
           fid.toString -> s"_indexes/bloom/$sidecar"
         }.toMap
+        val vsets = man.valueSetFields.flatMap { fid =>
+          val vs = r.getSeq[String](r.fieldIndex(s"_vs_$fid"))
+          if (vs.size <= man.valueSetMaxDistinct)
+            Some(fid.toString -> vs.toSeq)
+          else None
+        }.toMap
         Fragment(fragId, s"data/$name", r.getLong(r.fieldIndex("_cnt")), stats,
-          blooms)
+          blooms, vsets)
       }
     }
     (frags, maxRid)
@@ -992,7 +1117,7 @@ object LakeDataset {
     operation.takeWhile(_ != '(') match {
       case "append" | "append_detached" | "create" => OpKind.Append
       case "delete" | "update" => OpKind.DeleteUpdate
-      case "compact" => OpKind.Rewrite
+      case "compact" | "optimize_layout" => OpKind.Rewrite
       case "merge" => OpKind.Merge
       case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |

@@ -28,7 +28,13 @@ final case class ColumnStats(min: Option[String], max: Option[String],
   * (relative path) for fields with a bloom index (bloomfilter_index.go). */
 final case class Fragment(id: Long, file: String, rowCount: Long,
     stats: Map[String, ColumnStats],
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    /** Field id → the fragment's complete distinct-value set (as strings),
+      * present only when it fit under the manifest's valueSetMaxDistinct —
+      * the fragment-granularity analogue of the reference's bitmap index
+      * for low-cardinality columns (bitmap_index.go). Absent = unknown →
+      * never pruned on. */
+    valueSets: Map[String, Seq[String]] = Map.empty)
 
 /** Logical field: stable id, current name, Catalyst DataType JSON. */
 final case class FieldDef(id: Int, name: String, dataType: String,
@@ -52,6 +58,11 @@ final case class Manifest(
     bloomFields: Seq[Int] = Nil,
     bloomNumBits: Long = 0L,
     bloomNumHashes: Int = 5,
+    /** Field ids with a value-set (bitmap-style) index for low-cardinality
+      * equality/IN pruning; sets bigger than valueSetMaxDistinct are not
+      * stored (the column isn't low-cardinality in that fragment). */
+    valueSetFields: Seq[Int] = Nil,
+    valueSetMaxDistinct: Int = 64,
     /** Fragment ids this commit removed/rewrote relative to its parent —
       * the conflict matrix's fragment-overlap refinement (conflict.go:
       * deleteDeleteConflict/deleteRewriteConflict/rewriteRewriteConflict
