@@ -170,7 +170,9 @@ final class LakeDataset private (
     * Returns the number of deleted rows. Copy-on-write: only fragments that
     * actually contain matches are rewritten (update.go:208-340 zonemap-
     * pruned planning). */
-  def delete(predicate: String): Long = {
+  def delete(predicate: String,
+      useDeletionVectors: Boolean = false): Long = {
+    if (useDeletionVectors) return deleteWithVectors(predicate)
     val pred = expr(predicate)
     val candidates = pruneFragments(m, predicate)
     if (candidates.isEmpty) return 0L
@@ -228,7 +230,8 @@ final class LakeDataset private (
     val src = source.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
     val keyCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
 
-    val target = read().withColumn("_file", input_file_name())
+    val target = readFragments(m, m.fragments, withRowId = false,
+      withFileName = true)
     val touchedFiles = target.join(src, keyCond, "left_semi")
       .select("_file").distinct().collect().map(_.getString(0)).toSet
     val touched = m.fragments.filter(f => touchedFiles.exists(_.endsWith(fileName(f.file))))
@@ -507,6 +510,59 @@ final class LakeDataset private (
     }.toMap
   }
 
+  /** Merge-on-read delete (reference deletion_bitmap.go): write the
+    * matching rowids as a deletion file instead of rewriting fragments —
+    * at scale, deleting one row from a 1M-row fragment costs a few KB of
+    * tombstones, not a 256 MB rewrite. Reads anti-join the tombstones;
+    * [[purgeDeletes]] (or any full rewrite) folds them in physically.
+    * Commit-wise this behaves like Delete in the conflict matrix but
+    * touches no fragments: stable rowids stay valid across concurrent
+    * compactions (rewrites preserve them), so disjoint ops rebase. */
+  private def deleteWithVectors(predicate: String): Long = {
+    val pred = expr(predicate)
+    val candidates = pruneFragments(m, predicate)
+    if (candidates.isEmpty) return 0L
+    val dvName = s"_deletes/dv-${UUID.randomUUID()}.parquet"
+    val dvPath = rootPath.resolve(dvName)
+    Files.createDirectories(dvPath.getParent)
+    readFragments(m, candidates, withRowId = true)
+      .filter(coalesce(pred, lit(false)))
+      .select(col(RowIdCol))
+      .write.option("compression", "zstd").parquet(dvPath.toString)
+    val n = spark.read.parquet(dvPath.toString).count()
+    if (n == 0) {
+      Files.walk(dvPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      return 0L
+    }
+    withOpRetry(OpKind.DeleteUpdate, 5) {
+      commit(m.copy(
+        version = m.version + 1,
+        deletionFiles = m.deletionFiles :+ dvName,
+        deletedRowCount = m.deletedRowCount + n,
+        parentVersion = Some(m.version),
+        createdMs = System.currentTimeMillis(),
+        operation = "delete_dv"))
+    }
+    n
+  }
+
+  /** Fold all deletion vectors into the data: rewrite every fragment
+    * without the tombstoned rows and clear the deletion list, in one
+    * commit. */
+  def purgeDeletes(targetRows: Long = 1 << 20): Unit = {
+    if (m.deletionFiles.isEmpty) return
+    val all = m.fragments.map(_.id).toSet
+    val total = m.fragments.map(_.rowCount).sum
+    val parts = math.max(1, (total / targetRows).toInt +
+      (if (total % targetRows > 0) 1 else 0))
+    val live = readFragments(m, m.fragments, withRowId = true)
+      .repartition(parts)
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(live, m), m)
+    commitRewrite(OpKind.Rewrite, all, frags, "purge_deletes",
+      clearDeletes = true)
+  }
+
   /** Declare a value-set (bitmap-style) index on low-cardinality `cols`:
     * one job computes each fragment's complete distinct set (discarded per
     * fragment when it exceeds `maxDistinct`); future stages maintain it.
@@ -679,6 +735,22 @@ final class LakeDataset private (
         deleted += 1
       }
     }
+    // drop unreferenced deletion-vector files older than the grace window
+    val dvRoot = rootPath.resolve("_deletes")
+    if (Files.exists(dvRoot)) {
+      val refDv = keptManifests.flatMap(_.deletionFiles)
+        .map(fileName).toSet
+      Files.list(dvRoot).iterator().asScala.toSeq.foreach { p =>
+        val n = p.getFileName.toString
+        if (!refDv(n) && oldEnough(p)) {
+          if (Files.isDirectory(p)) {
+            Files.list(p).iterator().asScala.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(p)
+          } else Files.deleteIfExists(p)
+          deleted += 1
+        }
+      }
+    }
     // drop unreferenced bloom sidecars older than the grace window
     if (Files.exists(bloomDir)) {
       val refBlooms = keptManifests
@@ -725,7 +797,7 @@ final class LakeDataset private (
     * from the winner, renumber new fragment ids) and retry. */
   private def commitRewrite(kind: OpKind.Value, touchedIds: Set[Long],
       newFrags0: Seq[Fragment], op: String, nextRowIdOpt: Option[Long] = None,
-      attempts: Int = 5): Unit = {
+      attempts: Int = 5, clearDeletes: Boolean = false): Unit = {
     var left = attempts
     var newFrags = newFrags0
     while (true) {
@@ -737,6 +809,8 @@ final class LakeDataset private (
           maxFragmentId = math.max(m.maxFragmentId,
             (0L +: newFrags.map(_.id)).max),
           nextRowId = nextRowIdOpt.getOrElse(m.nextRowId),
+          deletionFiles = if (clearDeletes) Nil else m.deletionFiles,
+          deletedRowCount = if (clearDeletes) 0L else m.deletedRowCount,
           parentVersion = Some(m.version),
           createdMs = System.currentTimeMillis(),
           operation = op,
@@ -955,8 +1029,8 @@ final class LakeDataset private (
     * one job over the candidate files. */
   private def matchedFragments(candidates: Seq[Fragment],
       pred: Column): Seq[(Fragment, Long)] = {
-    val counts = readFragments(m, candidates, withRowId = false)
-      .withColumn("_file", input_file_name())
+    val counts = readFragments(m, candidates, withRowId = false,
+        withFileName = true)
       .filter(pred)
       .groupBy("_file").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -967,20 +1041,37 @@ final class LakeDataset private (
     }
   }
 
-  /** Read given fragments with logical names (+ optional `_rowid`). */
+  /** Read given fragments with logical names (+ optional `_rowid`),
+    * subtracting the manifest's deletion vectors (merge-on-read: an
+    * anti-join against the deleted-rowid files — typically broadcast-sized,
+    * and absent entirely when no DV deletes happened). */
   private[lake] def readFragments(man: Manifest, frags: Seq[Fragment],
-      withRowId: Boolean): DataFrame = {
+      withRowId: Boolean, withFileName: Boolean = false): DataFrame = {
     val logical = logicalSchema(man)
     if (frags.isEmpty) {
-      val s = if (withRowId) logical.add(RowIdCol, LongType) else logical
+      var s = if (withRowId) logical.add(RowIdCol, LongType) else logical
+      if (withFileName) s = s.add("_file", StringType)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), s)
     }
     val phys = physicalSchema(man)
     val files = frags.map(f => rootPath.resolve(f.file).toString)
+    // input_file_name is captured on the single-source scan BEFORE any DV
+    // anti-join introduces a second source
+    val raw0 = spark.read.schema(phys).parquet(files: _*)
+    val raw =
+      if (withFileName) raw0.withColumn("_file", input_file_name()) else raw0
+    val live =
+      if (man.deletionFiles.isEmpty) raw
+      else {
+        val dv = spark.read.parquet(
+          man.deletionFiles.map(f => rootPath.resolve(f).toString): _*)
+        raw.join(dv, Seq(RowIdCol), "left_anti")
+      }
     val out = man.fields.map(f => col(physName(f.id)).as(f.name)) ++
-      (if (withRowId) Seq(col(RowIdCol)) else Nil)
-    spark.read.schema(phys).parquet(files: _*).select(out: _*)
+      (if (withRowId) Seq(col(RowIdCol)) else Nil) ++
+      (if (withFileName) Seq(col("_file")) else Nil)
+    live.select(out: _*)
   }
 
   /** Logical df → physical columns (cast + rename to f<id>). */
@@ -1116,8 +1207,8 @@ object LakeDataset {
   private[lake] def kindOf(operation: String): OpKind.Value =
     operation.takeWhile(_ != '(') match {
       case "append" | "append_detached" | "create" => OpKind.Append
-      case "delete" | "update" => OpKind.DeleteUpdate
-      case "compact" | "optimize_layout" => OpKind.Rewrite
+      case "delete" | "update" | "delete_dv" => OpKind.DeleteUpdate
+      case "compact" | "optimize_layout" | "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge
       case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |

@@ -63,6 +63,12 @@ final case class Manifest(
       * stored (the column isn't low-cardinality in that fragment). */
     valueSetFields: Seq[Int] = Nil,
     valueSetMaxDistinct: Int = 64,
+    /** Merge-on-read deletion vectors (reference deletion_bitmap.go):
+      * parquet files of deleted `_rowid`s, anti-joined at read time.
+      * Stable rowids make them exact across later rewrites (compaction
+      * preserves rowids); a purge rewrite clears them. */
+    deletionFiles: Seq[String] = Nil,
+    deletedRowCount: Long = 0L,
     /** Fragment ids this commit removed/rewrote relative to its parent —
       * the conflict matrix's fragment-overlap refinement (conflict.go:
       * deleteDeleteConflict/deleteRewriteConflict/rewriteRewriteConflict
