@@ -115,6 +115,38 @@ final class LakeDataset private (
       operation = "append"))
   }
 
+  /** Exactly-once micro-batch append for Structured Streaming's
+    * `foreachBatch`: the appended fragments and the `(queryKey, batchId)`
+    * high-water mark commit in ONE manifest swap, so a batch replay after a
+    * failure (foreachBatch is at-least-once) is detected and skipped.
+    * Returns false when the batch was already committed. */
+  def appendStreamingBatch(df: DataFrame, queryKey: String,
+      batchId: Long): Boolean = {
+    val key = s"streaming.$queryKey.lastBatchId"
+    var applied = false
+    withOpRetry(OpKind.Append, 5) {
+      if (m.properties.get(key).exists(_.toLong >= batchId)) {
+        applied = false
+      } else {
+        val base = m.nextRowId
+        val (frags, maxRid) =
+          stageFragments(toPhysical(df, m)
+            .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
+        commit(m.copy(
+          version = m.version + 1,
+          fragments = m.fragments ++ frags,
+          maxFragmentId = m.maxFragmentId + frags.size,
+          nextRowId = math.max(m.nextRowId, maxRid + 1),
+          properties = m.properties + (key -> batchId.toString),
+          parentVersion = Some(m.version),
+          createdMs = System.currentTimeMillis(),
+          operation = s"append_stream($queryKey,$batchId)"))
+        applied = true
+      }
+    }
+    applied
+  }
+
   /** Two-phase ("detached") append: phase 1 writes the fragment files
     * without committing (long-running ingest, durable once staged); phase 2
     * commits the manifest swap. Mirrors the reference's detached
@@ -1206,7 +1238,8 @@ object LakeDataset {
 
   private[lake] def kindOf(operation: String): OpKind.Value =
     operation.takeWhile(_ != '(') match {
-      case "append" | "append_detached" | "create" => OpKind.Append
+      case "append" | "append_detached" | "append_stream" | "create" =>
+        OpKind.Append
       case "delete" | "update" | "delete_dv" => OpKind.DeleteUpdate
       case "compact" | "optimize_layout" | "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge

@@ -63,6 +63,10 @@ final case class Manifest(
       * stored (the column isn't low-cardinality in that fragment). */
     valueSetFields: Seq[Int] = Nil,
     valueSetMaxDistinct: Int = 64,
+    /** Free-form commit-carried properties (e.g. the streaming sink's
+      * last-committed batch id per query — the atomic manifest swap makes
+      * data + marker exactly-once together). */
+    properties: Map[String, String] = Map.empty,
     /** Merge-on-read deletion vectors (reference deletion_bitmap.go):
       * parquet files of deleted `_rowid`s, anti-joined at read time.
       * Stable rowids make them exact across later rewrites (compaction
