@@ -66,8 +66,10 @@ object VectorIndex {
         require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
         val dsub = dim / PqM
         val n = e.count()
-        // codebook size scales with corpus (≤256 so codes stay 1 byte)
-        val k = math.min(256L, math.max(16L, n / 4)).toInt
+        // codebook size scales with corpus, capped at 128: doubling k past
+        // that buys little recall (the exact re-rank absorbs residual
+        // quantization error) but doubles every training join
+        val k = math.min(128L, math.max(16L, n / 4)).toInt
         // quantize UNIT vectors: the search metric is cosine, and on the
         // unit sphere L2² = 2 − 2·cos, so ADC ranking agrees with cosine
         // (quantizing raw vectors would rank by magnitude too)
