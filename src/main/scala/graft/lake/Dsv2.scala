@@ -234,7 +234,16 @@ private[lake] final class LakeWriteBuilder(root: String)
           val ds =
             if (LakeDataset.exists(root)) LakeDataset.open(spark, root)
             else LakeDataset.create(spark, root, data.schema)
-          if (overwrite) ds.overwrite(data) else ds.append(data)
+          // name-based when the query provides the table's columns;
+          // positional otherwise (SQL INSERT INTO arrives with synthetic
+          // names — ACCEPT_ANY_SCHEMA means Spark didn't rewrite them)
+          val names = ds.schema.fieldNames
+          val aligned =
+            if (names.forall(data.columns.contains)) data
+            else if (data.columns.length == names.length)
+              data.toDF(names.toIndexedSeq: _*)
+            else data
+          if (overwrite) ds.overwrite(aligned) else ds.append(aligned)
         }
       }
   }

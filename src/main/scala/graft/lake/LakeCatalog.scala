@@ -1,0 +1,176 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 [[TableCatalog]] over a root directory of lake datasets, so SQL
+  * can address them by NAME (the missing piece after the `USING lake`
+  * path-based door):
+  *
+  * {{{
+  *   spark.sql.catalog.lake      = graft.lake.LakeCatalog
+  *   spark.sql.catalog.lake.root = /data/lake
+  *
+  *   CREATE TABLE lake.db.events (id BIGINT, name STRING)
+  *   SELECT * FROM lake.db.events VERSION AS OF 3   -- time travel
+  *   INSERT INTO lake.db.events VALUES ...
+  *   DROP TABLE lake.db.events
+  * }}}
+  *
+  * Layout: `<root>/<namespace...>/<table>` is one [[LakeDataset]] root.
+  * Namespaces are directories. All reads route through [[LakeTable]]
+  * (zonemap/bloom/value-set pruning + vectorized parquet); writes commit
+  * through the optimistic manifest protocol. */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.root"))
+    Files.createDirectories(Paths.get(root))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier) =
+    Paths.get(root, ident.namespace().toSeq :+ ident.name(): _*)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(root, namespace.toSeq: _*)
+    if (!Files.exists(dir)) return Array.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => LakeDataset.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!LakeDataset.exists(dir.toString))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", dir.toString)
+    new LakeTable(dir.toString, new CaseInsensitiveStringMap(opts), None)
+  }
+
+  /** `SELECT ... VERSION AS OF n` routes here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!LakeDataset.exists(dir.toString))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", dir.toString)
+    // a numeric ref pins a version; anything else is a tag
+    if (version.forall(_.isDigit)) opts.put("versionAsOf", version)
+    else opts.put("tag", version)
+    new LakeTable(dir.toString, new CaseInsensitiveStringMap(opts), None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "lake: partition transforms are not supported (layout is managed)")
+    val dir = dirOf(ident)
+    if (LakeDataset.exists(dir.toString))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    Files.createDirectories(dir.getParent)
+    LakeDataset.create(SparkSession.active, dir.toString, schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val ds = LakeDataset.open(SparkSession.active, dirOf(ident).toString)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested columns not supported")
+        ds.addColumns(StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames().head, a.dataType(), a.isNullable))))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested columns not supported")
+        ds.renameColumn(r.fieldNames().head, r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested columns not supported")
+        ds.dropColumns(Seq(d.fieldNames().head))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1, "nested columns not supported")
+        ds.alterColumnType(u.fieldNames().head, u.newDataType())
+      case other =>
+        throw new UnsupportedOperationException(s"lake: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!LakeDataset.exists(dir.toString)) return false
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    val to = dirOf(newIdent)
+    require(LakeDataset.exists(from.toString), s"no table $oldIdent")
+    require(!Files.exists(to), s"table $newIdent exists")
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---- namespaces (directories) ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(Paths.get(root)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !LakeDataset.exists(p.toString))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!Files.isDirectory(Paths.get(root, namespace.toSeq: _*)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(Paths.get(root, namespace.toSeq: _*))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("lake: alterNamespace")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = Paths.get(root, namespace.toSeq: _*)
+    if (!Files.exists(dir)) return false
+    if (!cascade && Files.list(dir).iterator().hasNext) return false
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    true
+  }
+}

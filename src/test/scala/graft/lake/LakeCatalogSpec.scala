@@ -1,0 +1,80 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** Name-based SQL access to lake datasets through the DSv2 TableCatalog:
+  * CREATE/INSERT/SELECT/ALTER/DROP plus `VERSION AS OF` time travel. */
+class LakeCatalogSpec extends SparkTestBase {
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("lake-cat-").toString
+    spark.conf.set("spark.sql.catalog.lakecat",
+      "graft.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.lakecat.root", r)
+    r
+  }
+
+  test("create / insert / select / drop by name through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.db")
+    spark.sql("CREATE TABLE lakecat.db.people (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO lakecat.db.people VALUES (1, 'ada'), (2, 'bob')")
+    spark.sql("INSERT INTO lakecat.db.people VALUES (3, 'eve')")
+    val got = spark.sql(
+      "SELECT id, name FROM lakecat.db.people ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ada"), (2L, "bob"), (3L, "eve")))
+    // both inserts committed through the manifest protocol
+    val ds = LakeDataset.open(spark, s"$root/db/people")
+    assert(ds.versions == Seq(1L, 2L, 3L))
+    assert(spark.sql("SHOW TABLES IN lakecat.db").collect()
+      .map(_.getString(1)).contains("people"))
+    assert(spark.sql("DROP TABLE lakecat.db.people") != null)
+    assert(!LakeDataset.exists(s"$root/db/people"))
+  }
+
+  test("VERSION AS OF and tag time travel through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.tt")
+    spark.sql("CREATE TABLE lakecat.tt.t (id BIGINT)")
+    spark.sql("INSERT INTO lakecat.tt.t VALUES (1)")
+    val ds = LakeDataset.open(spark, s"$root/tt/t")
+    ds.createTag("first")
+    spark.sql("INSERT INTO lakecat.tt.t VALUES (2)")
+    assert(spark.sql("SELECT * FROM lakecat.tt.t").count() == 2)
+    assert(spark.sql(
+      "SELECT * FROM lakecat.tt.t VERSION AS OF 2").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM lakecat.tt.t VERSION AS OF 'first'").count() == 1)
+  }
+
+  test("ALTER TABLE add/rename/drop column route to schema evolution") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.ev")
+    spark.sql("CREATE TABLE lakecat.ev.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO lakecat.ev.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE lakecat.ev.t ADD COLUMN extra BIGINT")
+    val r1 = spark.sql("SELECT id, name, extra FROM lakecat.ev.t").collect()
+    assert(r1.head.isNullAt(2))
+    spark.sql("ALTER TABLE lakecat.ev.t RENAME COLUMN name TO label")
+    assert(spark.sql("SELECT label FROM lakecat.ev.t").collect()
+      .head.getString(0) == "a")
+    spark.sql("ALTER TABLE lakecat.ev.t DROP COLUMN extra")
+    assert(!spark.table("lakecat.ev.t").columns.contains("extra"))
+  }
+
+  test("catalog reads prune fragments like the path-based door") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.pr")
+    spark.sql("CREATE TABLE lakecat.pr.t (id BIGINT, name STRING)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO lakecat.pr.t VALUES (${i * 100}, 'x$i')")
+    }
+    val out = spark.sql(
+      "SELECT * FROM lakecat.pr.t WHERE id = 100").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L))
+    assert(LakeDataSource.lastScan(s"$root/pr/t").contains((1, 3)))
+  }
+}
