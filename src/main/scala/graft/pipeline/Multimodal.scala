@@ -45,6 +45,37 @@ object Multimodal {
       .toDF()
   }
 
+  /** Extracted per-audio features (what the WAV decoder emits). */
+  final case class AudioFeature(
+      doc_id: Long,
+      n_bytes: Int,
+      sample_rate: Int,
+      n_frames: Long,
+      duration_sec: Double,
+      rms: Double)
+
+  /** Per-doc audio payload: a real 16-bit PCM WAV (sine whose frequency/
+    * amplitude/length derive from doc_id), decoded back through the JDK's
+    * real WAV parser — same mapPartitions batch shape as the image path. */
+  val audioFeatures = Q.noOracle("mm_audio_features") { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(20)) * 50 + 200).cast("double").as("freq"),
+        ((pmod(col("doc_id"), lit(9)) + 1) / 10.0).as("amp"),
+        (pmod(col("doc_id"), lit(32)) * 256 + 1024).cast("int").as("n"))
+      .as[(Long, Double, Double, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, freq, amp, n) =>
+          val wav = Audio.synthWav(freq, amp, n)
+          val (rate, frames, dur, rms) = Audio.decodeStats(wav)
+          AudioFeature(id, wav.length, rate, frames,
+            math.rint(dur * 1e6) / 1e6, math.rint(rms * 1e6) / 1e6)
+        }
+      }
+      .toDF()
+  }
+
   /** Video-style frame sampling: each media item expands to every 4th
     * "frame" (deterministic pseudo-frame-count from metadata), each frame a
     * row with its own byte-slice signature — the explode-then-process shape
@@ -105,5 +136,5 @@ object Multimodal {
         floor(col("height") * col("scale")).cast("int").as("out_h"))
   }
 
-  def all: Seq[Q] = Seq(decodeFeatures, frameSample, resize)
+  def all: Seq[Q] = Seq(decodeFeatures, audioFeatures, frameSample, resize)
 }

@@ -38,6 +38,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("audio decode: exact format and sine RMS from real WAV bytes") {
+    // a sine of amplitude A has RMS A/sqrt(2); use a whole number of
+    // periods so the discrete RMS matches the analytic value closely
+    val wav = Audio.synthWav(freqHz = 400, amp = 0.5, n = 8000)
+    val (rate, frames, dur, rms) = Audio.decodeStats(wav)
+    assert(rate == 8000 && frames == 8000)
+    assert(math.abs(dur - 1.0) < 1e-9)
+    assert(math.abs(rms - 0.5 / math.sqrt(2.0)) < 1e-3, s"rms=$rms")
+    // silence decodes to rms 0
+    assert(Audio.decodeStats(Audio.synthWav(100, 0.0, 1000))._4 == 0.0)
+  }
+
+  test("audio pipeline emits one feature row per doc, deterministic") {
+    val df = Multimodal.audioFeatures.run(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val id = r.getLong(0)
+      r.getLong(3) == (id % 32) * 256 + 1024 && r.getInt(2) == 8000
+    })
+    assert(rows.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) < 0.72))
+  }
+
   test("real resize kernel: output dims exact, constant image preserved") {
     val png = Images.constPng(64, 48, 200, 100, 50)
     val out = Images.resizePng(png, 32, 24)
