@@ -86,6 +86,51 @@ object Rel {
       .except(Tables.load(s, dir, "supplier").select(col("s_nationkey")))
   }
 
+  /** EXCEPT ALL / INTERSECT ALL: bag semantics (multiplicities subtract /
+    * take the minimum) — the multiset halves of the set-op family. */
+  val exceptAll = Q(
+    "rel_except_all",
+    """SELECT nationkey, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
+      |GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(Tables.load(s, dir, "supplier").select(col("s_nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+  }
+
+  val intersectAll = Q(
+    "rel_intersect_all",
+    """SELECT nationkey, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
+      |GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables.load(s, dir, "supplier").select(col("s_nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+  }
+
+  /** String-function matrix over part names: upper/lower/trim/replace/
+    * strpos/length/reverse/concat/left-right slicing. */
+  val stringFuncs = Q.sql(
+    "expr_string_funcs",
+    """SELECT p_partkey,
+      |  upper(p_name) AS up, lower(p_brand) AS lo,
+      |  trim('  ' || p_type || ' ') AS trimmed,
+      |  replace(p_name, ' ', '_') AS underscored,
+      |  instr(p_name, 'a') AS first_a,
+      |  length(p_name) AS len,
+      |  reverse(p_brand) AS rev,
+      |  substring(p_name, 3, 5) AS mid,
+      |  p_brand || '#' || p_type AS joined
+      |FROM part
+      |WHERE p_partkey <= 500
+      |ORDER BY p_partkey""".stripMargin)
+
   /** Window functions: row_number + partition-sum, top-2 per customer. */
   val window = Q(
     "rel_window",
@@ -194,6 +239,7 @@ object Rel {
   }
 
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
+    exceptAll, intersectAll, stringFuncs,
     window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
     evWindowAgg)
 }
