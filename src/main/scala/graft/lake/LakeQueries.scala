@@ -112,5 +112,28 @@ object LakeQueries {
       .select("vec_id", "label", "similarity")
   }
 
-  def all: Seq[Q] = Seq(versionedCrud, dsv2Read, ivfPq)
+  /** Name-based SQL through the [[LakeCatalog]]: CREATE TABLE + INSERT
+    * from `nation`, then SELECT by catalog-qualified name. Oracle replays
+    * the same relational query on the original parquet — hash-equal iff
+    * catalog DDL + insert + catalog scan are lossless. */
+  val catalogRead: Q = Q(
+    "lake_catalog_read",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-cat-${UUID.randomUUID()}")
+      .toString
+    val cat = s"lakeq_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"""CREATE TABLE $cat.db.nation
+             |(n_nationkey INT, n_name STRING, n_regionkey INT)""".stripMargin)
+    Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey").coalesce(1)
+      .writeTo(s"$cat.db.nation").append()
+    s.sql(s"""SELECT n_nationkey, n_name, n_regionkey FROM $cat.db.nation
+             |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(versionedCrud, dsv2Read, ivfPq, catalogRead)
 }
