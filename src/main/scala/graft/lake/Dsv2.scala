@@ -92,7 +92,8 @@ object LakeDataSource {
 private[lake] final class LakeTable(root: String,
     options: CaseInsensitiveStringMap,
     providedSchema: Option[StructType])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def pinned: Boolean =
     options.containsKey("versionAsOf") || options.containsKey("tag")
@@ -123,6 +124,22 @@ private[lake] final class LakeTable(root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned, "lake: cannot write through a version-pinned table")
     new LakeWriteBuilder(root)
+  }
+
+  // SQL `DELETE FROM <table> WHERE ...` (and TRUNCATE via empty filters):
+  // routed to the copy-on-write predicate delete, which plans touched
+  // fragments by zonemap/bloom/value-set pruning first.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && filters.forall(f => LakeFilters.toSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val ds = LakeDataset.open(SparkSession.active, root)
+    if (filters.isEmpty) { ds.delete("true"); () }
+    else {
+      val pred = filters.flatMap(LakeFilters.toSql).mkString(" AND ")
+      ds.delete(pred)
+      ()
+    }
   }
 }
 
@@ -206,6 +223,8 @@ private[lake] object LakeFilters {
   }
 
   def toSql(f: Filter): Option[String] = f match {
+    case _: AlwaysTrue => Some("true")
+    case _: AlwaysFalse => Some("false")
     case EqualTo(a, v) => lit(v).map(r => s"`$a` = $r")
     case GreaterThan(a, v) => lit(v).map(r => s"`$a` > $r")
     case GreaterThanOrEqual(a, v) => lit(v).map(r => s"`$a` >= $r")

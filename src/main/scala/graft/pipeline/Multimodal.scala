@@ -63,7 +63,7 @@ object Multimodal {
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(20)) * 50 + 200).cast("double").as("freq"),
         ((pmod(col("doc_id"), lit(9)) + 1) / 10.0).as("amp"),
-        (pmod(col("doc_id"), lit(32)) * 256 + 1024).cast("int").as("n"))
+        (pmod(col("doc_id"), lit(16)) * 128 + 512).cast("int").as("n"))
       .as[(Long, Double, Double, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, freq, amp, n) =>

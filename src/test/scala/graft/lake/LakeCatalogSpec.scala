@@ -65,6 +65,22 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(!spark.table("lakecat.ev.t").columns.contains("extra"))
   }
 
+  test("SQL DELETE FROM routes through the predicate delete") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.del")
+    spark.sql("CREATE TABLE lakecat.del.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO lakecat.del.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("DELETE FROM lakecat.del.t WHERE id = 2")
+    assert(spark.sql("SELECT id FROM lakecat.del.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the delete was a versioned copy-on-write commit
+    val ds = LakeDataset.open(spark, s"$root/del/t")
+    assert(ds.manifest.operation == "delete")
+    // unconditional delete (truncate-shaped)
+    spark.sql("DELETE FROM lakecat.del.t")
+    assert(spark.sql("SELECT * FROM lakecat.del.t").count() == 0)
+  }
+
   test("catalog reads prune fragments like the path-based door") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.pr")

@@ -56,7 +56,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.length == 500)
     assert(rows.forall { r =>
       val id = r.getLong(0)
-      r.getLong(3) == (id % 32) * 256 + 1024 && r.getInt(2) == 8000
+      r.getLong(3) == (id % 16) * 128 + 512 && r.getInt(2) == 8000
     })
     assert(rows.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) < 0.72))
   }
