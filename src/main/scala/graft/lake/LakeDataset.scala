@@ -643,18 +643,29 @@ final class LakeDataset private (
     * (the Spark-native role of the reference's btree_index.go: ordered
     * access by key, expressed as physical layout instead of a tree). One
     * commit; preserves rowids. */
-  def optimizeLayout(sortCol: String, targetRows: Long = 1 << 20): Unit = {
-    require(m.fields.exists(_.name == sortCol), s"no column $sortCol")
+  def optimizeLayout(sortCols: String*): Unit =
+    optimizeLayoutWith(sortCols, 1 << 20)
+
+  /** Multi-column form: hierarchical range layout (lead column splits
+    * fragments, further columns order within), the linear cousin of
+    * Z-ordering — lead-column predicates prune via disjoint zonemaps and
+    * secondary columns get tight per-fragment ranges. */
+  def optimizeLayoutWith(sortCols: Seq[String],
+      targetRows: Long): Unit = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    sortCols.foreach(c =>
+      require(m.fields.exists(_.name == c), s"no column $c"))
     if (m.fragments.isEmpty) return
     val all = m.fragments.map(_.id).toSet
     val total = m.fragments.map(_.rowCount).sum
     val parts = math.max(1, (total / targetRows).toInt +
       (if (total % targetRows > 0) 1 else 0))
     val sorted = readFragments(m, m.fragments, withRowId = true)
-      .repartitionByRange(parts, col(sortCol))
-      .sortWithinPartitions(sortCol)
+      .repartitionByRange(parts, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
     val (frags, _) = stageFragments(toPhysicalPreservingRowId(sorted, m), m)
-    commitRewrite(OpKind.Rewrite, all, frags, s"optimize_layout($sortCol)")
+    commitRewrite(OpKind.Rewrite, all, frags,
+      s"optimize_layout(${sortCols.mkString(",")})")
   }
 
   // ------------------------------------------------------------ compaction

@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads + typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The image path is REAL: payloads are genuine PNGs (synthesized
-  * deterministically per doc, since testdata has no binary column) and the
-  * decode extracts width/height/brightness from actual pixels via the JDK's
-  * `javax.imageio` codec inside a `mapPartitions` batch (one codec warm-up
-  * per partition — the Scala analogue of a `mapInPandas` batch UDF). Audio/
-  * video codecs don't ship in the JDK, so frame sampling demonstrates the
-  * explode-then-process shape over byte slices instead.
+  * The image and audio paths are REAL: payloads are genuine PNGs
+  * (`javax.imageio`) and RIFF/WAVE PCM files (`javax.sound.sampled`),
+  * synthesized deterministically per doc (testdata has no binary column)
+  * and decoded back through the actual codecs inside `mapPartitions`
+  * batches (one codec warm-up per partition — the Scala analogue of a
+  * `mapInPandas` batch UDF). Video codecs don't ship in the JDK, so frame
+  * sampling demonstrates the explode-then-process shape over byte slices.
   */
 object Multimodal {
 

@@ -85,7 +85,7 @@ class SecondaryIndexSpec extends SparkTestBase {
     // interleaved ids: every fragment covers ~[0,900] -> range keeps all 3
     assert(ds.prunedFileCount("id >= 600") == 3)
     val before = ds.read().orderBy("id").collect().map(_.getLong(0)).toSeq
-    ds.optimizeLayout("id", targetRows = 300)
+    ds.optimizeLayoutWith(Seq("id"), targetRows = 300)
     assert(ds.manifest.fragments.size == 3)
     // disjoint sorted ranges: the range predicate now opens 1 fragment
     assert(ds.prunedFileCount("id >= 600") == 1)
