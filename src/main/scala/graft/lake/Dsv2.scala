@@ -93,7 +93,8 @@ private[lake] final class LakeTable(root: String,
     options: CaseInsensitiveStringMap,
     providedSchema: Option[StructType])
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def pinned: Boolean =
     options.containsKey("versionAsOf") || options.containsKey("tag")
@@ -125,6 +126,20 @@ private[lake] final class LakeTable(root: String,
     require(!pinned, "lake: cannot write through a version-pinned table")
     new LakeWriteBuilder(root)
   }
+
+  // The stable row id surfaces as a METADATA column (reference scanner's
+  // WithRowId through the SQL door): `SELECT _rowid, * FROM t` works, but
+  // `SELECT *` doesn't include it.
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = LakeDataset.RowIdCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stable row id (survives rewrites/compaction)"
+    })
 
   // SQL `DELETE FROM <table> WHERE ...` (and TRUNCATE via empty filters):
   // routed to the copy-on-write predicate delete, which plans touched
@@ -193,7 +208,11 @@ private[lake] final class LakeScanBuilder(root: String,
             if (predicates.isEmpty) man.fragments
             else ds.pruneFragments(man, predicates.mkString(" AND "))
           LakeDataSource.recordScan(root, frags.size, man.fragments.size)
-          var df: DataFrame = ds.readFragments(man, frags, withRowId = false)
+          // the _rowid metadata column is read only when the query named it
+          val needRowId =
+            outSchema.fieldNames.contains(LakeDataset.RowIdCol)
+          var df: DataFrame =
+            ds.readFragments(man, frags, withRowId = needRowId)
           // Re-apply pushed predicates inside the inner parquet scan too, so
           // row groups within surviving fragments are skipped natively.
           predicates.foreach(p => df = df.filter(expr(p)))

@@ -81,6 +81,26 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM lakecat.del.t").count() == 0)
   }
 
+  test("_rowid metadata column: stable ids through SQL, hidden from *") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.md")
+    spark.sql("CREATE TABLE lakecat.md.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO lakecat.md.t VALUES (10,'a'), (20,'b')")
+    // SELECT * must NOT include the metadata column
+    assert(spark.sql("SELECT * FROM lakecat.md.t").columns.toSeq ==
+      Seq("id", "name"))
+    val withRid = spark.sql(
+      "SELECT _rowid, id FROM lakecat.md.t ORDER BY id").collect()
+    assert(withRid.map(_.getLong(0)).distinct.length == 2)
+    // stable across a rewrite: delete one row, the other keeps its rowid
+    val keepRid = withRid.last.getLong(0) // id=20
+    spark.sql("DELETE FROM lakecat.md.t WHERE id = 10")
+    val after = spark.sql(
+      "SELECT _rowid, id FROM lakecat.md.t").collect()
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((keepRid, 20L)))
+  }
+
   test("catalog reads prune fragments like the path-based door") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.pr")
