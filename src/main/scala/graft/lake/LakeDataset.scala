@@ -912,7 +912,16 @@ final class LakeDataset private (
     }
 
   /** Fragments whose [min,max] stats may satisfy the predicate (zonemap
-    * skipping; conservative — unknown shapes keep the fragment). */
+    * skipping; conservative — unknown shapes keep the fragment).
+    *
+    * Index selector disposition (reference index_selector.go:36-170):
+    * equality → bloom + value-set + zonemap; IN → per-value equality
+    * probes; ranges → zonemaps (made effective by [[optimizeLayout]]'s
+    * disjoint sorted ranges — the btree role as physical layout). The
+    * reference's rtree maps to the same machinery: a fragment's per-column
+    * min/max IS its bounding box, so a spatial intersects-predicate over
+    * (x, y) columns prunes as the conjunction of two range probes; no
+    * separate tree structure is needed at fragment granularity. */
   def pruneFragments(man: Manifest, predicate: String): Seq[Fragment] = {
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
     val conjuncts = splitAnd(parsed)
