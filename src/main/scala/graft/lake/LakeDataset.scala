@@ -95,6 +95,47 @@ final class LakeDataset private (
   def scanner(): Scanner =
     Scanner(this, None, None, Nil, None, None, false, false)
 
+  /** Live row count, optionally under a filter (reference CountRows /
+    * CountRowsWithFilter). The unfiltered count is manifest math minus
+    * deletion-vector tombstones — no scan at all when no DVs exist. */
+  def countRows(filter: Option[String] = None): Long = filter match {
+    case Some(f) => scanner().withFilter(f).build().count()
+    case None =>
+      val physical = m.fragments.map(_.rowCount).sum
+      if (m.deletionFiles.isEmpty) physical
+      else read().count() // tombstones may overlap rewrites; count live
+  }
+
+  /** Total bytes of live data files (reference DataSize). */
+  def dataSize(): Long =
+    m.fragments.map(f =>
+      try Files.size(rootPath.resolve(f.file)) catch {
+        case _: java.io.IOException => 0L
+      }).sum
+
+  /** Names of persisted secondary indexes (FTS/vector) under `_indexes/`
+    * (reference ListVectorIndexes, generalized). */
+  def listIndexes(): Seq[String] = {
+    val dir = rootPath.resolve("_indexes")
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(_ == "bloom") // bloom sidecars are manifest-managed
+      .toSeq.sorted
+  }
+
+  /** Drop a persisted secondary index by name (reference DropVectorIndex). */
+  def dropIndex(name: String): Boolean = {
+    require(name != "bloom", "bloom index is manifest-managed; " +
+      "drop via schema ops or rebuild with enableBloomIndex")
+    val dir = rootPath.resolve("_indexes").resolve(name)
+    if (!Files.exists(dir)) return false
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    true
+  }
+
   // --------------------------------------------------------------- writes
 
   /** Append rows; auto-rebases on concurrent commits the conflict matrix

@@ -131,6 +131,40 @@ object Rel {
       |WHERE p_partkey <= 500
       |ORDER BY p_partkey""".stripMargin)
 
+  /** Math-function matrix over lineitem numerics: abs/ceil/floor/round/
+    * sqrt/power/mod/sign/exp/ln/log10, normalized to 6 decimals so both
+    * engines' doubles hash identically. */
+  val mathFuncs = Q.sql(
+    "expr_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_discount - 0.05) AS a,
+      |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS c,
+      |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS f,
+      |  round(sqrt(l_extendedprice), 6) AS sq,
+      |  round(power(l_quantity, 2), 6) AS p2,
+      |  mod(CAST(l_orderkey AS BIGINT), 97) AS m97,
+      |  sign(l_discount - 0.05) AS sg,
+      |  round(exp(l_tax), 6) AS ex,
+      |  round(ln(l_extendedprice), 6) AS lg,
+      |  round(log10(l_extendedprice), 6) AS l10
+      |FROM lineitem
+      |WHERE l_orderkey <= 640
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  /** Conditional/null functions: coalesce/nullif/greatest/least + CASE
+    * over a derived nullable column. */
+  val condFuncs = Q.sql(
+    "expr_cond_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf,
+      |  greatest(l_quantity, l_discount * 100.0) AS g,
+      |  least(l_quantity, l_discount * 100.0) AS le,
+      |  CASE WHEN nullif(l_linestatus, 'O') IS NULL THEN 'open'
+      |       ELSE 'final' END AS status
+      |FROM lineitem
+      |WHERE l_orderkey <= 640
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
   /** Window functions: row_number + partition-sum, top-2 per customer. */
   val window = Q(
     "rel_window",
@@ -239,7 +273,7 @@ object Rel {
   }
 
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
-    exceptAll, intersectAll, stringFuncs,
+    exceptAll, intersectAll, stringFuncs, mathFuncs, condFuncs,
     window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
     evWindowAgg)
 }

@@ -111,6 +111,22 @@ class LakeDatasetSpec extends SparkTestBase {
     assert(ds.delete("ts > TIMESTAMP '2025-01-01 00:00:00'") == 1)
   }
 
+  test("countRows / dataSize / listIndexes / dropIndex parity helpers") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    assert(ds.countRows() == 3)
+    assert(ds.countRows(Some("score >= 2.0")) == 2)
+    assert(ds.dataSize() > 0)
+    // DV delete: manifest-math count must subtract tombstones
+    ds.delete("id = 2", useDeletionVectors = true)
+    assert(ds.countRows() == 2)
+    // persisted index management
+    FtsIndex.build(ds.refresh(), "name", name = "fts_n")
+    assert(ds.listIndexes() == Seq("fts_n"))
+    assert(ds.dropIndex("fts_n"))
+    assert(ds.listIndexes().isEmpty)
+    assert(!ds.dropIndex("fts_n"))
+  }
   test("merge-insert rejects duplicate source keys") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     ds.append(rows((1, "a", 1.0)))
