@@ -165,6 +165,35 @@ object Rel {
       |WHERE l_orderkey <= 640
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
+  /** Date/time function matrix over order dates: truncation, boundaries,
+    * and component extraction (both engines share names + semantics). */
+  val dateFuncs = Q.sql(
+    "expr_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS d,
+      |  CAST(quarter(o_orderdate) AS INT) AS q
+      |FROM orders
+      |WHERE o_orderkey <= 1000
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** Regex function matrix: extraction groups + replacement (shared
+    * signatures: regexp_extract(str, re, group), regexp_replace). */
+  val regexFuncs = Q.sql(
+    "expr_regex_funcs",
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS w1,
+      |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS w2,
+      |  regexp_replace(p_name, '^[a-z]+', 'X') AS first_word_masked,
+      |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word
+      |FROM part
+      |WHERE p_partkey <= 500
+      |ORDER BY p_partkey""".stripMargin)
+
   /** Window functions: row_number + partition-sum, top-2 per customer. */
   val window = Q(
     "rel_window",
@@ -274,6 +303,7 @@ object Rel {
 
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
     exceptAll, intersectAll, stringFuncs, mathFuncs, condFuncs,
+    dateFuncs, regexFuncs,
     window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
     evWindowAgg)
 }
