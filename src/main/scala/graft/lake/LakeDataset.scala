@@ -201,6 +201,124 @@ final class LakeDataset private (
     StagedAppend(frags, base, maxRid)
   }
 
+  // ------------------------------------------------- detached transactions
+
+  private def detachedDir: Path = rootPath.resolve("_detached")
+
+  private def persistDetached(t: DetachedTxn): String = {
+    Files.createDirectories(detachedDir)
+    Files.writeString(detachedDir.resolve(s"${t.id}.json"),
+      DetachedTxn.toJson(t))
+    t.id
+  }
+
+  /** Durable phase-1 append: fragment files written and the intent
+    * persisted under `_detached/` (reference CreateDetachedAppend). */
+  def createDetachedAppend(df: DataFrame): String = {
+    val staged = stageAppend(df)
+    persistDetached(DetachedTxn(UUID.randomUUID().toString, "append",
+      staged.fragments, Nil, staged.baseRowId, staged.maxRowId, 0L,
+      System.currentTimeMillis()))
+  }
+
+  /** Durable phase-1 delete: the surviving rows of touched fragments are
+    * staged NOW; the swap commits later (reference CreateDetachedDelete).
+    * Conflict handling at commit time is the normal rewrite matrix. */
+  def createDetachedDelete(predicate: String): String = {
+    val pred = expr(predicate)
+    val candidates = pruneFragments(m, predicate)
+    val touched =
+      if (candidates.isEmpty) Nil else matchedFragments(candidates, pred)
+    if (touched.isEmpty)
+      return persistDetached(DetachedTxn(UUID.randomUUID().toString,
+        "delete", Nil, Nil, 0L, 0L, 0L, System.currentTimeMillis()))
+    val remaining = readFragments(m, touched.map(_._1), withRowId = true)
+      .filter(!coalesce(pred, lit(false)))
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(remaining, m), m)
+    persistDetached(DetachedTxn(UUID.randomUUID().toString, "delete",
+      frags, touched.map(_._1.id), 0L, 0L, touched.map(_._2).sum,
+      System.currentTimeMillis()))
+  }
+
+  /** Durable phase-1 overwrite (reference CreateDetachedOverwrite). */
+  def createDetachedOverwrite(df: DataFrame): String = {
+    val base = m.nextRowId
+    val (frags, maxRid) =
+      stageFragments(toPhysical(df, m)
+        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
+    persistDetached(DetachedTxn(UUID.randomUUID().toString, "overwrite",
+      frags, Nil, base, maxRid, 0L, System.currentTimeMillis()))
+  }
+
+  /** Pending detached transactions (reference ListDetached). */
+  def listDetached(): Seq[DetachedTxn] = {
+    if (!Files.exists(detachedDir)) return Nil
+    Files.list(detachedDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => DetachedTxn.fromJson(Files.readString(p)))
+      .toSeq.sortBy(_.createdMs)
+  }
+
+  /** "pending" | "unknown" (reference GetDetachedStatus). */
+  def detachedStatus(id: String): String =
+    if (Files.exists(detachedDir.resolve(s"$id.json"))) "pending"
+    else "unknown"
+
+  /** Phase 2: commit a persisted detached txn through the same matrix-
+    * checked paths as the live operations, then drop the intent record
+    * (reference CommitDetached). Returns rows affected (appended rows /
+    * deleted rows / new row count for overwrite). */
+  def commitDetached(id: String): Long = {
+    val p = detachedDir.resolve(s"$id.json")
+    require(Files.exists(p), s"no detached txn $id")
+    val t = DetachedTxn.fromJson(Files.readString(p))
+    val affected: Long = t.op match {
+      case "append" =>
+        commitStaged(StagedAppend(t.fragments, t.baseRowId, t.maxRowId))
+        t.fragments.map(_.rowCount).sum
+      case "delete" =>
+        if (t.touchedFragmentIds.nonEmpty) {
+          // renumber: fragment ids assigned at stage time may collide with
+          // ids the manifest handed out since
+          var nid = m.maxFragmentId
+          val frags = t.fragments.map { f => nid += 1; f.copy(id = nid) }
+          commitRewrite(OpKind.DeleteUpdate, t.touchedFragmentIds.toSet,
+            frags, "delete")
+        }
+        t.matchedRows
+      case "overwrite" =>
+        var nid = m.maxFragmentId
+        val frags = t.fragments.map { f => nid += 1; f.copy(id = nid) }
+        withOpRetry(OpKind.Overwrite, 5) {
+          commit(m.copy(
+            version = m.version + 1,
+            fragments = frags,
+            maxFragmentId = math.max(m.maxFragmentId,
+              (0L +: frags.map(_.id)).max),
+            nextRowId = math.max(m.nextRowId, t.maxRowId + 1),
+            parentVersion = Some(m.version),
+            createdMs = System.currentTimeMillis(),
+            operation = "overwrite"))
+        }
+        t.fragments.map(_.rowCount).sum
+      case other =>
+        throw new IllegalStateException(s"unknown detached op '$other'")
+    }
+    Files.deleteIfExists(p)
+    affected
+  }
+
+  /** Drop intent records older than `olderThanMs`; their staged files
+    * become unreferenced and are reaped by [[vacuum]] (reference
+    * CleanupExpiredDetached). Returns the number dropped. */
+  def cleanupExpiredDetached(olderThanMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    listDetached().count { t =>
+      t.createdMs <= cutoff &&
+        Files.deleteIfExists(detachedDir.resolve(s"${t.id}.json"))
+    }
+  }
+
   /** Commit a staged append (rebases like [[append]], but staged files
     * carry their rowids already — if a concurrent commit claimed the same
     * rowid range, the conflict is surfaced instead of silently colliding). */
@@ -801,7 +919,10 @@ final class LakeDataset private (
     val tagged = tags.values.toSet
     val keep = (all.takeRight(keepVersions).toSet ++ tagged + m.version)
     val keptManifests = keep.toSeq.sorted.map(v => loadVersion(rootPath, v))
-    val referenced = keptManifests.flatMap(_.fragments.map(f => fileName(f.file))).toSet
+    // pending detached txns reference staged files too — not garbage
+    val referenced =
+      (keptManifests.flatMap(_.fragments.map(f => fileName(f.file))) ++
+        listDetached().flatMap(_.fragments.map(f => fileName(f.file)))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     def oldEnough(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -1285,6 +1406,28 @@ final class LakeDataset private (
 /** Durable uncommitted append (phase 1 of a detached transaction). */
 final case class StagedAppend(fragments: Seq[Fragment], baseRowId: Long,
     maxRowId: Long)
+
+/** Persisted detached transaction (reference detached_txn.go:23-330):
+  * phase-1 work (staged fragment files + intent) recorded under
+  * `_detached/<id>.json`, durable across process restarts, committed /
+  * listed / cleaned up later. */
+final case class DetachedTxn(
+    id: String,
+    op: String, // append | delete | overwrite
+    fragments: Seq[Fragment],
+    touchedFragmentIds: Seq[Long],
+    baseRowId: Long,
+    maxRowId: Long,
+    matchedRows: Long,
+    createdMs: Long)
+
+object DetachedTxn {
+  import org.json4s.DefaultFormats
+  import org.json4s.jackson.Serialization
+  implicit val formats: org.json4s.Formats = DefaultFormats
+  def toJson(t: DetachedTxn): String = Serialization.writePretty(t)
+  def fromJson(s: String): DetachedTxn = Serialization.read[DetachedTxn](s)
+}
 
 object LakeDataset {
   val RowIdCol = "_rowid"
