@@ -14,6 +14,32 @@ import org.apache.spark.sql.types._
 /** Optimistic-commit conflict (reference storage2/conflict.go:33-360). */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** Pluggable atomic version publish (reference commit.go's handler family:
+  * LocalRenameCommitHandler for POSIX, conditional PUT for S3). Contract:
+  * exactly one concurrent publisher of a given target wins; losers throw
+  * [[CommitConflictException]] and MUST NOT leave partial state. */
+trait CommitHandler {
+  def publish(target: java.nio.file.Path, content: String): Unit
+}
+
+/** Local-FS handler: write-to-temp + hard-link (link creation is atomic
+  * and fails if the target exists — the rename-commit idiom). On an object
+  * store this becomes a conditional PUT (If-None-Match: *). */
+object HardLinkCommitHandler extends CommitHandler {
+  def publish(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = target.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, content)
+    try java.nio.file.Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.delete(tmp)
+        throw new CommitConflictException(
+          s"${target.getFileName} was committed concurrently")
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+}
+
 /** Versioned, copy-on-write dataset over parquet fragments + JSON manifests:
   * the Spark-native counterpart of the reference's storage2/sdk dataset API
   * (sdk/dataset.go: open/create 223-330, append/delete/update 579-1151,
@@ -40,6 +66,15 @@ final class LakeDataset private (
     private var m: Manifest) {
 
   import LakeDataset._
+
+  private var commitHandler: CommitHandler = HardLinkCommitHandler
+
+  /** Swap the commit backend (reference WithCommitHandler) — e.g. an
+    * object-store conditional-PUT handler, or a fault-injecting wrapper in
+    * tests. */
+  def withCommitHandler(h: CommitHandler): this.type = {
+    commitHandler = h; this
+  }
 
   def version: Long = m.version
   def manifest: Manifest = m
@@ -1388,17 +1423,9 @@ final class LakeDataset private (
   }
 
   private def commit(next: Manifest): Unit = {
-    val tmp = manifestsDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, Manifest.toJson(next))
-    val target = manifestsDir.resolve(Manifest.versionFileName(next.version))
-    try Files.createLink(target, tmp)
-    catch {
-      case _: FileAlreadyExistsException =>
-        Files.delete(tmp)
-        throw new CommitConflictException(
-          s"version ${next.version} was committed concurrently")
-    }
-    Files.delete(tmp)
+    commitHandler.publish(
+      manifestsDir.resolve(Manifest.versionFileName(next.version)),
+      Manifest.toJson(next))
     m = next
   }
 }

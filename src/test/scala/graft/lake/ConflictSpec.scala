@@ -167,6 +167,30 @@ class ConflictSpec extends SparkTestBase {
     intercept[Exception](ds.compactGroup(plan.head))
   }
 
+  test("pluggable commit handler: injected races retry like real ones") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    var publishes = 0
+    var injected = false
+    // simulates an object store returning 412 on the first conditional PUT
+    // even though the write would have succeeded (e.g. a retryable race)
+    ds.withCommitHandler(new CommitHandler {
+      override def publish(target: java.nio.file.Path,
+          content: String): Unit = {
+        publishes += 1
+        if (!injected) {
+          injected = true
+          throw new CommitConflictException("injected store race")
+        }
+        HardLinkCommitHandler.publish(target, content)
+      }
+    })
+    ds.append(rows((1, "a", 1.0))) // first publish fails, retry commits
+    assert(publishes >= 2)
+    assert(ds.read().count() == 1)
+    assert(ds.versions == Seq(1L, 2L))
+  }
+
   test("multi-writer stress: rebase or conflict, never a lost update") {
     val root = tmpDir()
     LakeDataset.create(spark, root, schema)
