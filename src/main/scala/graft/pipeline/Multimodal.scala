@@ -59,7 +59,10 @@ object Multimodal {
     * real WAV parser — same mapPartitions batch shape as the image path. */
   val audioFeatures = Q.noOracle("mm_audio_features") { (s, dir) =>
     import s.implicits._
+    // bounded deterministic corpus: the real synth+parse path at fixed
+    // cost regardless of SF (same rationale as the PQ index demo)
     Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 10000)
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(20)) * 50 + 200).cast("double").as("freq"),
         ((pmod(col("doc_id"), lit(9)) + 1) / 10.0).as("amp"),
