@@ -3,15 +3,21 @@ package graft.ddl
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** Raised when an insert violates a declared constraint (reference:
+  * storage/table.go:282+ PK/NOT NULL verification via the ART index). */
+final class ConstraintViolationException(msg: String)
+  extends RuntimeException(msg)
+
 /** DDL / DML surface over the Spark session catalog — the counterpart of
   * the reference's executor_ddl.go:1-120 (CREATE SCHEMA/TABLE) and
   * builder_dml.go:14-469 (INSERT VALUES, COPY FROM/TO).
   *
-  * Constraints (PRIMARY KEY / NOT NULL) are recorded as table properties:
-  * declarative only — Spark does not enforce them at write (the reference
-  * enforces PK via an ART index, storage/index.go:19-28; on Spark that
-  * enforcement belongs to the writer pipeline, e.g. a pre-insert
-  * dedup-by-key job, not the catalog).
+  * Constraints (PRIMARY KEY / NOT NULL) are recorded as table properties
+  * and ENFORCED at insert time by [[Engine.insertInto]]: NOT NULL is one
+  * aggregate over the batch; PK uniqueness is a batch-internal group-count
+  * plus a semi-join against the table (the reference does the same checks
+  * against its ART index, storage/table.go:282+ — on Spark the "index" is
+  * the table itself, and the join broadcasts whichever side is small).
   */
 object Engine {
 
@@ -42,9 +48,54 @@ object Engine {
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
 
-  /** INSERT ... VALUES via a LocalRelation write (executor_insert.go). */
-  def insertInto(spark: SparkSession, table: String, df: DataFrame): Unit =
+  /** Declared primary key of a table, from its properties. */
+  def primaryKeyOf(spark: SparkSession, table: String): Seq[String] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("graft.primaryKey")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** INSERT ... VALUES via a LocalRelation write (executor_insert.go),
+    * verifying declared constraints first (executor_insert.go:1-120 →
+    * storage/table.go:282+): NOT NULL columns reject null batch values;
+    * the primary key must be unique within the batch AND absent from the
+    * table. Set `enforceConstraints=false` to bulk-load unchecked. */
+  def insertInto(spark: SparkSession, table: String, df: DataFrame,
+      enforceConstraints: Boolean = true): Unit = {
+    if (enforceConstraints) {
+      import org.apache.spark.sql.functions._
+      val target = spark.table(table)
+      // NOT NULL: one aggregate over the batch
+      val required = target.schema.fields.filterNot(_.nullable).map(_.name)
+        .filter(df.columns.contains)
+      if (required.nonEmpty) {
+        val counts = df.agg(
+          count(lit(1)).as("_n"),
+          required.map(c =>
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c")): _*)
+          .collect().head
+        required.foreach { c =>
+          val n = counts.getAs[Long](s"_null_$c")
+          if (n > 0) throw new ConstraintViolationException(
+            s"NOT NULL violation: column $c has $n null value(s)")
+        }
+      }
+      val pk = primaryKeyOf(spark, table)
+      if (pk.nonEmpty) {
+        val dupIn = df.groupBy(pk.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+        if (!dupIn.isEmpty) throw new ConstraintViolationException(
+          s"PRIMARY KEY violation: duplicate key within the batch on $pk")
+        val existing = df.select(pk.map(col): _*)
+          .join(target.select(pk.map(col): _*), pk, "left_semi").limit(1)
+        if (!existing.isEmpty) throw new ConstraintViolationException(
+          s"PRIMARY KEY violation: key already present in $table on $pk")
+      }
+    }
     df.write.mode(SaveMode.Append).insertInto(table)
+  }
 
   /** COPY FROM file into a catalog table (executor_scan.go:272-460 parquet/
     * csv import paths). */
@@ -56,7 +107,8 @@ object Engine {
     val target = spark.table(table)
     val aligned = src.select(target.schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
-    aligned.write.mode(SaveMode.Append).insertInto(table)
+    // imports go through the same constraint-checked insert path
+    insertInto(spark, table, aligned)
     src.count()
   }
 

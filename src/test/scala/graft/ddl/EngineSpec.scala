@@ -8,6 +8,46 @@ import org.apache.spark.sql.types._
 
 class EngineSpec extends SparkTestBase {
 
+  test("insert-time constraint enforcement: PK uniqueness and NOT NULL") {
+    val loc = Files.createTempDirectory("engine-pk-").toString
+    val db = "engine_pk_db"
+    try {
+      Engine.createSchema(spark, db, Some(s"$loc/db"))
+      Engine.createTable(spark, s"$db.t",
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKey = Seq("k"))
+      val sch = spark.table(s"$db.t").schema
+      Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+        java.util.List.of(Row(1L, "one")), sch))
+      // duplicate within the batch
+      intercept[ConstraintViolationException](
+        Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+          java.util.List.of(Row(5L, "x"), Row(5L, "y")), sch)))
+      // key already present in the table
+      intercept[ConstraintViolationException](
+        Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+          java.util.List.of(Row(1L, "again")), sch)))
+      // NOT NULL violation (nullable schema carrying a null key)
+      val nullableSch = StructType(Seq(
+        StructField("k", LongType, nullable = true),
+        StructField("v", StringType)))
+      if (!sch("k").nullable)
+        intercept[ConstraintViolationException](
+          Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+            java.util.List.of(Row(null, "nope")), nullableSch)))
+      // clean insert still works; unchecked bulk load available
+      Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+        java.util.List.of(Row(2L, "two")), sch))
+      assert(spark.table(s"$db.t").count() == 2)
+      Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+        java.util.List.of(Row(1L, "dup-ok")), sch),
+        enforceConstraints = false)
+      assert(spark.table(s"$db.t").count() == 3)
+    } finally Engine.dropSchema(spark, db)
+  }
+
   test("create schema/table, insert values, copy from/to, constraints recorded") {
     val loc = Files.createTempDirectory("engine-spec-").toString
     val db = "engine_spec_db"
