@@ -1041,6 +1041,17 @@ final class LakeDataset private (
     var left = attempts
     var newFrags = newFrags0
     while (true) {
+      // validate BEFORE attempting: every fragment this rewrite replaces
+      // must still exist in the current manifest. Without this, a commit
+      // whose staged state predates another rewrite of the same fragments
+      // (e.g. a detached delete after a live delete) would silently
+      // resurrect rows — a lost update the version-file race alone cannot
+      // catch when commits are sequential on one handle.
+      val currentIds = m.fragments.map(_.id).toSet
+      if (!touchedIds.subsetOf(currentIds))
+        throw new CommitConflictException(
+          s"fragments ${(touchedIds -- currentIds).toSeq.sorted.mkString(",")}" +
+            " were rewritten since this operation was planned")
       val untouched = m.fragments.filterNot(f => touchedIds(f.id))
       try {
         commit(m.copy(

@@ -28,6 +28,16 @@ class PlanSpec extends SparkTestBase {
     assert(f.contains("LessThan(l_quantity"), f)
   }
 
+  test("function-matrix key filters reach the parquet scan") {
+    import graft.queries.Rel
+    assert(pushedFor(Rel.mathFuncs.run(spark, sf0001), "lineitem")
+      .contains("LessThanOrEqual(l_orderkey,640)"))
+    assert(pushedFor(Rel.dateFuncs.run(spark, sf0001), "orders")
+      .contains("LessThanOrEqual(o_orderkey,1000)"))
+    assert(pushedFor(Rel.regexFuncs.run(spark, sf0001), "part")
+      .contains("LessThanOrEqual(p_partkey,500)"))
+  }
+
   test("q1 date filter reaches the parquet scan") {
     val f = pushedFor(Tpch.q1.run(spark, sf0001), "lineitem")
     assert(f.contains("LessThanOrEqual(l_shipdate"), f)

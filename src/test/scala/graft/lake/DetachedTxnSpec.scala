@@ -67,6 +67,19 @@ class DetachedTxnSpec extends SparkTestBase {
     assert(ds.read().collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("detached delete conflicts when its fragments were rewritten") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))
+    val id = ds.createDetachedDelete("id = 1")
+    // a live delete rewrites the SAME fragment before phase 2
+    assert(ds.delete("id = 2") == 1)
+    intercept[CommitConflictException](ds.commitDetached(id))
+    // the intent survives the failed commit attempt and data is intact
+    assert(ds.detachedStatus(id) == "pending")
+    assert(ds.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("vacuum keeps pending detached files; cleanup expires intents") {
     val root = tmpDir()
     val ds = LakeDataset.create(spark, root, schema)
