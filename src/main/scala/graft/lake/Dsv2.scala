@@ -94,7 +94,8 @@ private[lake] final class LakeTable(root: String,
     providedSchema: Option[StructType])
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def pinned: Boolean =
     options.containsKey("versionAsOf") || options.containsKey("tag")
@@ -115,9 +116,12 @@ private[lake] final class LakeTable(root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE admits the write at the DataFrameWriter gate;
     // V1_BATCH_WRITE routes execution through the V1Write bridge.
+    // No ACCEPT_ANY_SCHEMA: Spark's TableOutputResolver aligns/casts insert
+    // queries against the table schema (and row-level DML assignment
+    // alignment — UPDATE/MERGE rewrites — requires that resolution to run).
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(root, options)
@@ -127,18 +131,50 @@ private[lake] final class LakeTable(root: String,
     new LakeWriteBuilder(root)
   }
 
+  // SQL UPDATE / MERGE INTO / non-pushable DELETE: Catalyst's group-based
+  // row-level rewrite (ReplaceData) over copy-on-write fragment replacement.
+  // Pushable DELETEs still take the SupportsDelete fast path below
+  // (OptimizeMetadataOnlyDeleteFromTable prefers it).
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!pinned, "lake: cannot modify a version-pinned table")
+    new LakeRowLevelOperationBuilder(root, info)
+  }
+
   // The stable row id surfaces as a METADATA column (reference scanner's
   // WithRowId through the SQL door): `SELECT _rowid, * FROM t` works, but
-  // `SELECT *` doesn't include it.
+  // `SELECT *` doesn't include it. `_file` (fragment file basename) is the
+  // GROUP identity for row-level operations — Catalyst's runtime group
+  // filtering (RowLevelOperationRuntimeGroupFiltering) evaluates the DML
+  // condition through this scan, collects distinct `_file`s, and pushes
+  // them back into the row-level scan so only matching fragments rewrite.
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = LakeDataset.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      // nullable: MERGE-inserted rows have no source fragment
+      override def isNullable: Boolean = true
+      override def comment(): String = "fragment file (group id for DML)"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = LakeDataset.RowIdCol
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.LongType
-      override def isNullable: Boolean = false
+      // nullable: MERGE-inserted rows carry NULL until the row-level write
+      // assigns fresh ids
+      override def isNullable: Boolean = true
       override def comment(): String =
         "stable row id (survives rewrites/compaction)"
+      // row-level rewrites must carry the id through UPDATE/DELETE
+      // projections (stable-rowid invariant); fresh rows (MERGE insert /
+      // reinsert) get NULL and the write assigns new ids
+      override def metadataInJSON(): String =
+        s"""{"${org.apache.spark.sql.connector.catalog.MetadataColumn
+          .PRESERVE_ON_UPDATE}": true,
+           | "${org.apache.spark.sql.connector.catalog.MetadataColumn
+          .PRESERVE_ON_DELETE}": true}""".stripMargin
     })
 
   // SQL `DELETE FROM <table> WHERE ...` (and TRUNCATE via empty filters):
@@ -208,11 +244,17 @@ private[lake] final class LakeScanBuilder(root: String,
             if (predicates.isEmpty) man.fragments
             else ds.pruneFragments(man, predicates.mkString(" AND "))
           LakeDataSource.recordScan(root, frags.size, man.fragments.size)
-          // the _rowid metadata column is read only when the query named it
+          // metadata columns are read only when the query named them
           val needRowId =
             outSchema.fieldNames.contains(LakeDataset.RowIdCol)
+          val needFile =
+            outSchema.fieldNames.contains(LakeDataset.FileCol)
           var df: DataFrame =
-            ds.readFragments(man, frags, withRowId = needRowId)
+            ds.readFragments(man, frags, withRowId = needRowId,
+              withFileName = needFile)
+          if (needFile) // absolute scan URI → manifest-relative basename
+            df = df.withColumn(LakeDataset.FileCol,
+              expr(s"regexp_extract(${LakeDataset.FileCol}, '[^/]+$$', 0)"))
           // Re-apply pushed predicates inside the inner parquet scan too, so
           // row groups within surviving fragments are skipped natively.
           predicates.foreach(p => df = df.filter(expr(p)))

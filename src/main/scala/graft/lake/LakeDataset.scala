@@ -1012,9 +1012,10 @@ final class LakeDataset private (
   // ------------------------------------------------------------- internals
 
   private def rootPath: Path = Paths.get(root)
+  private[lake] def rootAbs: Path = rootPath
   private def manifestsDir: Path = rootPath.resolve("_manifests")
   private def tagsDir: Path = rootPath.resolve("_refs").resolve("tags")
-  private def dataDir: Path = rootPath.resolve("data")
+  private[lake] def dataDir: Path = rootPath.resolve("data")
   private def bloomDir: Path =
     rootPath.resolve("_indexes").resolve("bloom")
 
@@ -1035,7 +1036,7 @@ final class LakeDataset private (
     * rewrites; schema ops, overwrite and restore always conflict with an
     * in-flight rewrite. Compatible winners → rebase (recompute untouched
     * from the winner, renumber new fragment ids) and retry. */
-  private def commitRewrite(kind: OpKind.Value, touchedIds: Set[Long],
+  private[lake] def commitRewrite(kind: OpKind.Value, touchedIds: Set[Long],
       newFrags0: Seq[Fragment], op: String, nextRowIdOpt: Option[Long] = None,
       attempts: Int = 5, clearDeletes: Boolean = false): Unit = {
     var left = attempts
@@ -1366,13 +1367,26 @@ final class LakeDataset private (
         val n = p.getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")
       }.toSeq.sortBy(_.getFileName.toString)
+    adoptStagedFiles(parts, man, Some(stage))
+  }
+
+  /** Adopt already-written physical-schema parquet files (from a staging
+    * dir) as fragments: move them to `data/frag-*` names, compute zonemap /
+    * bloom / value-set stats with one re-read job, return the fragments and
+    * the max rowid seen. Shared by the DataFrame write path
+    * ([[stageFragments]]) and the DSv2 row-level-operation write, whose
+    * executors write the staged files directly. */
+  private[lake] def adoptStagedFiles(parts: Seq[Path], man: Manifest,
+      cleanupDir: Option[Path] = None): (Seq[Fragment], Long) = {
     val moved = parts.zipWithIndex.map { case (p, i) =>
       val name = s"frag-${UUID.randomUUID()}-$i.parquet"
       Files.move(p, dataDir.resolve(name))
       name
     }
-    Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(stage)
+    cleanupDir.foreach { stage =>
+      Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(stage)
+    }
     if (moved.isEmpty) return (Nil, man.nextRowId - 1)
 
     val phys = physicalSchema(man)
@@ -1469,6 +1483,10 @@ object DetachedTxn {
 
 object LakeDataset {
   val RowIdCol = "_rowid"
+
+  /** Metadata-column name exposing the fragment file basename — the GROUP
+    * identity runtime group filtering pushes back into row-level scans. */
+  val FileCol = "_file"
 
   /** Operation kinds for the optimistic-commit conflict matrix (the
     * Lance-style matrix the reference implements, conflict.go:33-360).

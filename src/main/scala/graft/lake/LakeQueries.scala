@@ -135,5 +135,51 @@ object LakeQueries {
              |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(versionedCrud, dsv2Read, ivfPq, catalogRead)
+  /** SQL DML through the catalog: UPDATE (group-based row-level rewrite),
+    * MERGE INTO (matched update + not-matched insert), and a non-pushable
+    * DELETE (LIKE → rewrite path, not SupportsDelete). The DuckDB oracle
+    * replays the same sequence on a temp table (MERGE emulated as
+    * UPDATE + INSERT — DuckDB 1.0 has no MERGE) — hash-equal iff every
+    * copy-on-write rewrite preserved untouched rows and applied exactly the
+    * SQL semantics. */
+  val sqlDml: Q = Q(
+    "lake_sql_dml",
+    """CREATE OR REPLACE TEMP TABLE lake_dml_scratch AS
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation;
+      |UPDATE lake_dml_scratch SET n_name = lower(n_name) WHERE n_regionkey = 1;
+      |UPDATE lake_dml_scratch SET n_name = 'ZERO', n_regionkey = 9
+      |  WHERE n_nationkey = 0;
+      |INSERT INTO lake_dml_scratch VALUES (99, 'NEW_NATION', 9);
+      |DELETE FROM lake_dml_scratch WHERE n_name LIKE 'A%';
+      |SELECT n_nationkey, n_name, n_regionkey FROM lake_dml_scratch
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-dml-${UUID.randomUUID()}")
+      .toString
+    val cat = s"lakedml_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"""CREATE TABLE $cat.db.n
+             |(n_nationkey INT, n_name STRING, n_regionkey INT)""".stripMargin)
+    Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      // two fragments so the pushable UPDATE can demonstrate group pruning
+      .repartitionByRange(2, col("n_nationkey"))
+      .writeTo(s"$cat.db.n").append()
+    s.sql(s"""UPDATE $cat.db.n SET n_name = lower(n_name)
+             |WHERE n_regionkey = 1""".stripMargin)
+    s.sql(s"""MERGE INTO $cat.db.n t
+             |USING (SELECT * FROM VALUES (0, 'ZERO', 9), (99, 'NEW_NATION', 9)
+             |       AS v(k, nm, rk)) src
+             |ON t.n_nationkey = src.k
+             |WHEN MATCHED THEN UPDATE SET n_name = src.nm, n_regionkey = src.rk
+             |WHEN NOT MATCHED THEN
+             |  INSERT (n_nationkey, n_name, n_regionkey)
+             |  VALUES (src.k, src.nm, src.rk)""".stripMargin)
+    s.sql(s"DELETE FROM $cat.db.n WHERE n_name LIKE 'A%'")
+    s.sql(s"""SELECT n_nationkey, n_name, n_regionkey FROM $cat.db.n
+             |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(versionedCrud, dsv2Read, ivfPq, catalogRead, sqlDml)
 }
