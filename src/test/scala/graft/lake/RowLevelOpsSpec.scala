@@ -208,6 +208,68 @@ class RowLevelOpsSpec extends SparkTestBase {
     assert(rows(1L) != rows(2L)) // distinct fragments
   }
 
+  test("UPDATE after ADD COLUMN reads missing physical columns as NULL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rlo.db")
+    spark.sql("CREATE TABLE rlo.db.ev (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO rlo.db.ev VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("ALTER TABLE rlo.db.ev ADD COLUMN tag STRING")
+    // old fragments lack the physical column for `tag`; the row-level
+    // reader must surface NULLs, and the rewrite must materialize the set
+    // value without corrupting pre-existing columns
+    spark.sql("UPDATE rlo.db.ev SET tag = 'new' WHERE id = 1")
+    val got = spark.sql("SELECT id, v, tag FROM rlo.db.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got.toSeq == Seq((1L, 1.0, "new"), (2L, 2.0, null)))
+  }
+
+  test("UPDATE with IN-subquery condition") {
+    root
+    mk("sq1", "(1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    spark.sql(
+      """UPDATE rlo.db.sq1 SET v = 0.0
+        |WHERE id IN (SELECT id FROM rlo.db.sq1 WHERE cat <> 'b')""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM rlo.db.sq1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 0.0), (2L, 20.0), (3L, 0.0)))
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE clause") {
+    root
+    mk("ms1", "(1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    spark.sql(
+      """MERGE INTO rlo.db.ms1 t
+        |USING (SELECT * FROM VALUES (2, 99.0) AS s(id, nv)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.nv
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM rlo.db.ms1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 99.0)))
+  }
+
+  test("SQL UPDATE tolerates a concurrent append (conflict matrix rebase)") {
+    root
+    mk("cc1", "(1,'a',10.0),(2,'b',20.0)")
+    // interleave: plan+execute the update, and while it runs, append from a
+    // second handle. DeleteUpdate-vs-Append is compatible in the matrix, so
+    // the update must land without losing the appended rows.
+    val appender = new Thread(() => {
+      val d = ds("cc1")
+      import spark.implicits._
+      d.append(Seq((100L, "z", 1.5)).toDF("id", "cat", "v"))
+    })
+    appender.start()
+    spark.sql("UPDATE rlo.db.cc1 SET v = v * 10 WHERE cat = 'a'")
+    appender.join()
+    val got = spark.sql("SELECT id, v FROM rlo.db.cc1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // the appended row survived regardless of commit order; row 1 updated
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 100L))
+    assert(got.head._2 == 100.0)
+  }
+
   test("UPDATE composes with merge-on-read deletion vectors") {
     root
     mk("dv1", "(1,'a',10.0),(2,'a',20.0),(3,'b',30.0)")
