@@ -162,9 +162,10 @@ private[lake] final class LakeTable(root: String,
       override def name(): String = LakeDataset.RowIdCol
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.LongType
-      // nullable: MERGE-inserted rows carry NULL until the row-level write
-      // assigns fresh ids
-      override def isNullable: Boolean = true
+      // non-nullable: SupportsDelta row-id attrs must not be nullable
+      // (NULLABLE_ROW_ID_ATTRIBUTES); group-based MERGE still delivers
+      // null literals for inserted rows — the write assigns fresh ids
+      override def isNullable: Boolean = false
       override def comment(): String =
         "stable row id (survives rewrites/compaction)"
       // row-level rewrites must carry the id through UPDATE/DELETE
@@ -185,12 +186,14 @@ private[lake] final class LakeTable(root: String,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val ds = LakeDataset.open(SparkSession.active, root)
-    if (filters.isEmpty) { ds.delete("true"); () }
-    else {
-      val pred = filters.flatMap(LakeFilters.toSql).mkString(" AND ")
-      ds.delete(pred)
-      ()
-    }
+    // honor the table's DML mode: `mor` tombstones rowids instead of
+    // rewriting fragments
+    val mor = ds.manifest.properties.get("write.dml.mode").contains("mor")
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(LakeFilters.toSql).mkString(" AND ")
+    ds.delete(pred, useDeletionVectors = mor)
+    ()
   }
 }
 

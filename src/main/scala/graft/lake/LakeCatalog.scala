@@ -91,7 +91,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     Files.createDirectories(dir.getParent)
-    LakeDataset.create(SparkSession.active, dir.toString, schema)
+    val ds = LakeDataset.create(SparkSession.active, dir.toString, schema)
+    // persist engine-relevant TBLPROPERTIES (`write.*`, e.g. write.dml.mode);
+    // Spark-internal keys (provider/owner/...) stay out of the manifest
+    val writeProps = properties.asScala.filter(_._1.startsWith("write."))
+    if (writeProps.nonEmpty) ds.setProperties(writeProps.toMap)
     loadTable(ident)
   }
 
@@ -113,6 +117,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames().length == 1, "nested columns not supported")
         ds.alterColumnType(u.fieldNames().head, u.newDataType())
+      // ALTER TABLE ... SET/UNSET TBLPROPERTIES — reserved keys steer the
+      // engine (e.g. `write.dml.mode = mor` for merge-on-read DML)
+      case p: TableChange.SetProperty =>
+        ds.setProperties(Map(p.property() -> p.value()))
+      case p: TableChange.RemoveProperty =>
+        ds.removeProperties(Seq(p.property()))
       case other =>
         throw new UnsupportedOperationException(s"lake: $other")
     }

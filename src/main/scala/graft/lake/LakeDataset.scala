@@ -514,6 +514,82 @@ final class LakeDataset private (
     (matched, inserted)
   }
 
+  /** Merge `props` into the manifest properties (metadata-only commit).
+    * Reserved keys steer engine behavior — e.g. `write.dml.mode = mor`
+    * switches SQL UPDATE/DELETE to merge-on-read deltas. */
+  def setProperties(props: Map[String, String]): Unit =
+      withOpRetry(OpKind.Project, 5) {
+    commit(m.copy(
+      version = m.version + 1,
+      properties = m.properties ++ props,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"set_properties(${props.keys.mkString(",")})"))
+  }
+
+  def removeProperties(keys: Seq[String]): Unit =
+      withOpRetry(OpKind.Project, 5) {
+    commit(m.copy(
+      version = m.version + 1,
+      properties = m.properties -- keys,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"unset_properties(${keys.mkString(",")})"))
+  }
+
+  /** Commit a merge-on-read delta: tombstone rowids (deletion-vector files
+    * already written under `_deletes/`) plus appended delta fragments, in
+    * one manifest swap. Used by the DSv2 delta write (SQL UPDATE/DELETE in
+    * `mor` mode).
+    *
+    * `idBase`: when the delta introduced fresh rowids (MoR UPDATE rewrites
+    * rows as delete+insert), an intervening commit that advanced
+    * `nextRowId` past the base the ids were minted from means a potential
+    * rowid collision — surfaced as a conflict instead of committed. */
+  private[lake] def commitDelta(touchedIds: Set[Long], dvNames: Seq[String],
+      nDeleted: Long, newFrags0: Seq[Fragment],
+      idBase: Option[Long], nextRowIdOpt: Option[Long], op: String): Unit = {
+    var newFrags = newFrags0
+    var left = 5
+    while (true) {
+      try {
+        commit(m.copy(
+          version = m.version + 1,
+          fragments = m.fragments ++ newFrags,
+          maxFragmentId = math.max(m.maxFragmentId,
+            (0L +: newFrags.map(_.id)).max),
+          nextRowId = math.max(m.nextRowId,
+            nextRowIdOpt.getOrElse(m.nextRowId)),
+          deletionFiles = m.deletionFiles ++ dvNames,
+          deletedRowCount = m.deletedRowCount + nDeleted,
+          parentVersion = Some(m.version),
+          createdMs = System.currentTimeMillis(),
+          operation = op,
+          touchedFragmentIds = touchedIds.toSeq.sorted))
+        return
+      } catch {
+        case e: CommitConflictException =>
+          left -= 1
+          if (left == 0) throw e
+          val base = m.version
+          refresh()
+          checkIntervening(base, OpKind.DeleteUpdate, touchedIds)
+          idBase.foreach { b =>
+            if (m.nextRowId > b)
+              throw new CommitConflictException(
+                s"rowid block raced: minted from $b but nextRowId is now " +
+                  s"${m.nextRowId}")
+          }
+          // tombstoned fragments must still exist (a compatible winner
+          // can't have rewritten them, but stay defensive)
+          val ids = m.fragments.map(_.id).toSet
+          if (!touchedIds.subsetOf(ids)) throw e
+          var nid = m.maxFragmentId
+          newFrags = newFrags.map { f => nid += 1; f.copy(id = nid) }
+      }
+    }
+  }
+
   // ------------------------------------------------------ schema evolution
 
   /** Add null-filled columns: metadata-only commit (field-id mapping means
@@ -1500,12 +1576,14 @@ object LakeDataset {
     operation.takeWhile(_ != '(') match {
       case "append" | "append_detached" | "append_stream" | "create" =>
         OpKind.Append
-      case "delete" | "update" | "delete_dv" => OpKind.DeleteUpdate
+      case "delete" | "update" | "delete_dv" | "update_mor" =>
+        OpKind.DeleteUpdate
       case "compact" | "optimize_layout" | "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge
       case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |
-          "alter_column_type" => OpKind.Project
+          "alter_column_type" | "set_properties" | "unset_properties" =>
+        OpKind.Project
       case "create_bloom_index" => OpKind.CreateIndex
       case _ => OpKind.Merge // unknown: strictest row
     }

@@ -181,5 +181,49 @@ object LakeQueries {
              |ORDER BY n_nationkey""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(versionedCrud, dsv2Read, ivfPq, catalogRead, sqlDml)
+  /** The same DML sequence as [[sqlDml]] but on a `write.dml.mode = mor`
+    * table: UPDATE/DELETE become rowid tombstones + delta fragments
+    * (SupportsDelta) instead of fragment rewrites. Same oracle — the two
+    * storage strategies must be observationally identical. */
+  val sqlDmlMor: Q = Q(
+    "lake_sql_dml_mor",
+    """CREATE OR REPLACE TEMP TABLE lake_mor_scratch AS
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation;
+      |UPDATE lake_mor_scratch SET n_name = lower(n_name) WHERE n_regionkey = 1;
+      |UPDATE lake_mor_scratch SET n_name = 'ZERO', n_regionkey = 9
+      |  WHERE n_nationkey = 0;
+      |INSERT INTO lake_mor_scratch VALUES (99, 'NEW_NATION', 9);
+      |DELETE FROM lake_mor_scratch WHERE n_name LIKE 'A%';
+      |SELECT n_nationkey, n_name, n_regionkey FROM lake_mor_scratch
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-mor-${UUID.randomUUID()}")
+      .toString
+    val cat = s"lakemor_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"""CREATE TABLE $cat.db.n
+             |(n_nationkey INT, n_name STRING, n_regionkey INT)
+             |TBLPROPERTIES ('write.dml.mode' = 'mor')""".stripMargin)
+    Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .repartitionByRange(2, col("n_nationkey"))
+      .writeTo(s"$cat.db.n").append()
+    s.sql(s"""UPDATE $cat.db.n SET n_name = lower(n_name)
+             |WHERE n_regionkey = 1""".stripMargin)
+    s.sql(s"""MERGE INTO $cat.db.n t
+             |USING (SELECT * FROM VALUES (0, 'ZERO', 9), (99, 'NEW_NATION', 9)
+             |       AS v(k, nm, rk)) src
+             |ON t.n_nationkey = src.k
+             |WHEN MATCHED THEN UPDATE SET n_name = src.nm, n_regionkey = src.rk
+             |WHEN NOT MATCHED THEN
+             |  INSERT (n_nationkey, n_name, n_regionkey)
+             |  VALUES (src.k, src.nm, src.rk)""".stripMargin)
+    s.sql(s"DELETE FROM $cat.db.n WHERE n_name LIKE 'A%'")
+    s.sql(s"""SELECT n_nationkey, n_name, n_regionkey FROM $cat.db.n
+             |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  def all: Seq[Q] =
+    Seq(versionedCrud, dsv2Read, ivfPq, catalogRead, sqlDml, sqlDmlMor)
 }

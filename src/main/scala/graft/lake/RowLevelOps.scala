@@ -54,18 +54,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class LakeRowLevelOperationBuilder(root: String,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new LakeRowLevelOperation(root, info.command)
+  override def build(): RowLevelOperation = {
+    // `write.dml.mode = mor` switches UPDATE/DELETE to merge-on-read
+    // deltas (tombstone rowids + delta fragments — no fragment rewrite);
+    // MERGE always takes the group-based copy-on-write path, whose
+    // runtime group filtering bounds its rewrite to matched fragments.
+    val mor = LakeDataset.exists(root) &&
+      LakeDataset.open(SparkSession.active, root)
+        .manifest.properties.get("write.dml.mode").contains("mor")
+    if (mor && info.command != Command.MERGE)
+      new LakeDeltaOperation(root, info.command)
+    else new LakeRowLevelOperation(root, info.command)
+  }
 }
 
-final class LakeRowLevelOperation(root: String, cmd: Command)
-  extends RowLevelOperation {
-
-  /** Fragment ids the scan selected — the groups the write replaces.
-    * Written once at scan build, read by the write's commit. */
+/** Scan-to-write coordination shared by both row-level strategies. */
+sealed trait LakeRowLevelOpState {
+  /** Fragment ids the scan selected. Group-based: the groups the write
+    * replaces. Delta: the fragments whose rows may be tombstoned
+    * (recorded as the commit's touched set for conflict detection). */
   @volatile private[lake] var touchedIds: Set[Long] = Set.empty
   /** Manifest version the scan planned against (commit re-validates). */
   @volatile private[lake] var plannedVersion: Long = -1L
+}
+
+final class LakeRowLevelOperation(root: String, cmd: Command)
+  extends RowLevelOperation with LakeRowLevelOpState {
 
   override def command(): Command = cmd
 
@@ -101,7 +115,7 @@ final class LakeRowLevelOperation(root: String, cmd: Command)
   * `BatchScanExec` executes it. Partition = one fragment file, read
   * row-based through Spark's own `ParquetReadSupport`, minus any
   * deletion-vector rowids. */
-private[lake] final class LakeGroupScanBuilder(op: LakeRowLevelOperation,
+private[lake] final class LakeGroupScanBuilder(op: LakeRowLevelOpState,
     root: String)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
@@ -141,7 +155,7 @@ private[lake] final class LakeGroupScanBuilder(op: LakeRowLevelOperation,
   }
 }
 
-private[lake] final class LakeGroupScan(op: LakeRowLevelOperation,
+private[lake] final class LakeGroupScan(op: LakeRowLevelOpState,
     ds: LakeDataset, man: Manifest,
     initialFrags: Seq[Fragment], outSchema: StructType)
   extends Scan with org.apache.spark.sql.connector.read.Batch
@@ -540,4 +554,190 @@ private[lake] final class LakeParquetWriterBuilder(
   override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
     new ParquetWriteSupport
   override def self(): LakeParquetWriterBuilder = this
+}
+
+// ---------------------------------------------------------------------------
+// Merge-on-read (delta) row-level operations: SQL UPDATE / DELETE on tables
+// with `write.dml.mode = mor` write rowid TOMBSTONES (deletion-vector files)
+// plus delta fragments for the new row images, instead of rewriting whole
+// fragments. At 100 TB this turns a point UPDATE from a fragment-sized write
+// into a delta-sized one; reads subtract tombstones via the existing DV
+// anti-join, and `purgeDeletes` folds them back in. UPDATE is represented as
+// delete+insert (the new row image gets a FRESH rowid — MoR trades rowid
+// stability for write amplification; the CoW default preserves ids).
+// ---------------------------------------------------------------------------
+
+final class LakeDeltaOperation(root: String, cmd: Command)
+  extends org.apache.spark.sql.connector.write.SupportsDelta
+  with LakeRowLevelOpState {
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeGroupScanBuilder(this, root)
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(LakeDataset.RowIdCol))
+
+  // MoR UPDATE = tombstone old rowid + insert fresh row image. Updating
+  // in place would keep the old rowid on the new image, and the global
+  // DV anti-join would tombstone the new image along with the old one.
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new LakeDeltaWrite(LakeDeltaOperation.this, root, info)
+    }
+
+  override def description(): String = s"lake delta $cmd"
+}
+
+private[lake] final class LakeDeltaWrite(op: LakeDeltaOperation,
+    root: String, info: LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new LakeDeltaBatchWrite(op, root, info.schema())
+  override def description(): String = s"lake delta write (${op.command()})"
+}
+
+private[lake] final class LakeDeltaBatchWrite(op: LakeDeltaOperation,
+    root: String, writeSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val spark = SparkSession.active
+  private val ds = LakeDataset.open(spark, root)
+  private val man = ds.manifest
+  private val stage: Path =
+    ds.dataDir.resolve(s"stage-rlo-${UUID.randomUUID()}")
+  private val deletesDir: Path = ds.rootAbs.resolve("_deletes")
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    Files.createDirectories(stage)
+    Files.createDirectories(deletesDir)
+    val lower = writeSchema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+    val fieldIdx = man.fields.map(f => lower.getOrElse(f.name.toLowerCase, -1))
+    val fieldTypes = man.fields.map(f => DataType.fromJson(f.dataType))
+    new LakeDeltaWriterFactory(stage.toString, deletesDir.toString,
+      StructType(man.fields.map(f => StructField(LakeDataset.physName(f.id),
+        DataType.fromJson(f.dataType), nullable = true))
+        :+ StructField(LakeDataset.RowIdCol, LongType, nullable = true)),
+      fieldIdx.toArray, fieldTypes.toArray, man.nextRowId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: LakeDeltaCommitMessage => m }
+    val insertFiles = msgs.flatMap(_.insertFiles).map(Paths.get(_)).toSeq
+    val dvNames = msgs.flatMap(_.dvFile).toSeq
+    val nDeleted = msgs.map(_.nDeleted).sum
+    if (insertFiles.isEmpty && dvNames.isEmpty) {
+      abort(messages); return
+    }
+    val (frags, maxRid) =
+      ds.adoptStagedFiles(insertFiles.sortBy(_.getFileName.toString), man,
+        cleanupDir = Some(stage))
+    val opName =
+      if (op.command() == Command.DELETE) "delete_dv" else "update_mor"
+    val (idBase, nextRid) =
+      if (frags.nonEmpty)
+        (Some(man.nextRowId), Some(math.max(man.nextRowId, maxRid + 1)))
+      else (None, None)
+    ds.commitDelta(op.touchedIds, dvNames, nDeleted, frags, idBase, nextRid,
+      opName)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: LakeDeltaCommitMessage => m }
+      .flatMap(_.dvFile)
+      .foreach(n => Files.deleteIfExists(ds.rootAbs.resolve(n)))
+    if (Files.exists(stage)) {
+      Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(stage)
+    }
+  }
+}
+
+private[lake] final case class LakeDeltaCommitMessage(
+    insertFiles: Seq[String], dvFile: Option[String], nDeleted: Long)
+  extends WriterCommitMessage
+
+private[lake] final class LakeDeltaWriterFactory(stageDir: String,
+    deletesDir: String, physSchema: StructType, fieldIdx: Array[Int],
+    fieldTypes: Array[DataType], rowIdBase: Long)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new LakeDeltaWriter(stageDir, deletesDir, physSchema, fieldIdx,
+      fieldTypes, rowIdBase, partitionId, taskId)
+}
+
+/** Executor-side delta writer: DELETE ops buffer tombstoned rowids (written
+  * as one `_deletes/dv-*.parquet` per task at commit); INSERT ops (including
+  * the insert half of a represented update) go through the same parquet
+  * fragment writer as the group-based path, with fresh per-task rowid
+  * blocks. */
+private[lake] final class LakeDeltaWriter(stageDir: String, deletesDir: String,
+    physSchema: StructType, fieldIdx: Array[Int], fieldTypes: Array[DataType],
+    rowIdBase: Long, partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val tombstones = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var insertWriter: LakeReplaceDataWriter = _
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    tombstones += id.getLong(0)
+
+  override def insert(row: InternalRow): Unit = {
+    if (insertWriter == null)
+      insertWriter = new LakeReplaceDataWriter(stageDir, physSchema,
+        fieldIdx, fieldTypes, rowIdIdx = -1, rowIdBase, partitionId, taskId)
+    insertWriter.write(row)
+  }
+
+  // not reached with representUpdateAsDeleteAndInsert=true; defensive
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def write(row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    val insertFiles =
+      if (insertWriter == null) Nil
+      else insertWriter.commit() match {
+        case LakeReplaceCommitMessage(files) => files
+        case _ => Nil
+      }
+    val dvFile =
+      if (tombstones.isEmpty) None
+      else {
+        val name = s"dv-${UUID.randomUUID()}-p$partitionId.parquet"
+        val path = s"$deletesDir/$name"
+        val dvSchema = StructType(Seq(
+          StructField(LakeDataset.RowIdCol, LongType, nullable = false)))
+        val conf = LakeParquetIo.writerConf(dvSchema)
+        val w = new LakeParquetWriterBuilder(
+          new org.apache.hadoop.fs.Path(path), conf)
+          .withCompressionCodec(CompressionCodecName.ZSTD)
+          .withConf(conf)
+          .build()
+        try tombstones.foreach(id =>
+          w.write(new GenericInternalRow(Array[Any](id))))
+        finally w.close()
+        Some(s"_deletes/$name")
+      }
+    LakeDeltaCommitMessage(insertFiles, dvFile, tombstones.size.toLong)
+  }
+
+  override def abort(): Unit =
+    if (insertWriter != null) insertWriter.abort()
+
+  override def close(): Unit = ()
 }
