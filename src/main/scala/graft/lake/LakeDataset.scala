@@ -1576,7 +1576,7 @@ object LakeDataset {
     operation.takeWhile(_ != '(') match {
       case "append" | "append_detached" | "append_stream" | "create" =>
         OpKind.Append
-      case "delete" | "update" | "delete_dv" | "update_mor" =>
+      case "delete" | "update" | "delete_dv" | "update_mor" | "merge_mor" =>
         OpKind.DeleteUpdate
       case "compact" | "optimize_layout" | "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge

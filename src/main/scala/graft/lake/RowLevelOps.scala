@@ -55,15 +55,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class LakeRowLevelOperationBuilder(root: String,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation = {
-    // `write.dml.mode = mor` switches UPDATE/DELETE to merge-on-read
+    // `write.dml.mode = mor` switches UPDATE/DELETE/MERGE to merge-on-read
     // deltas (tombstone rowids + delta fragments — no fragment rewrite);
-    // MERGE always takes the group-based copy-on-write path, whose
-    // runtime group filtering bounds its rewrite to matched fragments.
+    // the default is group-based copy-on-write, whose runtime group
+    // filtering bounds rewrites to matched fragments.
     val mor = LakeDataset.exists(root) &&
       LakeDataset.open(SparkSession.active, root)
         .manifest.properties.get("write.dml.mode").contains("mor")
-    if (mor && info.command != Command.MERGE)
-      new LakeDeltaOperation(root, info.command)
+    if (mor) new LakeDeltaOperation(root, info.command)
     else new LakeRowLevelOperation(root, info.command)
   }
 }
@@ -584,8 +583,10 @@ final class LakeDeltaOperation(root: String, cmd: Command)
   // DV anti-join would tombstone the new image along with the old one.
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
+  // `_file` lets runtime group filtering resolve the group identity, so a
+  // MoR MERGE's tombstone scan reads only fragments containing matches
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array.empty
+    Array(Expressions.column(LakeDataset.FileCol))
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
@@ -641,8 +642,11 @@ private[lake] final class LakeDeltaBatchWrite(op: LakeDeltaOperation,
     val (frags, maxRid) =
       ds.adoptStagedFiles(insertFiles.sortBy(_.getFileName.toString), man,
         cleanupDir = Some(stage))
-    val opName =
-      if (op.command() == Command.DELETE) "delete_dv" else "update_mor"
+    val opName = op.command() match {
+      case Command.DELETE => "delete_dv"
+      case Command.MERGE => "merge_mor"
+      case _ => "update_mor"
+    }
     val (idBase, nextRid) =
       if (frags.nonEmpty)
         (Some(man.nextRowId), Some(math.max(man.nextRowId, maxRid + 1)))

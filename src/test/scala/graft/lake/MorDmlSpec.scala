@@ -122,6 +122,30 @@ class MorDmlSpec extends SparkTestBase {
     assert(q("seq_mor") == Seq((1L, "A", 10.0), (3L, "C", 3.0)))
   }
 
+  test("MoR MERGE tombstones matched rows and appends deltas, no rewrite") {
+    root
+    mkMor("mg1", "(1,'a',10.0),(2,'b',20.0)")
+    val before = ds("mg1").manifest.fragments.map(_.file).toSet
+    spark.sql(
+      """MERGE INTO mor.db.mg1 t
+        |USING (SELECT * FROM VALUES (2, 'B', 99.0), (4, 'd', 40.0)
+        |       AS s(id, cat, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.cat = s.cat, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = ds("mg1").manifest
+    assert(m.operation == "merge_mor")
+    assert(before.subsetOf(m.fragments.map(_.file).toSet)) // no rewrite
+    assert(m.deletedRowCount == 1) // the matched row was tombstoned
+    val got = spark.sql("SELECT id, cat, v FROM mor.db.mg1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "B", 99.0), (4L, "d", 40.0)))
+    val rids = spark.sql("SELECT _rowid FROM mor.db.mg1").collect()
+      .map(_.getLong(0))
+    assert(rids.distinct.length == rids.length)
+  }
+
   test("MoR UPDATE assigns fresh rowids to updated rows (documented trade)") {
     root
     mkMor("rid1", "(1,'a',1.0),(2,'b',2.0)")
