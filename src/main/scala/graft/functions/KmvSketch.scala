@@ -8,6 +8,50 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Bounded sketch state: the k smallest DISTINCT hashes, stored as a
+  * primitive max-heap (`heap(0)` = largest of the kept set = rejection
+  * threshold) plus a boxed membership set for dedup. The hot path — once
+  * the sketch saturates — is a single primitive compare against
+  * `heap(0)`: no allocation, no tree walk. Dedup lookups only run for
+  * values that beat the threshold, which is ~k/n of the stream. */
+final class KmvBuffer(val k: Int) {
+  val heap = new Array[Long](k)
+  var size = 0
+  private val seen = new java.util.HashSet[java.lang.Long](k * 2)
+
+  def insert(h: Long): Unit = {
+    if (size == k && h >= heap(0)) return // saturated fast path
+    if (!seen.add(h)) return
+    if (size < k) { // grow: sift up
+      var i = size
+      heap(i) = h
+      size += 1
+      while (i > 0 && heap((i - 1) / 2) < heap(i)) {
+        val p = (i - 1) / 2
+        val t = heap(p); heap(p) = heap(i); heap(i) = t
+        i = p
+      }
+    } else { // replace max: sift down
+      seen.remove(heap(0))
+      heap(0) = h
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = 2 * i + 2
+        var m = i
+        if (l < size && heap(l) > heap(m)) m = l
+        if (r < size && heap(r) > heap(m)) m = r
+        if (m == i) done = true
+        else { val t = heap(m); heap(m) = heap(i); heap(i) = t; i = m }
+      }
+    }
+  }
+
+  /** Max of the kept set (the kth-smallest overall when saturated). */
+  def kthMin: Long = heap(0)
+}
+
 /** KMV (k-minimum-values) distinct-count sketch as a custom Catalyst typed
   * aggregate — the "novel sketch as a first-class aggregate" extension path
   * (the reference's only aggregates are compiled-in, function_aggr.go; this
@@ -16,16 +60,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * smallest 64-bit hashes; if fewer than k seen, the count is exact;
   * otherwise estimate (k-1) / kth-min-normalized.
   *
-  * The state is a bounded sorted buffer (≤ k longs), so partial aggregation
-  * is map-side and merges are associative — shuffle traffic is O(k) per
-  * group regardless of input size.
+  * The state is a bounded primitive heap (≤ k longs), so partial
+  * aggregation is map-side and merges are associative — shuffle traffic is
+  * O(k) per group regardless of input size.
   */
 case class KmvDistinct(
     child: Expression,
     k: Int = 512, // relative stddev ≈ 1/sqrt(k-2) ≈ 4.4%
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    extends TypedImperativeAggregate[KmvBuffer] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -38,8 +82,7 @@ case class KmvDistinct(
       s"kmv_distinct supports string/int/bigint, got $t")
   }
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   private def hash(v: Any): Long = v match {
     case s: UTF8String => VectorOps.fnv64(s, 0x4b4dL)
@@ -54,47 +97,41 @@ case class KmvDistinct(
     z ^ (z >>> 31)
   }
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h0: Long): Unit = {
-    val h = h0 & Long.MaxValue // use [0, 2^63) so normalization is simple
-    buf.add(h)
-    if (buf.size > k) buf.pollLast()
-  }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KmvBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) insert(buf, hash(v))
+    // use [0, 2^63) so normalization is simple
+    if (v != null) buf.insert(hash(v) & Long.MaxValue)
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) insert(buf, it.next())
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < other.size) { buf.insert(other.heap(i)); i += 1 }
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+  override def eval(buf: KmvBuffer): Any =
     if (buf.size < k) buf.size.toLong
     else {
-      val kth = buf.last().toDouble / Long.MaxValue.toDouble
+      val kth = buf.kthMin.toDouble / Long.MaxValue.toDouble
       math.round((k - 1) / kth)
     }
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + buf.size * 8)
     bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.heap(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new java.util.TreeSet[java.lang.Long]()
+    val buf = new KmvBuffer(k)
     var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
     buf
   }
 
