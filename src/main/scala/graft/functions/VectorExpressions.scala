@@ -196,6 +196,10 @@ object GraftFunctions {
       BloomAgg(es(0), es(1), es(2)).toAggregateExpression()),
     "pq_encode" -> (es => PqEncode(es(0), es(1), es(2), es(3))),
     "pq_adc" -> (es => PqAdc(es(0), es(1))),
+    "sq_encode" -> (es => SqEncode(es(0), es(1), es(2))),
+    "sq_adc" -> (es => SqAdc(es(0), es(1), es(2), es(3))),
+    "bq_encode" -> (es => BqEncode(es.head)),
+    "bq_hamming" -> (es => BqHamming(es(0), es(1))),
     "cjk_tokens" -> (es => CjkTokens(es.head)))
 
   def register(spark: SparkSession): Unit = {

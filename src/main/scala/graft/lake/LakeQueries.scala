@@ -81,36 +81,49 @@ object LakeQueries {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
-  val ivfPq: Q = Q.noOracle("ann_ivfpq_topk") { (s, dir) =>
-    // bounded deterministic corpus: the demo exercises the full persisted
-    // path (create → train → encode → search) at a fixed cost regardless
-    // of SF; recall/footprint at scale are VectorIndexSpec's job
-    val emb = Tables.load(s, dir, "embeddings")
-      .select("vec_id", "label", "embedding")
-      .filter(col("vec_id") < 5000)
-    val perSession = {
-      var m = pqRoots.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, String]
-        pqRoots.put(s, m)
+  private def quantizedTopK(quantizer: String): (
+      org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, dir) => {
+      // bounded deterministic corpus: the demo exercises the full persisted
+      // path (create → train → encode → search) at a fixed cost regardless
+      // of SF; recall/footprint at scale are VectorIndexSpec's job
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(col("vec_id") < 5000)
+      val perSession = {
+        var m = pqRoots.get(s)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, String]
+          pqRoots.put(s, m)
+        }
+        m
       }
-      m
+      val root = perSession.computeIfAbsent(s"$quantizer:$dir", _ => {
+        val r = Files.createTempDirectory(s"lake-$quantizer-${UUID.randomUUID()}")
+          .toString
+        val ds = LakeDataset.create(s, r, emb.schema)
+        ds.append(emb.coalesce(1))
+        VectorIndex.build(ds, "embedding", name = s"ivf$quantizer",
+          quantizer = quantizer)
+        r
+      })
+      val ds = LakeDataset.open(s, root)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      VectorIndex.search(ds, "embedding", q, k = 10, nprobe = 4,
+        name = s"ivf$quantizer")
+        .select("vec_id", "label", "similarity")
     }
-    val root = perSession.computeIfAbsent(dir, _ => {
-      val r = Files.createTempDirectory(s"lake-pq-${UUID.randomUUID()}")
-        .toString
-      val ds = LakeDataset.create(s, r, emb.schema)
-      ds.append(emb.coalesce(1))
-      VectorIndex.build(ds, "embedding", name = "ivfpq", pq = true)
-      r
-    })
-    val ds = LakeDataset.open(s, root)
-    val q = emb.filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0)
-    VectorIndex.search(ds, "embedding", q, k = 10, nprobe = 4,
-      name = "ivfpq")
-      .select("vec_id", "label", "similarity")
-  }
+
+  val ivfPq: Q = Q.noOracle("ann_ivfpq_topk")(quantizedTopK("pq"))
+
+  /** IVF-SQ: per-dimension uint8 scalar quantization (4× smaller codes,
+    * near-lossless ranking) + exact re-rank. */
+  val ivfSq: Q = Q.noOracle("ann_sq_topk")(quantizedTopK("sq"))
+
+  /** IVF-BQ: sign-bit binary quantization (32× smaller codes), Hamming
+    * pre-rank + exact re-rank. */
+  val ivfBq: Q = Q.noOracle("ann_bq_topk")(quantizedTopK("bq"))
 
   /** Name-based SQL through the [[LakeCatalog]]: CREATE TABLE + INSERT
     * from `nation`, then SELECT by catalog-qualified name. Oracle replays
@@ -225,5 +238,6 @@ object LakeQueries {
   }
 
   def all: Seq[Q] =
-    Seq(versionedCrud, dsv2Read, ivfPq, catalogRead, sqlDml, sqlDmlMor)
+    Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, catalogRead, sqlDml,
+      sqlDmlMor)
 }

@@ -38,16 +38,30 @@ object VectorIndex {
   /** Exact-rerank window multiplier: top refine·k ADC candidates get the
     * full-vector cosine. */
   val PqRefine = 8
+  /** BQ re-rank window: 1-bit-per-dim Hamming is a coarser pre-rank than
+    * ADC (64 distinct values, heavy ties), so the exact re-rank window is
+    * wider. */
+  val BqRefine = 16
 
   private def indexDir(ds: LakeDataset, name: String, version: Long) =
     Paths.get(ds.root, "_indexes", name, f"v$version%020d")
 
   /** Build (train + assign + persist) at the dataset's current version.
-    * With `pq=true`, also trains per-subspace codebooks (on a bounded
-    * deterministic sample — standard PQ practice at scale) and stores
-    * per-vector byte codes beside the cluster assignments. */
+    *
+    * `quantizer` picks the per-vector code stored beside the cluster
+    * assignments (the reference's quantizer family, storage2/pq_quantizer
+    * .go, sq_quantizer.go, bq_quantizer.go):
+    *  - `"flat"`: none — candidates re-rank against full vectors only.
+    *  - `"pq"`: product quantization — trains per-subspace codebooks (on a
+    *    bounded deterministic sample, standard PQ practice at scale) and
+    *    stores m one-byte codes per vector.
+    *  - `"sq"`: scalar quantization — per-dimension affine uint8 grid; D
+    *    bytes per vector, 4× smaller than float32, near-lossless ranking.
+    *  - `"bq"`: binary quantization — one sign bit per dimension; D/8
+    *    bytes per vector, 32× smaller, Hamming pre-rank + exact re-rank.
+    */
   def build(ds: LakeDataset, vecCol: String, name: String = "ivf",
-      pq: Boolean = false): Unit = {
+      quantizer: String = "flat"): Unit = {
     val spark = ds.spark
     GraftFunctions.register(spark)
     val data = ds.scanner().withRowId.build()
@@ -59,9 +73,42 @@ object VectorIndex {
     Files.createDirectories(dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
 
-    val withCodes =
-      if (!pq) assign.select(col("cluster"), col("vec_id").as("_rowid"))
-      else {
+    // quantize UNIT vectors in all three schemes: the search metric is
+    // cosine, and on the unit sphere L2² = 2 − 2·cos (resp. sign-pattern
+    // Hamming ≈ angle), so approximate ranking agrees with cosine
+    def normalizedE = e.withColumn("embedding", normalized(col("embedding")))
+
+    val withCodes = quantizer match {
+      case "flat" => assign.select(col("cluster"), col("vec_id").as("_rowid"))
+      case "sq" =>
+        val en = normalizedE
+        val stats = en
+          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("pos")
+          .agg(min("v").as("mn"), max("v").as("mx"))
+          .collect()
+        val dim = stats.map(_.getInt(0)).max + 1
+        val mins = new Array[Float](dim)
+        val spans = new Array[Float](dim)
+        stats.foreach { r =>
+          mins(r.getInt(0)) = r.getFloat(1)
+          spans(r.getInt(0)) = r.getFloat(2) - r.getFloat(1)
+        }
+        import spark.implicits._
+        Seq((mins.toSeq, spans.toSeq)).toDF("mins", "spans")
+          .write.mode("overwrite").parquet(s"$dir/sq")
+        en.join(assign, "vec_id")
+          .select(col("cluster"), col("vec_id").as("_rowid"),
+            call_function("sq_encode", col("embedding"),
+              typedlit(mins.toSeq), typedlit(spans.toSeq)).as("codes"))
+      case "bq" =>
+        import spark.implicits._
+        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        Seq(dim).toDF("dim").write.mode("overwrite").parquet(s"$dir/bq")
+        normalizedE.join(assign, "vec_id")
+          .select(col("cluster"), col("vec_id").as("_rowid"),
+            call_function("bq_encode", col("embedding")).as("codes"))
+      case "pq" =>
         val dim = e.select(size(col("embedding"))).head().getInt(0)
         require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
         val dsub = dim / PqM
@@ -70,10 +117,7 @@ object VectorIndex {
         // that buys little recall (the exact re-rank absorbs residual
         // quantization error) but doubles every training join
         val k = math.min(128L, math.max(16L, n / 4)).toInt
-        // quantize UNIT vectors: the search metric is cosine, and on the
-        // unit sphere L2² = 2 − 2·cos, so ADC ranking agrees with cosine
-        // (quantizing raw vectors would rank by magnitude too)
-        val en = e.withColumn("embedding", normalized(col("embedding")))
+        val en = normalizedE
         val cb = trainPqCodebooks(en, PqM, k, dsub)
         cb.write.mode("overwrite").parquet(s"$dir/codebooks")
         val flat = flattenCodebook(
@@ -84,7 +128,9 @@ object VectorIndex {
           .select(col("cluster"), col("vec_id").as("_rowid"),
             call_function("pq_encode", col("embedding"),
               typedlit(flat.toSeq), lit(PqM), lit(k)).as("codes"))
-      }
+      case other => throw new IllegalArgumentException(
+        s"unknown quantizer '$other' (flat|pq|sq|bq)")
+    }
     withCodes
       .repartition(1).sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$dir/assignments")
@@ -183,15 +229,34 @@ object VectorIndex {
         val probedAssign = spark.read.parquet(s"$dir/assignments")
           .join(broadcast(probed), Seq("cluster"))
         val assignments =
-          if (!Files.exists(Paths.get(s"$dir/codebooks"))) probedAssign
-          else {
+          if (Files.exists(Paths.get(s"$dir/codebooks"))) {
             val lut = queryLut(spark, s"$dir/codebooks", query)
             probedAssign
               .withColumn("_adc",
                 call_function("pq_adc", col("codes"), typedlit(lut.toSeq)))
               .orderBy(col("_adc"), col("_rowid"))
               .limit(PqRefine * k)
-          }
+          } else if (Files.exists(Paths.get(s"$dir/sq"))) {
+            val row = spark.read.parquet(s"$dir/sq").head()
+            val mins = row.getSeq[Float](row.fieldIndex("mins"))
+            val spans = row.getSeq[Float](row.fieldIndex("spans"))
+            probedAssign
+              .withColumn("_adc",
+                call_function("sq_adc", col("codes"),
+                  typedlit(normalizeQuery(query).toSeq),
+                  typedlit(mins), typedlit(spans)))
+              .orderBy(col("_adc"), col("_rowid"))
+              .limit(PqRefine * k)
+          } else if (Files.exists(Paths.get(s"$dir/bq"))) {
+            val qcode = graft.functions.SqOps.bqEncode(
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+                normalizeQuery(query)))
+            probedAssign
+              .withColumn("_h",
+                call_function("bq_hamming", col("codes"), lit(qcode)))
+              .orderBy(col("_h"), col("_rowid"))
+              .limit(BqRefine * k)
+          } else probedAssign
         live.join(assignments.select(col("_rowid").as("_idx_rowid")),
           col(LakeDataset.RowIdCol) === col("_idx_rowid"))
           .drop("_idx_rowid")
@@ -205,14 +270,17 @@ object VectorIndex {
         round(col("_sim"), 4).as("similarity")): _*)
   }
 
+  /** Codes quantize unit vectors — queries must be normalized to match. */
+  private def normalizeQuery(q: Seq[Float]): Array[Float] = {
+    val n = math.sqrt(q.map(v => v.toDouble * v).sum)
+    if (n == 0.0) q.toArray else q.map(v => (v / n).toFloat).toArray
+  }
+
   /** Driver-side LUT [m][k]: squared L2 from each query subvector to each
     * codeword; unused slots get MaxValue so they never rank. */
   private def queryLut(spark: SparkSession, cbPath: String,
       query0: Seq[Float]): Array[Float] = {
-    // codebooks quantize unit vectors — normalize the query to match
-    val qn = math.sqrt(query0.map(v => v.toDouble * v).sum)
-    val query =
-      if (qn == 0.0) query0 else query0.map(v => (v / qn).toFloat)
+    val query = normalizeQuery(query0)
     val rows = spark.read.parquet(cbPath).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     val m = rows.map(_._1).max + 1

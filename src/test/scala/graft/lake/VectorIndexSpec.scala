@@ -57,7 +57,7 @@ class VectorIndexSpec extends SparkTestBase {
     // brute-force truth before any index exists
     val brute = VectorIndex.search(ds, "embedding", q, k = 10)
       .collect().map(_.getLong(0)).toSet
-    VectorIndex.build(ds, "embedding", name = "ivfpq", pq = true)
+    VectorIndex.build(ds, "embedding", name = "ivfpq", quantizer = "pq")
     val pq = VectorIndex.search(ds, "embedding", q, k = 10,
       nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
       .collect().map(_.getLong(0)).toSet
@@ -88,7 +88,7 @@ class VectorIndexSpec extends SparkTestBase {
   test("IVF-PQ search stays correct under deletes and prefilters") {
     val ds = makeDs()
     val q = queryVec(ds)
-    VectorIndex.build(ds, "embedding", name = "ivfpq", pq = true)
+    VectorIndex.build(ds, "embedding", name = "ivfpq", quantizer = "pq")
     val before = VectorIndex.search(ds, "embedding", q, k = 5,
       nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
       .collect().map(_.getLong(0))
@@ -102,6 +102,81 @@ class VectorIndexSpec extends SparkTestBase {
       name = "ivfpq", prefilter = Some("label = 3")).collect()
     assert(pre.nonEmpty && pre.forall(_.getInt(1) == 3))
   }
+
+  test("IVF-SQ: recall@10 >= 0.9 vs brute at >= 2x smaller index footprint") {
+    val ds = makeDs()
+    val q = queryVec(ds)
+    val brute = VectorIndex.search(ds, "embedding", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    VectorIndex.build(ds, "embedding", name = "ivfsq", quantizer = "sq")
+    val sq = VectorIndex.search(ds, "embedding", q, k = 10,
+      nprobe = VectorIndex.DefaultClusters, name = "ivfsq")
+      .collect().map(_.getLong(0)).toSet
+    assert(sq.size == 10)
+    val recall = (sq & brute).size / 10.0
+    assert(recall >= 0.9, s"recall@10 = $recall")
+    // per-vector state is D uint8 codes (+rowid/cluster) vs D float32s
+    assert(indexBytes(ds, "ivfsq") * 2 <= dataBytes(ds),
+      s"codes ${indexBytes(ds, "ivfsq")} bytes vs data ${dataBytes(ds)} bytes")
+  }
+
+  test("IVF-BQ: recall@10 >= 0.7 vs brute at >= 4x smaller index footprint") {
+    val ds = makeDs()
+    val q = queryVec(ds)
+    val brute = VectorIndex.search(ds, "embedding", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    VectorIndex.build(ds, "embedding", name = "ivfbq", quantizer = "bq")
+    val bq = VectorIndex.search(ds, "embedding", q, k = 10,
+      nprobe = VectorIndex.DefaultClusters, name = "ivfbq")
+      .collect().map(_.getLong(0)).toSet
+    assert(bq.size == 10)
+    // 1 bit/dim is the coarsest quantizer; the re-rank window (BqRefine·k)
+    // recovers most, not all, of the exact top-k
+    val recall = (bq & brute).size / 10.0
+    assert(recall >= 0.7, s"recall@10 = $recall")
+    assert(indexBytes(ds, "ivfbq") * 4 <= dataBytes(ds),
+      s"codes ${indexBytes(ds, "ivfbq")} bytes vs data ${dataBytes(ds)} bytes")
+  }
+
+  test("SQ and BQ searches stay correct under deletes and prefilters") {
+    val ds = makeDs()
+    val q = queryVec(ds)
+    for (quant <- Seq("sq", "bq")) {
+      val name = s"ivf$quant"
+      VectorIndex.build(ds, "embedding", name = name, quantizer = quant)
+      val before = VectorIndex.search(ds, "embedding", q, k = 5,
+        nprobe = VectorIndex.DefaultClusters, name = name)
+        .collect().map(_.getLong(0))
+      val victim = before(1)
+      ds.delete(s"vec_id = $victim")
+      val after = VectorIndex.search(ds, "embedding", q, k = 5,
+        nprobe = VectorIndex.DefaultClusters, name = name)
+        .collect().map(_.getLong(0))
+      assert(!after.contains(victim), s"$quant returned a deleted row")
+      val pre = VectorIndex.search(ds, "embedding", q, k = 5, nprobe = 16,
+        name = name, prefilter = Some("label = 3")).collect()
+      assert(pre.nonEmpty && pre.forall(_.getInt(1) == 3))
+    }
+  }
+
+  private def dirBytes(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
+  /** Per-vector index state (assignments incl. codes), excluding O(k·D)
+    * constants (centroids / quantizer params) that amortize at scale. */
+  private def indexBytes(ds: LakeDataset, name: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val vdir = Files.list(java.nio.file.Paths.get(ds.root, "_indexes", name))
+      .iterator().asScala.toSeq.head
+    dirBytes(vdir.resolve("assignments"))
+  }
+
+  private def dataBytes(ds: LakeDataset): Long =
+    dirBytes(java.nio.file.Paths.get(ds.root, "data"))
 
   test("index stays consistent under later deletes (stable rowid join)") {
     val ds = makeDs()
