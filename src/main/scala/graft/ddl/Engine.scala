@@ -61,17 +61,31 @@ object Engine {
     * verifying declared constraints first (executor_insert.go:1-120 →
     * storage/table.go:282+): NOT NULL columns reject null batch values;
     * the primary key must be unique within the batch AND absent from the
-    * table. Set `enforceConstraints=false` to bulk-load unchecked. */
+    * table. Set `enforceConstraints=false` to bulk-load unchecked.
+    *
+    * The batch is pinned (localCheckpoint) before validation so the rows
+    * checked ARE the rows written — a non-deterministic source re-evaluated
+    * between check and write could otherwise pass validation yet write
+    * violating rows. Enforcement assumes a single writer per table, like
+    * the reference's engine (one process owns storage-v1): two concurrent
+    * inserts of the same key can both pass the existence probe; there is
+    * no table-level lock to serialize them.  */
   def insertInto(spark: SparkSession, table: String, df: DataFrame,
       enforceConstraints: Boolean = true): Unit = {
-    if (enforceConstraints) {
-      import org.apache.spark.sql.functions._
+    if (!enforceConstraints) {
+      df.write.mode(SaveMode.Append).insertInto(table)
+      return
+    }
+    import org.apache.spark.sql.functions._
+    // eager=true materializes now: check-then-act sees one snapshot
+    val batch = df.localCheckpoint(true)
+    try {
       val target = spark.table(table)
       // NOT NULL: one aggregate over the batch
       val required = target.schema.fields.filterNot(_.nullable).map(_.name)
-        .filter(df.columns.contains)
+        .filter(batch.columns.contains)
       if (required.nonEmpty) {
-        val counts = df.agg(
+        val counts = batch.agg(
           count(lit(1)).as("_n"),
           required.map(c =>
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c")): _*)
@@ -84,17 +98,17 @@ object Engine {
       }
       val pk = primaryKeyOf(spark, table)
       if (pk.nonEmpty) {
-        val dupIn = df.groupBy(pk.map(col): _*)
+        val dupIn = batch.groupBy(pk.map(col): _*)
           .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
         if (!dupIn.isEmpty) throw new ConstraintViolationException(
           s"PRIMARY KEY violation: duplicate key within the batch on $pk")
-        val existing = df.select(pk.map(col): _*)
+        val existing = batch.select(pk.map(col): _*)
           .join(target.select(pk.map(col): _*), pk, "left_semi").limit(1)
         if (!existing.isEmpty) throw new ConstraintViolationException(
           s"PRIMARY KEY violation: key already present in $table on $pk")
       }
-    }
-    df.write.mode(SaveMode.Append).insertInto(table)
+      batch.write.mode(SaveMode.Append).insertInto(table)
+    } finally batch.unpersist()
   }
 
   /** COPY FROM file into a catalog table (executor_scan.go:272-460 parquet/

@@ -188,7 +188,8 @@ final class LakeDataset private (
       nextRowId = math.max(m.nextRowId, maxRid + 1),
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = "append"))
+      operation = "append",
+      touchedFragmentIds = Nil))
   }
 
   /** Exactly-once micro-batch append for Structured Streaming's
@@ -216,7 +217,8 @@ final class LakeDataset private (
           properties = m.properties + (key -> batchId.toString),
           parentVersion = Some(m.version),
           createdMs = System.currentTimeMillis(),
-          operation = s"append_stream($queryKey,$batchId)"))
+          operation = s"append_stream($queryKey,$batchId)",
+      touchedFragmentIds = Nil))
         applied = true
       }
     }
@@ -331,9 +333,12 @@ final class LakeDataset private (
             maxFragmentId = math.max(m.maxFragmentId,
               (0L +: frags.map(_.id)).max),
             nextRowId = math.max(m.nextRowId, t.maxRowId + 1),
+            deletionFiles = Nil, // all replaced rows are gone with the data
+            deletedRowCount = 0L,
             parentVersion = Some(m.version),
             createdMs = System.currentTimeMillis(),
-            operation = "overwrite"))
+            operation = "overwrite",
+            touchedFragmentIds = Nil))
         }
         t.fragments.map(_.rowCount).sum
       case other =>
@@ -370,7 +375,8 @@ final class LakeDataset private (
       nextRowId = math.max(m.nextRowId, staged.maxRowId + 1),
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = "append_detached"))
+      operation = "append_detached",
+      touchedFragmentIds = Nil))
   }
 
   /** Replace all data with `df` in one commit. Overwrite depends on no
@@ -386,9 +392,12 @@ final class LakeDataset private (
       fragments = frags,
       maxFragmentId = m.maxFragmentId + frags.size,
       nextRowId = math.max(m.nextRowId, maxRid + 1),
+      deletionFiles = Nil, // all replaced rows are gone with the data
+      deletedRowCount = 0L,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = "overwrite"))
+      operation = "overwrite",
+      touchedFragmentIds = Nil))
   }
 
   /** Delete rows matching the predicate (Spark SQL expression string — a
@@ -524,7 +533,8 @@ final class LakeDataset private (
       properties = m.properties ++ props,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = s"set_properties(${props.keys.mkString(",")})"))
+      operation = s"set_properties(${props.keys.mkString(",")})",
+      touchedFragmentIds = Nil))
   }
 
   def removeProperties(keys: Seq[String]): Unit =
@@ -534,7 +544,8 @@ final class LakeDataset private (
       properties = m.properties -- keys,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = s"unset_properties(${keys.mkString(",")})"))
+      operation = s"unset_properties(${keys.mkString(",")})",
+      touchedFragmentIds = Nil))
   }
 
   /** Commit a merge-on-read delta: tombstone rowids (deletion-vector files
@@ -607,7 +618,8 @@ final class LakeDataset private (
       maxFieldId = m.maxFieldId + added.length,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = "add_columns"))
+      operation = "add_columns",
+      touchedFragmentIds = Nil))
   }
 
   /** Drop columns: metadata-only (data stays in old fragments, unread). */
@@ -621,7 +633,8 @@ final class LakeDataset private (
       fields = keep,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = "drop_columns"))
+      operation = "drop_columns",
+      touchedFragmentIds = Nil))
   }
 
   /** Widen a column's type: metadata-only commit (reference AlterColumns
@@ -654,7 +667,8 @@ final class LakeDataset private (
       bloomFields = m.bloomFields.filterNot(_ == f.id),
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = s"alter_column_type($name)"))
+      operation = s"alter_column_type($name)",
+      touchedFragmentIds = Nil))
   }
 
   /** Rename a column: metadata-only (physical name is the field id). */
@@ -667,7 +681,8 @@ final class LakeDataset private (
       fields = m.fields.map(f => if (f.name == from) f.copy(name = to) else f),
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = "rename_column"))
+      operation = "rename_column",
+      touchedFragmentIds = Nil))
   }
 
   // ----------------------------------------------------------- time travel
@@ -681,9 +696,21 @@ final class LakeDataset private (
       fields = old.fields,
       maxFieldId = math.max(m.maxFieldId, old.maxFieldId),
       fragments = old.fragments,
+      // the old version's merge-on-read tombstones are part of its content:
+      // without them a restore across a purge resurrects deleted rows, and
+      // a restore TO a version with pending tombstones must re-apply them
+      deletionFiles = old.deletionFiles,
+      deletedRowCount = old.deletedRowCount,
+      // index declarations describe the restored fragments' sidecars
+      bloomFields = old.bloomFields,
+      bloomNumBits = old.bloomNumBits,
+      bloomNumHashes = old.bloomNumHashes,
+      valueSetFields = old.valueSetFields,
+      valueSetMaxDistinct = old.valueSetMaxDistinct,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = s"restore($v)"))
+      operation = s"restore($v)",
+      touchedFragmentIds = Nil))
   }
 
   /** Shallow clone (reference ShallowClone, sdk/dataset.go:623-965): a new
@@ -710,9 +737,14 @@ final class LakeDataset private (
     val cm = m.copy(
       version = 1,
       fragments = frags,
+      // deletion vectors are source files too: absolutize like the blooms,
+      // or the clone resolves '_deletes/...' under its own (empty) root —
+      // every read fails, or worse, tombstoned rows silently resurrect
+      deletionFiles = m.deletionFiles.map(d => abs.resolve(d).toString),
       parentVersion = None,
       createdMs = System.currentTimeMillis(),
-      operation = s"shallow_clone($root@${m.version})")
+      operation = s"shallow_clone($root@${m.version})",
+      touchedFragmentIds = Nil)
     Files.writeString(
       manifests.resolve(Manifest.versionFileName(1)), Manifest.toJson(cm))
     new LakeDataset(spark, targetPath, cm)
@@ -780,7 +812,8 @@ final class LakeDataset private (
       fragments = updatedFrags,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = s"create_bloom_index(${cols.mkString(",")})"))
+      operation = s"create_bloom_index(${cols.mkString(",")})",
+      touchedFragmentIds = Nil))
   }
 
   /** One job: per (fragment, bloom field) serialized bloom → sidecar file.
@@ -837,14 +870,25 @@ final class LakeDataset private (
         .forEach(p => Files.deleteIfExists(p))
       return 0L
     }
-    withOpRetry(OpKind.DeleteUpdate, 5) {
+    // Record the pruned candidates as this commit's touched fragments so
+    // value-rewriting ops (CoW update/delete, MoR update/merge) get the
+    // conflict matrix's overlap refinement against this delete — their
+    // rewrites may not preserve the tombstoned rowids' identity. Pruning
+    // is conservative, so candidates ⊇ the fragments actually holding
+    // deleted rows. Tombstone-only deletes themselves commute (rowid
+    // unions are order-independent), hence the dedicated DeleteDv kind;
+    // the purge lost-update hole is closed by commitRewrite's
+    // foldedDeletes guard.
+    val candidateIds = candidates.map(_.id).toSet
+    withOpRetry(OpKind.DeleteDv, 5, touched = candidateIds) {
       commit(m.copy(
         version = m.version + 1,
         deletionFiles = m.deletionFiles :+ dvName,
         deletedRowCount = m.deletedRowCount + n,
         parentVersion = Some(m.version),
         createdMs = System.currentTimeMillis(),
-        operation = "delete_dv"))
+        operation = "delete_dv",
+        touchedFragmentIds = candidateIds.toSeq.sorted))
     }
     n
   }
@@ -853,16 +897,31 @@ final class LakeDataset private (
     * without the tombstoned rows and clear the deletion list, in one
     * commit. */
   def purgeDeletes(targetRows: Long = 1 << 20): Unit = {
-    if (m.deletionFiles.isEmpty) return
-    val all = m.fragments.map(_.id).toSet
-    val total = m.fragments.map(_.rowCount).sum
-    val parts = math.max(1, (total / targetRows).toInt +
-      (if (total % targetRows > 0) 1 else 0))
-    val live = readFragments(m, m.fragments, withRowId = true)
-      .repartition(parts)
-    val (frags, _) = stageFragments(toPhysicalPreservingRowId(live, m), m)
-    commitRewrite(OpKind.Rewrite, all, frags, "purge_deletes",
-      clearDeletes = true)
+    var attempts = 3
+    while (true) {
+      if (m.deletionFiles.isEmpty) return
+      val all = m.fragments.map(_.id).toSet
+      val folded = m.deletionFiles
+      val total = m.fragments.map(_.rowCount).sum
+      val parts = math.max(1, (total / targetRows).toInt +
+        (if (total % targetRows > 0) 1 else 0))
+      val live = readFragments(m, m.fragments, withRowId = true)
+        .repartition(parts)
+      val (frags, _) = stageFragments(toPhysicalPreservingRowId(live, m), m)
+      try {
+        commitRewrite(OpKind.Rewrite, all, frags, "purge_deletes",
+          clearDeletes = true, foldedDeletes = folded)
+        return
+      } catch {
+        // a concurrent tombstone landed between planning and commit:
+        // rebasing would DROP it (clearDeletes) and resurrect its rows, so
+        // re-plan the whole fold from the refreshed manifest instead
+        case e: CommitConflictException =>
+          attempts -= 1
+          if (attempts == 0) throw e
+          refresh()
+      }
+    }
   }
 
   /** Declare a value-set (bitmap-style) index on low-cardinality `cols`:
@@ -880,7 +939,7 @@ final class LakeDataset private (
       else {
         val phys = physicalSchema(m)
         val aggs = next.valueSetFields.map { fid =>
-          slice(sort_array(collect_set(col(physName(fid)).cast("string"))),
+          slice(sort_array(collect_set(valueSetRender(next, fid))),
             1, maxDistinct + 1).as(s"_vs_$fid")
         }
         val rows = spark.read.schema(phys)
@@ -904,7 +963,8 @@ final class LakeDataset private (
       fragments = updated,
       parentVersion = Some(m.version),
       createdMs = System.currentTimeMillis(),
-      operation = s"create_valueset_index(${cols.mkString(",")})"))
+      operation = s"create_valueset_index(${cols.mkString(",")})",
+      touchedFragmentIds = Nil))
   }
 
   /** Rewrite the dataset range-partitioned and sorted by `sortCol` so
@@ -1114,7 +1174,8 @@ final class LakeDataset private (
     * from the winner, renumber new fragment ids) and retry. */
   private[lake] def commitRewrite(kind: OpKind.Value, touchedIds: Set[Long],
       newFrags0: Seq[Fragment], op: String, nextRowIdOpt: Option[Long] = None,
-      attempts: Int = 5, clearDeletes: Boolean = false): Unit = {
+      attempts: Int = 5, clearDeletes: Boolean = false,
+      foldedDeletes: Seq[String] = Nil): Unit = {
     var left = attempts
     var newFrags = newFrags0
     while (true) {
@@ -1129,6 +1190,13 @@ final class LakeDataset private (
         throw new CommitConflictException(
           s"fragments ${(touchedIds -- currentIds).toSeq.sorted.mkString(",")}" +
             " were rewritten since this operation was planned")
+      // a clearing rewrite folded a SPECIFIC deletion-vector list into its
+      // staged rows; if the manifest's list changed since planning (a
+      // concurrent merge-on-read delete landed), dropping it would
+      // resurrect those rows — belt to the matrix overlap check above
+      if (clearDeletes && m.deletionFiles != foldedDeletes)
+        throw new CommitConflictException(
+          "deletion vectors changed since this purge was planned; re-run")
       val untouched = m.fragments.filterNot(f => touchedIds(f.id))
       try {
         commit(m.copy(
@@ -1225,6 +1293,9 @@ final class LakeDataset private (
     case other => Seq(other)
   }
 
+  /** Shape of a micros-rendered timestamp stat / value-set entry. */
+  private val epochMicrosRe = "-?\\d+".r
+
   private def mayMatch(frag: Fragment, byName: Map[String, FieldDef],
       c: CExpr): Boolean = {
     def stats(attr: CExpr): Option[ColumnStats] = attr match {
@@ -1234,21 +1305,25 @@ final class LakeDataset private (
     }
     def cmp(stat: String, l: Literal): Option[Int] = (l.value, l.dataType) match {
       case (null, _) => None
-      // Timestamp literals: micros → string in the SESSION timezone (stat
-      // strings come from a cast-to-string, which uses it too); lexical
-      // order == time order at whole-second granularity. Comparison is
-      // truncated to seconds, so equality is UNKNOWN (sub-second stat or
-      // literal digits may differ either way) → None keeps pruning
-      // conservative; only strict <,> at second granularity may prune.
+      // Timestamp stats are epoch micros (zone-independent, exact); legacy
+      // manifests rendered them as session-timezone strings — for those,
+      // lexical order == time order only at whole-second granularity AND
+      // only when reader and writer share a zone, so the fallback compares
+      // second-truncated and reports equality as UNKNOWN (None = keep the
+      // fragment, conservative).
       case (micros: java.lang.Long, _: TimestampType) =>
-        val zone = java.time.ZoneId.of(
-          spark.sessionState.conf.sessionLocalTimeZone)
-        val iso = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
-          .atZone(zone).toLocalDateTime
-          .format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss"))
-        val c = stat.take(iso.length).compareTo(iso)
-        if (c == 0) None else Some(c)
+        if (epochMicrosRe.matches(stat))
+          Some(java.lang.Long.compare(stat.toLong, micros))
+        else {
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val iso = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+            .atZone(zone).toLocalDateTime
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))
+          val c = stat.take(iso.length).compareTo(iso)
+          if (c == 0) None else Some(c)
+        }
       case (v: Number, _) =>
         try Some(BigDecimal(stat).compare(BigDecimal(v.toString)))
         catch { case _: NumberFormatException => None }
@@ -1313,22 +1388,32 @@ final class LakeDataset private (
           set <- frag.valueSets.get(f.id.toString)
         } yield {
           val dt = DataType.fromJson(f.dataType)
-          val casted =
-            try org.apache.spark.sql.catalyst.expressions.Cast(
-              l, StringType, Some(spark.sessionState.conf.sessionLocalTimeZone))
-              .eval(null)
-          catch { case _: RuntimeException => null }
-          if (casted == null) true
-          else {
-            val lv = casted.toString
-            // numeric normalization mirrors the zonemap compare
-            (l.value, dt) match {
-              case (_: Number, _) =>
-                set.exists(v =>
-                  try BigDecimal(v) == BigDecimal(lv)
-                  catch { case _: NumberFormatException => v == lv })
-              case _ => set.contains(lv)
-            }
+          // timestamp sets are rendered as epoch micros at build time
+          // (zone-independent); a legacy string-rendered set (non-numeric
+          // entries) keeps the fragment conservatively
+          (l.value, dt) match {
+            case (micros: java.lang.Long, TimestampType) =>
+              if (set.forall(epochMicrosRe.matches)) set.contains(micros.toString)
+              else true
+            case _ =>
+              val casted =
+                try org.apache.spark.sql.catalyst.expressions.Cast(
+                  l, StringType,
+                  Some(spark.sessionState.conf.sessionLocalTimeZone))
+                  .eval(null)
+              catch { case _: RuntimeException => null }
+              if (casted == null) true
+              else {
+                val lv = casted.toString
+                // numeric normalization mirrors the zonemap compare
+                (l.value, dt) match {
+                  case (_: Number, _) =>
+                    set.exists(v =>
+                      try BigDecimal(v) == BigDecimal(lv)
+                      catch { case _: NumberFormatException => v == lv })
+                  case _ => set.contains(lv)
+                }
+              }
           }
         }).getOrElse(true)
       case _ => true
@@ -1411,6 +1496,20 @@ final class LakeDataset private (
     live.select(out: _*)
   }
 
+  /** TIMESTAMP (with local-time-zone) fields render zonemap / value-set
+    * stats as epoch micros — session-timezone-independent. NTZ timestamps,
+    * dates and everything else cast to string zone-independently already. */
+  private def isTimestampField(f: FieldDef): Boolean =
+    DataType.fromJson(f.dataType) == TimestampType
+
+  /** How a value-set entry for field `fid` is rendered at index-build time;
+    * [[valueSetMayContain]] renders probe literals the same way. */
+  private def valueSetRender(man: Manifest, fid: Int): Column = {
+    val f = man.fields.find(_.id == fid).get
+    if (isTimestampField(f)) unix_micros(col(physName(fid))).cast("string")
+    else col(physName(fid)).cast("string")
+  }
+
   /** Logical df → physical columns (cast + rename to f<id>). */
   private def toPhysical(df: DataFrame, man: Manifest): DataFrame = {
     val missing = man.fields.map(_.name).filterNot(df.columns.contains)
@@ -1477,14 +1576,20 @@ final class LakeDataset private (
     // distinct sets capped at max+1: an overflowing set comes back with
     // max+1 entries and is discarded (column not low-card in this file)
     val vsAggs = man.valueSetFields.map { fid =>
-      slice(sort_array(collect_set(col(physName(fid)).cast("string"))),
+      slice(sort_array(collect_set(valueSetRender(man, fid))),
         1, man.valueSetMaxDistinct + 1).as(s"_vs_$fid")
     }
     val aggs = count(lit(1)).as("_cnt") +: max(col(RowIdCol)).as("_maxrid") +:
       (man.fields.flatMap { f =>
         val p = physName(f.id)
-        Seq(min(col(p)).cast("string").as(s"_min_${f.id}"),
-          max(col(p)).cast("string").as(s"_max_${f.id}"),
+        // TIMESTAMP stats as epoch micros: a cast-to-string renders in the
+        // WRITER session's timezone, and a reader probing in a different
+        // zone would prune fragments that contain matches (silent wrong
+        // results). Epoch micros are zone-independent and exact.
+        val statCol =
+          if (isTimestampField(f)) unix_micros(col(p)) else col(p)
+        Seq(min(statCol).cast("string").as(s"_min_${f.id}"),
+          max(statCol).cast("string").as(s"_max_${f.id}"),
           sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.id}"))
       } ++ bloomAggs ++ vsAggs)
     val statRows = spark.read.schema(phys)
@@ -1568,23 +1673,27 @@ object LakeDataset {
     * Lance-style matrix the reference implements, conflict.go:33-360).
     * Project = schema-shape ops (add/drop/rename/alter columns). */
   private[lake] object OpKind extends Enumeration {
-    val Append, DeleteUpdate, Rewrite, Merge, Overwrite, CreateIndex,
-      Project = Value
+    val Append, DeleteUpdate, DeleteDv, Rewrite, Merge, Overwrite,
+      CreateIndex, Project = Value
   }
 
   private[lake] def kindOf(operation: String): OpKind.Value =
     operation.takeWhile(_ != '(') match {
       case "append" | "append_detached" | "append_stream" | "create" =>
         OpKind.Append
-      case "delete" | "update" | "delete_dv" | "update_mor" | "merge_mor" =>
+      case "delete" | "update" | "update_mor" | "merge_mor" =>
         OpKind.DeleteUpdate
+      // tombstone-only delete: no fragment content changes; commutes with
+      // anything that preserves rowids (other DV deletes, compaction)
+      case "delete_dv" => OpKind.DeleteDv
       case "compact" | "optimize_layout" | "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge
       case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |
           "alter_column_type" | "set_properties" | "unset_properties" =>
         OpKind.Project
-      case "create_bloom_index" => OpKind.CreateIndex
+      case "create_bloom_index" | "create_valueset_index" =>
+        OpKind.CreateIndex
       case _ => OpKind.Merge // unknown: strictest row
     }
 
@@ -1602,18 +1711,41 @@ object LakeDataset {
     my match {
       case OpKind.Overwrite => false
       case OpKind.Append => other match {
-        case OpKind.Append | OpKind.DeleteUpdate | OpKind.Rewrite |
-            OpKind.CreateIndex => false
+        case OpKind.Append | OpKind.DeleteUpdate | OpKind.DeleteDv |
+            OpKind.Rewrite | OpKind.CreateIndex => false
         case _ => true
       }
       case OpKind.DeleteUpdate => other match {
         case OpKind.Append | OpKind.CreateIndex => false
         case OpKind.DeleteUpdate | OpKind.Rewrite => overlap
+        // a committed tombstone delete survives a CoW rewrite of its
+        // fragments: tombstones address stable rowids, and rewrites
+        // preserve them, so the retained deletionFiles keep applying —
+        // but be conservative when fragments overlap, like delete-delete
+        case OpKind.DeleteDv => overlap
+        case _ => true
+      }
+      // Tombstone-only delete (merge-on-read): fragment content is
+      // untouched, rowid unions commute. It conflicts only with ops that
+      // rewrite VALUES in its candidate fragments (the tombstones were
+      // planned against the old values — deleteUpdateConflict), and with
+      // the schema/overwrite family like any delete.
+      case OpKind.DeleteDv => other match {
+        case OpKind.Append | OpKind.CreateIndex | OpKind.DeleteDv => false
+        // plain compaction/optimize preserve rowids and values; the purge
+        // case (clearing tombstones) is guarded in commitRewrite, which
+        // refuses to clear a deletion list that changed since planning
+        case OpKind.Rewrite => false
+        case OpKind.DeleteUpdate => overlap
         case _ => true
       }
       case OpKind.Rewrite => other match {
         case OpKind.Append => false
         case OpKind.DeleteUpdate | OpKind.Rewrite => overlap
+        // rowids survive this rewrite, so committed tombstones keep
+        // applying to the rewritten fragments; a CLEARING rewrite
+        // (purge) is instead stopped by the foldedDeletes guard
+        case OpKind.DeleteDv => false
         case _ => true
       }
       case OpKind.Merge => other match {
@@ -1625,8 +1757,8 @@ object LakeDataset {
         case _ => false
       }
       case OpKind.Project => other match {
-        case OpKind.Append | OpKind.DeleteUpdate | OpKind.Rewrite |
-            OpKind.Project => false
+        case OpKind.Append | OpKind.DeleteUpdate | OpKind.DeleteDv |
+            OpKind.Rewrite | OpKind.Project => false
         case _ => true
       }
     }

@@ -15,6 +15,9 @@ object Images {
     * (seed, x, y), so every test/oracle can regenerate the exact bytes. */
   def synthPng(seed: Long, width: Int, height: Int): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    // fill the backing raster directly: per-pixel setRGB goes through the
+    // ColorModel on every call and dominates synthesis time
+    val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
@@ -22,11 +25,12 @@ object Images {
         val r = ((seed * 31 + x) & 0xff).toInt
         val g = ((x ^ y) & 0xff)
         val b = ((seed + y) & 0xff).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * width + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
     toPng(img)
   }
 
@@ -60,16 +64,15 @@ object Images {
   def decodeStats(bytes: Array[Byte]): (Int, Int, Double) = {
     val img = fromPng(bytes)
     val (w, h) = (img.getWidth, img.getHeight)
+    // one bulk getRGB: the per-pixel accessor re-runs ColorModel
+    // conversion per call and is ~10× slower over a whole frame
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var sum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      i += 1
     }
     (w, h, sum.toDouble / (3.0 * 255.0 * w * h))
   }

@@ -32,6 +32,12 @@ object Multimodal {
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(48)) * 2 + 16).cast("int").as("width"),
         (pmod(col("doc_id"), lit(32)) * 2 + 12).cast("int").as("height"))
+      // decode parallelism must not be hostage to the source file layout:
+      // a single small parquet file arrives as ONE partition, serializing
+      // the codec work. The exchange moves 16 bytes/row; decode is the
+      // expensive stage — same reason a 100 TB decode job repartitions
+      // metadata before firing the codecs.
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int)]
       .mapPartitions { rows =>
         // codec init amortized once per partition (ImageIO scans plugins on
@@ -67,6 +73,7 @@ object Multimodal {
         (pmod(col("doc_id"), lit(20)) * 50 + 200).cast("double").as("freq"),
         ((pmod(col("doc_id"), lit(9)) + 1) / 10.0).as("amp"),
         (pmod(col("doc_id"), lit(16)) * 128 + 512).cast("int").as("n"))
+      .repartition(s.sparkContext.defaultParallelism) // see decodeFeatures
       .as[(Long, Double, Double, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, freq, amp, n) =>

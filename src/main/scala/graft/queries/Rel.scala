@@ -132,21 +132,24 @@ object Rel {
       |ORDER BY p_partkey""".stripMargin)
 
   /** Math-function matrix over lineitem numerics: abs/ceil/floor/round/
-    * sqrt/power/mod/sign/exp/ln/log10, normalized to 6 decimals so both
-    * engines' doubles hash identically. */
+    * sqrt/power/mod/sign/exp/ln/log10. Every double lands in a
+    * DECIMAL(18,6) cast: Spark rounds via BigDecimal HALF_UP while DuckDB
+    * rounds through multiply/nearbyint/divide, so `round(double, 6)` can
+    * differ in the last binary ulp even when the decimal value agrees —
+    * decimals hash by exact digits on both engines. */
   val mathFuncs = Q.sql(
     "expr_math_funcs",
     """SELECT l_orderkey, l_linenumber,
-      |  abs(l_discount - 0.05) AS a,
+      |  CAST(abs(l_discount - 0.05) AS DECIMAL(18,6)) AS a,
       |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS c,
       |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS f,
-      |  round(sqrt(l_extendedprice), 6) AS sq,
-      |  round(power(l_quantity, 2), 6) AS p2,
+      |  CAST(sqrt(l_extendedprice) AS DECIMAL(18,6)) AS sq,
+      |  CAST(power(l_quantity, 2) AS DECIMAL(18,6)) AS p2,
       |  mod(CAST(l_orderkey AS BIGINT), 97) AS m97,
-      |  sign(l_discount - 0.05) AS sg,
-      |  round(exp(l_tax), 6) AS ex,
-      |  round(ln(l_extendedprice), 6) AS lg,
-      |  round(log10(l_extendedprice), 6) AS l10
+      |  CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
+      |  CAST(exp(l_tax) AS DECIMAL(18,6)) AS ex,
+      |  CAST(ln(l_extendedprice) AS DECIMAL(18,6)) AS lg,
+      |  CAST(log10(l_extendedprice) AS DECIMAL(18,6)) AS l10
       |FROM lineitem
       |WHERE l_orderkey <= 640
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)

@@ -135,4 +135,72 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(h1.refresh().read().collect().map(_.getLong(0)).toSeq == Seq(2L))
     assert(h1.manifest.deletionFiles.size == 2)
   }
+
+  test("purge re-plans over a concurrent DV delete instead of losing it") {
+    val root = tmpDir()
+    val a = LakeDataset.create(spark, root, schema)
+    a.append(rows((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)))
+    assert(a.delete("id = 1", useDeletionVectors = true) == 1)
+    // `a` plans its purge against [dv1]; `b` lands a second tombstone
+    // between a's plan and a's commit (stale-handle interleaving)
+    val b = LakeDataset.open(spark, root)
+    assert(b.delete("id = 3", useDeletionVectors = true) == 1)
+    // without the foldedDeletes guard the purge would rebase, clear the
+    // deletion list and resurrect id=3; with it, the purge re-plans from
+    // the refreshed manifest and folds BOTH tombstones
+    a.purgeDeletes()
+    assert(a.manifest.deletionFiles.isEmpty)
+    assert(a.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 4L))
+    assert(b.refresh().read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 4L))
+  }
+
+  test("shallow clone carries deletion vectors (absolutized paths)") {
+    val root = tmpDir()
+    val src = LakeDataset.create(spark, root, schema)
+    src.append(rows((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    assert(src.delete("id = 2", useDeletionVectors = true) == 1)
+    val clone = src.shallowClone(tmpDir())
+    // the clone must read THROUGH the source's tombstones, not fail on a
+    // clone-relative '_deletes/...' path or resurrect the deleted row
+    assert(clone.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
+    // clone-side purge folds them physically without touching the source
+    clone.purgeDeletes()
+    assert(clone.manifest.deletionFiles.isEmpty)
+    assert(clone.read().count() == 2)
+    assert(src.refresh().read().count() == 2)
+    assert(src.manifest.deletionFiles.size == 1)
+  }
+
+  test("restore replays the target version's deletion vectors") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    val vFull = ds.version
+    assert(ds.delete("id <= 2", useDeletionVectors = true) == 2)
+    val vTombstoned = ds.version
+    ds.purgeDeletes()
+    assert(ds.manifest.deletionFiles.isEmpty)
+    // restore to the tombstoned version: its pre-purge fragments come back
+    // WITH its deletion list, so the deleted rows stay deleted
+    ds.restore(vTombstoned)
+    assert(ds.manifest.deletionFiles.nonEmpty)
+    assert(ds.read().collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // restore to before the delete: full content, no tombstones
+    ds.restore(vFull)
+    assert(ds.manifest.deletionFiles.isEmpty)
+    assert(ds.read().count() == 3)
+  }
+
+  test("overwrite clears the deletion list with the data it replaces") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))
+    assert(ds.delete("id = 1", useDeletionVectors = true) == 1)
+    assert(ds.manifest.deletedRowCount == 1)
+    ds.overwrite(rows((10, "x", 0.0)))
+    assert(ds.manifest.deletionFiles.isEmpty)
+    assert(ds.manifest.deletedRowCount == 0)
+    assert(ds.read().collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
 }
