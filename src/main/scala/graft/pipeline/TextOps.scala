@@ -148,6 +148,132 @@ object TextOps {
           x => x.cast("string")))).as("fp_set_hash"))
   }
 
+  /** Count of the most frequent element = longest run in a sorted array,
+    * computed per row (no shuffle): fold over positions 2..n tracking the
+    * current and best run. The per-doc equivalent of `mode()`'s count. */
+  private def maxRunLen(sorted: Column, n: Column): Column =
+    when(n <= 1, n).otherwise(
+      aggregate(sequence(lit(2), n),
+        struct(lit(1).as("cur"), lit(1).as("best")),
+        (st, i) => {
+          val cur = when(element_at(sorted, i) === element_at(sorted, i - 1),
+            st.getField("cur") + 1).otherwise(lit(1))
+          struct(cur.as("cur"), greatest(st.getField("best"), cur).as("best"))
+        },
+        st => st.getField("best")))
+
+  /** Adjacent word pairs (n-1 bigrams); callers guard `n >= 2`. */
+  private def bigramsOf(words: Column, n: Column): Column =
+    transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+
+  /** Repetition signals (the Gopher-style quality heuristics, Rae et al.
+    * 2021 §A1.1): duplicate-word fraction, most-frequent-word fraction,
+    * most-frequent-bigram fraction. All per-row array folds — no shuffle,
+    * the 100 TB shape for per-doc scoring. Fractions land in DECIMAL(18,6)
+    * so both engines hash identical digits. */
+  val repetition = Q(
+    "text_repetition",
+    """SELECT doc_id,
+      |  CAST(len(l) AS BIGINT) AS n_words,
+      |  CAST(1.0 - CAST(len(list_distinct(l)) AS DOUBLE)/len(l)
+      |    AS DECIMAL(18,6)) AS dup_word_frac,
+      |  CAST(CAST(len(list_filter(l, x -> x = list_aggregate(l, 'mode')))
+      |    AS DOUBLE)/len(l) AS DECIMAL(18,6)) AS top_word_frac,
+      |  CAST(CAST(len(list_filter(b, x -> x = list_aggregate(b, 'mode')))
+      |    AS DOUBLE)/len(b) AS DECIMAL(18,6)) AS top_bigram_frac
+      |FROM (
+      |  SELECT doc_id, l,
+      |    list_transform(generate_series(1, len(l)-1),
+      |      i -> l[i] || ' ' || l[i+1]) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+      |  WHERE len(l) >= 2) tt""".stripMargin) { (s, dir) =>
+    repetitionOver(docs(s, dir))
+  }
+
+  /** The [[repetition]] projection over any `(doc_id, text)` frame. */
+  def repetitionOver(df: DataFrame): DataFrame = {
+    val n = size(col("l"))
+    df.select(col("doc_id"), tokensCol.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("l"), n.as("n"),
+        bigramsOf(col("l"), n).as("b"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_words"),
+        (lit(1.0) - size(array_distinct(col("l"))).cast("double") /
+          col("n").cast("double")).cast("decimal(18,6)").as("dup_word_frac"),
+        (maxRunLen(array_sort(col("l")), col("n")).cast("double") /
+          col("n").cast("double")).cast("decimal(18,6)").as("top_word_frac"),
+        (maxRunLen(array_sort(col("b")), col("n") - 1).cast("double") /
+          (col("n") - 1).cast("double")).cast("decimal(18,6)")
+          .as("top_bigram_frac"))
+  }
+
+  /** Corpus-level n-gram statistics: the 50 most frequent bigrams — the
+    * shuffle-side complement of the per-doc signals (vocabulary building,
+    * boilerplate detection). explode → partial-aggregated count → top-k
+    * (TakeOrdered, no global sort); ties broken by bigram text so the
+    * cut is deterministic. */
+  val topBigrams = Q(
+    "text_top_bigrams",
+    """WITH lw AS (SELECT string_split(text, ' ') AS l FROM documents),
+      |b AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+      |        i -> l[i] || ' ' || l[i+1])) AS bigram
+      |      FROM lw WHERE len(l) >= 2)
+      |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) {
+      (s, dir) =>
+    docs(s, dir)
+      .select(tokensCol.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(bigramsOf(col("l"), size(col("l")))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** Composite quality gate (the Gopher rules shape): per-doc boolean
+    * flags + a keep/drop decision. Thresholds are calibrated to the corpus
+    * so both outcomes occur; comparisons run on bit-identical doubles, so
+    * the booleans hash identically across engines. */
+  val gopherFilter = Q(
+    "text_gopher_filter",
+    """SELECT doc_id,
+      |  n < 25 AS flag_short,
+      |  topw > 0.12 AS flag_repetitive,
+      |  dup > 0.55 AS flag_low_diversity,
+      |  ml < 3.9 OR ml > 5.1 AS flag_word_len,
+      |  NOT (n < 25 OR topw > 0.12 OR dup > 0.55 OR ml < 3.9 OR ml > 5.1)
+      |    AS keep_doc
+      |FROM (
+      |  SELECT doc_id, len(l) AS n,
+      |    CAST(len(list_filter(l, x -> x = list_aggregate(l, 'mode')))
+      |      AS DOUBLE)/len(l) AS topw,
+      |    1.0 - CAST(len(list_distinct(l)) AS DOUBLE)/len(l) AS dup,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(l) AS ml
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l
+      |        FROM documents) t
+      |  WHERE len(l) >= 2) tt""".stripMargin) { (s, dir) =>
+    val n = col("n")
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), tokensCol.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), size(col("l")).as("n"),
+        (maxRunLen(array_sort(col("l")), size(col("l"))).cast("double") /
+          size(col("l")).cast("double")).as("topw"),
+        (lit(1.0) - size(array_distinct(col("l"))).cast("double") /
+          size(col("l")).cast("double")).as("dup"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(col("l")).cast("double")).as("ml"))
+      .select(col("doc_id"),
+        (n < 25).as("flag_short"),
+        (col("topw") > 0.12).as("flag_repetitive"),
+        (col("dup") > 0.55).as("flag_low_diversity"),
+        (col("ml") < 3.9 || col("ml") > 5.1).as("flag_word_len"),
+        (!(n < 25 || col("topw") > 0.12 || col("dup") > 0.55 ||
+          col("ml") < 3.9 || col("ml") > 5.1)).as("keep_doc"))
+  }
+
   def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint,
-    approxDistinct, kmvDistinct, winnow)
+    approxDistinct, kmvDistinct, winnow, repetition, topBigrams, gopherFilter)
 }

@@ -91,4 +91,58 @@ class TextOpsSpec extends SparkTestBase {
     assert(stats.getInt(3) == text.length)
     assert(stats.getInt(4) == text.split(" ").length)
   }
+
+  test("repetition signals match hand-computed values on constructed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b c"),          // top word 'a'×3/5, bigram 'a a'×2/4
+      (2L, "x y x y x y"),        // dup 4/6; top word 3/6; bigram 'x y'×3/5
+      (3L, "p q r s t u")         // all unique: dup 0, top 1/6, bigram 1/5
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("constructed_docs")
+    val byId = TextOps.repetition.run(spark, sf0001).limit(0) // shape only
+    assert(byId.columns.toSeq == Seq(
+      "n_words", "dup_word_frac", "top_word_frac", "top_bigram_frac")
+      .prepended("doc_id"))
+    // run the same projection over the constructed frame
+    val out = TextOps.repetitionOver(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(x: java.math.BigDecimal): Double = x.doubleValue()
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5)
+    assert(math.abs(d(r1.getDecimal(2)) - 0.4) < 1e-6)   // 1 - 3/5
+    assert(math.abs(d(r1.getDecimal(3)) - 0.6) < 1e-6)   // 3/5
+    assert(math.abs(d(r1.getDecimal(4)) - 0.5) < 1e-6)   // 'a a' 2/4
+    val r2 = out(2L)
+    assert(math.abs(d(r2.getDecimal(2)) - 4.0 / 6) < 1e-6)
+    assert(math.abs(d(r2.getDecimal(3)) - 0.5) < 1e-6)
+    assert(math.abs(d(r2.getDecimal(4)) - 0.6) < 1e-6)   // 'x y' 3/5
+    val r3 = out(3L)
+    assert(d(r3.getDecimal(2)) == 0.0)
+    assert(math.abs(d(r3.getDecimal(3)) - 1.0 / 6) < 1e-6)
+    assert(math.abs(d(r3.getDecimal(4)) - 0.2) < 1e-6)
+  }
+
+  test("top bigrams are deterministic, ranked, and complete at the cut") {
+    val rows = TextOps.topBigrams.run(spark, sf0001).collect()
+    assert(rows.length == 50)
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    // ranked by count desc then bigram asc — a total order, so reruns agree
+    assert(pairs.toSeq == pairs.sortBy { case (n, b) => (-n, b) }.toSeq)
+    val again = TextOps.topBigrams.run(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.toSeq == again.toSeq)
+  }
+
+  test("gopher filter emits consistent flags and keep decision") {
+    val rows = TextOps.gopherFilter.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = (1 to 4).map(r.getBoolean)
+      assert(r.getBoolean(5) == !flags.exists(identity),
+        s"keep_doc inconsistent for ${r.getLong(0)}")
+    }
+    // the gate must actually separate: both outcomes occur on the corpus
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
 }
