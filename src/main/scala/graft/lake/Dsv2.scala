@@ -221,18 +221,36 @@ private[lake] final class LakeScanBuilder(root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     private val spark = SparkSession.active
     private val ds = LakeDataset.open(spark, root)
     private val man = new LakeDataSource().pinnedManifest(ds, options)
     private val outSchema = required.getOrElse(LakeDataset.logicalSchema(man))
 
+    private def prunedFrags =
+      if (predicates.isEmpty) man.fragments
+      else ds.pruneFragments(man, predicates.mkString(" AND "))
+
     override def readSchema(): StructType = outSchema
 
+    // Real sizes from the manifest (post-pruning), so a small lake table
+    // broadcasts instead of inheriting the "unknown = never broadcast"
+    // default — at scale this is the difference between a broadcast hash
+    // join and an all-to-all shuffle of the fact table.
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = {
+      val frags = prunedFrags
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(math.max(1L, ds.fragmentsSize(frags)))
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(frags.map(_.rowCount).sum)
+      }
+    }
+
     override def description(): String = {
-      val frags =
-        if (predicates.isEmpty) man.fragments
-        else ds.pruneFragments(man, predicates.mkString(" AND "))
+      val frags = prunedFrags
       s"lake v${man.version} [${frags.size}/${man.fragments.size} fragments," +
         s" pushed: ${predicates.mkString(" AND ")}]"
     }

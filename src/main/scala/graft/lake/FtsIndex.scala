@@ -49,14 +49,88 @@ object FtsIndex {
   }
 
   /** The tokenizer an index was built with. */
-  def tokenizerOf(ds: LakeDataset, name: String = "fts"): String = {
+  def tokenizerOf(ds: LakeDataset, name: String = "fts"): String =
+    metaField(ds, name, "tokenizer").getOrElse("whitespace")
+
+  private def metaField(ds: LakeDataset, name: String,
+      field: String): Option[String] = {
     val v = builtVersion(ds, name).getOrElse(
       throw new IllegalStateException(s"no FTS index '$name'"))
+    metaFieldAt(ds, name, v, field)
+  }
+
+  private def metaFieldAt(ds: LakeDataset, name: String, v: Long,
+      field: String): Option[String] = {
     val meta = dir(ds, name, v).resolve("meta.json")
-    if (!Files.exists(meta)) "whitespace"
-    else """"tokenizer"\s*:\s*"([^"]+)"""".r
+    if (!Files.exists(meta)) None
+    else (""""""" + field + """"\s*:\s*"([^"]+)"""").r
       .findFirstMatchIn(Files.readString(meta))
-      .map(_.group(1)).getOrElse("whitespace")
+      .map(_.group(1))
+  }
+
+  /** Index segment dirs for the version chain ending at the latest built
+    * version ≤ the dataset version: each refresh adds a DELTA segment (its
+    * own postings/doclen) with a parent pointer instead of rewriting the
+    * whole index — the LSM shape: extending a 100 TB index costs
+    * tokenizing the appended rows, not the corpus. */
+  private def segmentDirs(ds: LakeDataset, name: String,
+      v: Long): Seq[java.nio.file.Path] = {
+    var cur = Option(v)
+    val out = Seq.newBuilder[java.nio.file.Path]
+    while (cur.isDefined) {
+      val d = dir(ds, name, cur.get)
+      out += d
+      cur = metaFieldAt(ds, name, cur.get, "parent").map(_.drop(1).toLong)
+    }
+    out.result()
+  }
+
+  /** Incrementally extend the index to the current dataset version:
+    * tokenize ONLY rows appended since the last built version (rowids above
+    * the old manifest's high-water mark, read from fragments the old
+    * manifest didn't have) and write them as a delta segment. Safe across
+    * deletes (search joins live rows) and compaction (rowids survive
+    * rewrites); a text UPDATE changes rows in place, so those need a full
+    * [[build]] — same contract as the reference's inverted index. */
+  def refresh(ds: LakeDataset, textCol: String, name: String = "fts"): Unit = {
+    val v0 = builtVersion(ds, name) match {
+      case None => build(ds, textCol, name); return
+      case Some(v) => v
+    }
+    if (v0 == ds.version) return
+    val tokenizer = tokenizerOf(ds, name)
+    val oldMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
+    val maxIndexed = oldMan.nextRowId - 1
+    // fragments the old manifest didn't reference: appended data, plus
+    // compaction outputs (whose OLD rows the rowid filter screens out)
+    val oldIds = oldMan.fragments.map(_.id).toSet
+    val newFrags = ds.manifest.fragments.filterNot(f => oldIds(f.id))
+    val d = dir(ds, name, ds.version)
+    // nothing appended (pure deletes/schema ops): the old segments already
+    // cover every live row — leave the chain as-is
+    if (newFrags.isEmpty) return
+    val rows = ds.readFragments(ds.manifest, newFrags, withRowId = true)
+      .select(col(LakeDataset.RowIdCol).as("_rowid"), col(textCol).as("text"))
+      .filter(col("text").isNotNull && col("_rowid") > maxIndexed)
+    graft.functions.GraftFunctions.register(ds.spark)
+    val toks = rows.select(col("_rowid"),
+      explode(Fts.tokens(col("text"), tokenizer)).as("term"))
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("meta.json"),
+      s"""{"tokenizer": "$tokenizer", "parent": "v$v0"}""")
+    toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
+      .repartition(1).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$d/postings")
+    toks.groupBy("_rowid").agg(count(lit(1)).cast("double").as("len"))
+      .write.mode("overwrite").parquet(s"$d/doclen")
+    // global corpus stats re-derived from the (small) doclen segments
+    val spark = ds.spark
+    val allLens = segmentDirs(ds, name, ds.version)
+      .map(sd => spark.read.parquet(s"$sd/doclen"))
+      .reduce(_ unionByName _)
+    allLens.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("len").as("avglen"))
+      .write.mode("overwrite").parquet(s"$d/stats")
   }
 
   /** Search with a free-text query, tokenized the same way the index was
@@ -82,9 +156,14 @@ object FtsIndex {
     val v = builtVersion(ds, name).getOrElse(
       throw new IllegalStateException(s"no FTS index '$name' — call build()"))
     val d = dir(ds, name, v)
-    val post = spark.read.parquet(s"$d/postings")
+    // read every delta segment in the chain (newest dir carries the
+    // refreshed global stats); a rowid appears in exactly one segment
+    val segs = segmentDirs(ds, name, v)
+      .filter(sd => Files.exists(sd.resolve("postings")))
+    val post = spark.read
+      .parquet(segs.map(sd => s"$sd/postings"): _*)
       .filter(col("term").isin(queryTerms: _*))
-    val doclen = spark.read.parquet(s"$d/doclen")
+    val doclen = spark.read.parquet(segs.map(sd => s"$sd/doclen"): _*)
     val stats = spark.read.parquet(s"$d/stats")
     val dfreq = post.groupBy("term")
       .agg(countDistinct("_rowid").cast("double").as("df"))
@@ -97,7 +176,7 @@ object FtsIndex {
         col("idf") * col("tf") * (Fts.K1 + 1.0) /
           (col("tf") + lit(Fts.K1) *
             (lit(1.0 - Fts.B) + lit(Fts.B) * col("len") / col("avglen"))))
-      .groupBy("_rowid").agg(round(sum("s"), 4).as("score"))
+      .groupBy("_rowid").agg(sum("s").cast("decimal(18,4)").as("score"))
     val live = ds.scanner().withRowId.build()
     live.join(scored.withColumnRenamed("_rowid", "_idx_rowid"),
         col(LakeDataset.RowIdCol) === col("_idx_rowid"))

@@ -142,8 +142,14 @@ final class LakeDataset private (
   }
 
   /** Total bytes of live data files (reference DataSize). */
-  def dataSize(): Long =
-    m.fragments.map(f =>
+  def dataSize(): Long = fragmentsSize(m.fragments)
+
+  /** On-disk bytes of a fragment subset — the scan-size statistic the DSv2
+    * scan reports so Catalyst's join planning (broadcast threshold, AQE)
+    * sees real sizes instead of the "unknown = infinite" default. O(n)
+    * driver-side stat calls over manifest entries, no data read. */
+  private[lake] def fragmentsSize(frags: Seq[Fragment]): Long =
+    frags.map(f =>
       try Files.size(rootPath.resolve(f.file)) catch {
         case _: java.io.IOException => 0L
       }).sum

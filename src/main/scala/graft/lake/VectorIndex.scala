@@ -202,6 +202,98 @@ object VectorIndex {
       .maxOption
   }
 
+  private def parentOf(dir: java.nio.file.Path): Option[Long] = {
+    val meta = dir.resolve("meta.json")
+    if (!Files.exists(meta)) None
+    else """"parent"\s*:\s*"v(\d+)"""".r
+      .findFirstMatchIn(Files.readString(meta))
+      .map(_.group(1).toLong)
+  }
+
+  /** Segment chain newest→oldest; the OLDEST (base) segment holds the
+    * trained centroids + quantizer parameters, every segment holds its own
+    * delta assignments. */
+  private def segmentDirs(ds: LakeDataset, name: String,
+      v: Long): Seq[java.nio.file.Path] = {
+    var cur = Option(v)
+    val out = Seq.newBuilder[java.nio.file.Path]
+    while (cur.isDefined) {
+      val d = indexDir(ds, name, cur.get)
+      out += d
+      cur = parentOf(d)
+    }
+    out.result()
+  }
+
+  /** Incrementally extend the index: assign ONLY rows appended since the
+    * last built version to the EXISTING centroids (no k-means retrain) and
+    * encode them with the existing quantizer parameters, writing a delta
+    * assignments segment. This is standard IVF maintenance at scale —
+    * centroids drift slowly, so appends ride the trained structure and a
+    * periodic full [[build]] re-trains (the reference rebuilds too;
+    * vector-value rewrites always need a rebuild). */
+  def refresh(ds: LakeDataset, vecCol: String, name: String = "ivf"): Unit = {
+    val spark = ds.spark
+    GraftFunctions.register(spark)
+    val v0 = builtVersion(ds, name) match {
+      case None => build(ds, vecCol, name); return
+      case Some(v) => v
+    }
+    if (v0 == ds.version) return
+    val oldMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
+    val maxIndexed = oldMan.nextRowId - 1
+    val oldIds = oldMan.fragments.map(_.id).toSet
+    val newFrags = ds.manifest.fragments.filterNot(f => oldIds(f.id))
+    if (newFrags.isEmpty) return
+    val chain = segmentDirs(ds, name, v0)
+    val base = chain.last
+    val rows = ds.readFragments(ds.manifest, newFrags, withRowId = true)
+      .select(col(LakeDataset.RowIdCol).as("vec_id"),
+        col(vecCol).as("embedding"))
+      .filter(col("embedding").isNotNull && col("vec_id") > maxIndexed)
+    val centroids = spark.read.parquet(s"$base/centroids")
+    val assign = rows.crossJoin(broadcast(centroids))
+      .withColumn("d",
+        call_function("l2_distance", col("embedding"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cluster"), struct(col("d"), col("cluster")))
+        .as("cluster"))
+    def normalizedRows = rows
+      .withColumn("embedding", normalized(col("embedding")))
+    val withCodes =
+      if (Files.exists(base.resolve("codebooks"))) {
+        val cbRows = spark.read.parquet(s"$base/codebooks").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        val k = cbRows.map(_._2).max + 1
+        val dim = rows.select(size(col("embedding"))).head().getInt(0)
+        val flat = flattenCodebook(cbRows, PqM, k, dim / PqM)
+        normalizedRows.join(assign, "vec_id")
+          .select(col("cluster"), col("vec_id").as("_rowid"),
+            call_function("pq_encode", col("embedding"),
+              typedlit(flat.toSeq), lit(PqM), lit(k)).as("codes"))
+      } else if (Files.exists(base.resolve("sq"))) {
+        val row = spark.read.parquet(s"$base/sq").head()
+        val mins = row.getSeq[Float](row.fieldIndex("mins"))
+        val spans = row.getSeq[Float](row.fieldIndex("spans"))
+        normalizedRows.join(assign, "vec_id")
+          .select(col("cluster"), col("vec_id").as("_rowid"),
+            call_function("sq_encode", col("embedding"),
+              typedlit(mins), typedlit(spans)).as("codes"))
+      } else if (Files.exists(base.resolve("bq"))) {
+        normalizedRows.join(assign, "vec_id")
+          .select(col("cluster"), col("vec_id").as("_rowid"),
+            call_function("bq_encode", col("embedding")).as("codes"))
+      } else {
+        assign.select(col("cluster"), col("vec_id").as("_rowid"))
+      }
+    val d = indexDir(ds, name, ds.version)
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("meta.json"), s"""{"parent": "v$v0"}""")
+    withCodes
+      .repartition(1).sortWithinPartitions("cluster")
+      .write.mode("overwrite").parquet(s"$d/assignments")
+  }
+
   /** IVF(-PQ) top-k cosine search with an optional SQL prefilter over the
     * dataset's columns (reference prefilter.go composition). Falls back to
     * brute force when no index exists. With a PQ index, candidates inside
@@ -219,14 +311,18 @@ object VectorIndex {
 
     val candidates = builtVersion(ds, name) match {
       case Some(v) =>
-        val dir = indexDir(ds, name, v)
+        // base segment = trained centroids + quantizer params; every
+        // segment contributes its delta assignments
+        val segs = segmentDirs(ds, name, v)
+        val dir = segs.last
         val centroids = spark.read.parquet(s"$dir/centroids")
         val probed = centroids
           .withColumn("d", call_function("l2_distance", qvec, col("centroid")))
           .orderBy(col("d"), col("cluster")).limit(nprobe)
           .select("cluster")
         // pushdown: only the probed clusters' row groups are read
-        val probedAssign = spark.read.parquet(s"$dir/assignments")
+        val probedAssign = spark.read
+          .parquet(segs.map(sd => s"$sd/assignments"): _*)
           .join(broadcast(probed), Seq("cluster"))
         val assignments =
           if (Files.exists(Paths.get(s"$dir/codebooks"))) {

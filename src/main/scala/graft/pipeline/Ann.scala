@@ -62,7 +62,8 @@ object Ann {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= TopK)
-      .select(col("qid"), col("vec_id"), col("rn"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("vec_id"), col("rn"),
+        col("sim").cast("decimal(18,4)").as("sim"))
 
   /** Exact cosine top-k for the first NumQueries vectors (self excluded). */
   val brute = Q(
@@ -72,7 +73,7 @@ object Ann {
        |scored AS (SELECT q.qid, e.vec_id,
        |             list_cosine_similarity(e.embedding, q.qvec) AS sim
        |           FROM embeddings e, q WHERE e.vec_id <> q.qid)
-       |SELECT qid, vec_id, rn, round(sim, 4) AS sim
+       |SELECT qid, vec_id, rn, CAST(sim AS DECIMAL(18,4)) AS sim
        |FROM (SELECT qid, vec_id, sim,
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, vec_id) AS rn
@@ -211,7 +212,8 @@ object Ann {
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", call_function("cosine_sim", col("emb_a"), col("emb_b")))
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_a"), col("vec_b"),
+        col("sim").cast("decimal(18,4)").as("sim"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
@@ -227,7 +229,7 @@ object Ann {
        |             list_cosine_similarity(e.embedding, q.qvec) AS sim
        |           FROM embeddings e, q
        |           WHERE e.vec_id <> q.qid AND e.label = 3)
-       |SELECT qid, vec_id, rn, round(sim, 4) AS sim
+       |SELECT qid, vec_id, rn, CAST(sim AS DECIMAL(18,4)) AS sim
        |FROM (SELECT qid, vec_id, sim,
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, vec_id) AS rn

@@ -150,7 +150,13 @@ object TextOps {
 
   /** Count of the most frequent element = longest run in a sorted array,
     * computed per row (no shuffle): fold over positions 2..n tracking the
-    * current and best run. The per-doc equivalent of `mode()`'s count. */
+    * current and best run. The per-doc equivalent of `mode()`'s count.
+    *
+    * `sorted` MUST be a bound column (select the sort into its own column
+    * first), never an inline `array_sort(...)`: the fold's lambda embeds
+    * the expression tree, so an inline sort would re-sort the array on
+    * EVERY element access — O(n² log n) per row (measured 42 s → 0.6 s on
+    * the sf0.1 corpus when `text_repetition` inlined it). */
   private def maxRunLen(sorted: Column, n: Column): Column =
     when(n <= 1, n).otherwise(
       aggregate(sequence(lit(2), n),
@@ -198,13 +204,17 @@ object TextOps {
       .filter(size(col("l")) >= 2)
       .select(col("doc_id"), col("l"), n.as("n"),
         bigramsOf(col("l"), n).as("b"))
+      // sorts bound as columns: evaluated once per row (see maxRunLen)
+      .select(col("doc_id"), col("n"),
+        array_sort(col("l")).as("ls"), array_sort(col("b")).as("bs"),
+        size(array_distinct(col("l"))).as("nd"))
       .select(col("doc_id"),
         col("n").cast("long").as("n_words"),
-        (lit(1.0) - size(array_distinct(col("l"))).cast("double") /
+        (lit(1.0) - col("nd").cast("double") /
           col("n").cast("double")).cast("decimal(18,6)").as("dup_word_frac"),
-        (maxRunLen(array_sort(col("l")), col("n")).cast("double") /
+        (maxRunLen(col("ls"), col("n")).cast("double") /
           col("n").cast("double")).cast("decimal(18,6)").as("top_word_frac"),
-        (maxRunLen(array_sort(col("b")), col("n") - 1).cast("double") /
+        (maxRunLen(col("bs"), col("n") - 1).cast("double") /
           (col("n") - 1).cast("double")).cast("decimal(18,6)")
           .as("top_bigram_frac"))
   }
@@ -258,13 +268,16 @@ object TextOps {
     docs(s, dir)
       .select(col("doc_id"), col("text"), tokensCol.as("l"))
       .filter(size(col("l")) >= 2)
-      .select(col("doc_id"), size(col("l")).as("n"),
-        (maxRunLen(array_sort(col("l")), size(col("l"))).cast("double") /
-          size(col("l")).cast("double")).as("topw"),
+      // sort bound as a column: evaluated once per row (see maxRunLen)
+      .select(col("doc_id"), col("text"), col("l"), size(col("l")).as("n"),
+        array_sort(col("l")).as("ls"))
+      .select(col("doc_id"), col("n"),
+        (maxRunLen(col("ls"), col("n")).cast("double") /
+          col("n").cast("double")).as("topw"),
         (lit(1.0) - size(array_distinct(col("l"))).cast("double") /
-          size(col("l")).cast("double")).as("dup"),
+          col("n").cast("double")).as("dup"),
         (length(regexp_replace(col("text"), " ", "")).cast("double") /
-          size(col("l")).cast("double")).as("ml"))
+          col("n").cast("double")).as("ml"))
       .select(col("doc_id"),
         (n < 25).as("flag_short"),
         (col("topw") > 0.12).as("flag_repetitive"),

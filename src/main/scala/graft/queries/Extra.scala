@@ -109,16 +109,16 @@ object Extra {
       |      AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |  round(sum(value), 4) AS total_value
+      |  CAST(sum(value) AS DECIMAL(18,4)) AS total_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin)
 
   /** Statistical aggregates beyond sum/avg: median, stddev, correlation. */
   val statsAgg = Q.sql(
     "agg_stats",
     """SELECT l_returnflag,
-      |  round(median(l_quantity), 4) AS med_qty,
-      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
-      |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+      |  CAST(median(l_quantity) AS DECIMAL(18,4)) AS med_qty,
+      |  CAST(stddev_samp(l_extendedprice) AS DECIMAL(18,4)) AS sd_price,
+      |  CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,6)) AS qty_price_corr
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin)
 
@@ -126,9 +126,10 @@ object Extra {
   val windowFrames = Q.sql(
     "rel_window_frames",
     """SELECT o_custkey, o_orderkey,
-      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |  CAST(avg(o_totalprice) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4))
+      |    AS mov_avg3,
       |  lead(o_totalprice) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey) AS next_price,
       |  ntile(4) OVER (PARTITION BY o_custkey
@@ -141,16 +142,17 @@ object Extra {
   val arrayHof = Q(
     "expr_array_hof",
     """SELECT vec_id,
-      |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_comp,
+      |  CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DECIMAL(18,4)) AS sum_comp,
       |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
-      |  round(list_max(embedding), 6) AS max_comp
+      |  CAST(CAST(list_max(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS max_comp
       |FROM embeddings""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "embeddings").select(
       col("vec_id"),
-      round(aggregate(col("embedding"), lit(0.0d),
-        (acc, x) => acc + x), 4).as("sum_comp"),
+      aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x)
+        .cast("decimal(18,4)").as("sum_comp"),
       size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-      round(array_max(col("embedding")).cast("double"), 6).as("max_comp"))
+      array_max(col("embedding")).cast("double")
+        .cast("decimal(18,6)").as("max_comp"))
   }
 
   def all: Seq[Q] = Seq(interval, casts, nestedSemi, selectScalar, rangeJoin,

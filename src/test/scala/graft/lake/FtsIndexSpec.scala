@@ -23,10 +23,10 @@ class FtsIndexSpec extends SparkTestBase {
     FtsIndex.build(ds, "text")
     val terms = Seq("spark", "table", "scan")
     val indexed = FtsIndex.search(ds, terms, k = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getDecimal(2)))
     val direct = graft.pipeline.Fts.bm25TopK(
       Tables.load(spark, sf0001, "documents"), terms, 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
     assert(indexed.toSeq == direct.toSeq)
   }
 
@@ -79,11 +79,11 @@ class FtsIndexSpec extends SparkTestBase {
     FtsIndex.build(ds, "text", name = "simple", tokenizer = "simple")
     val terms = Seq("spark", "table", "scan")
     val indexed = FtsIndex.search(ds, terms, k = 10, name = "simple")
-      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getDecimal(2)))
     val direct = graft.pipeline.Fts.bm25TopK(
       Tables.load(spark, sf0001, "documents"), terms, 10,
       tokenizer = "simple")
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
     assert(indexed.toSeq == direct.toSeq)
   }
 
@@ -98,5 +98,47 @@ class FtsIndexSpec extends SparkTestBase {
     ds.commitStaged(staged)
     assert(ds.read().count() == before + 1)
     assert(ds.read().filter(col("doc_id") === 99999L).count() == 1)
+  }
+
+  test("incremental refresh indexes only appended rows, search spans all") {
+    val ds = makeDs()
+    FtsIndex.build(ds, "text")
+    val maxIndexed = ds.manifest.nextRowId - 1
+    // marker docs that should dominate the query terms after refresh
+    import spark.implicits._
+    ds.append(Seq(
+      (900001L, "spark table scan spark table scan spark"),
+      (900002L, "spark spark spark table table scan")).toDF("doc_id", "text")
+      .coalesce(1))
+    FtsIndex.refresh(ds, "text")
+    // the delta segment holds ONLY the appended rowids — no re-tokenization
+    val deltaDir = java.nio.file.Paths.get(
+      ds.root, "_indexes", "fts", f"v${ds.version}%020d")
+    val delta = spark.read.parquet(s"$deltaDir/postings")
+    assert(delta.agg(min("_rowid")).head().getLong(0) > maxIndexed)
+    // search spans old + new segments: the marker docs win the top-2
+    val hits = FtsIndex.search(ds, Seq("spark", "table", "scan"), k = 5)
+      .collect().map(_.getLong(0))
+    assert(hits.take(2).toSet == Set(900001L, 900002L))
+    // and equals a from-scratch rebuild, segment math included
+    val rebuilt = {
+      val ds2 = LakeDataset.open(spark, ds.root)
+      FtsIndex.build(ds2, "text", name = "fts_rebuild")
+      FtsIndex.search(ds2, Seq("spark", "table", "scan"), k = 5,
+        name = "fts_rebuild").collect().map(r => (r.getLong(0), r.getDecimal(2)))
+    }
+    val incr = FtsIndex.search(ds, Seq("spark", "table", "scan"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDecimal(2)))
+    assert(incr.toSeq == rebuilt.toSeq)
+    // a refresh with no new fragments is a no-op (tombstone delete adds
+    // none; a CoW delete would rewrite fragments and add an empty segment)
+    val before = FtsIndex.builtVersion(ds)
+    assert(ds.delete("doc_id = 42", useDeletionVectors = true) >= 0)
+    FtsIndex.refresh(ds, "text")
+    assert(FtsIndex.builtVersion(ds) == before)
+    // deletes stay safe: the deleted doc never surfaces
+    val after = FtsIndex.search(ds, Seq("spark", "table", "scan"), k = 500)
+      .collect().map(_.getLong(0))
+    assert(!after.contains(42L))
   }
 }

@@ -95,4 +95,21 @@ class LakeDsv2Spec extends SparkTestBase {
     assert(all.count() == 1)
     assert(LakeDataSource.lastScan(root).contains((2, 2)))
   }
+
+  test("manifest statistics drive broadcast join planning") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1L to 25L).map(i => (i, s"n$i", i.toDouble)): _*)
+      .coalesce(1))
+    // a KB-sized lake dim joined to a larger fact: the scan must report its
+    // real manifest size, or Catalyst treats it as unknown/infinite and
+    // falls back to a shuffle join
+    val fact = spark.range(50000)
+      .withColumn("k", (org.apache.spark.sql.functions.col("id") % 25) + 1)
+    val dim = spark.read.format("lake").load(root)
+    val joined = fact.join(dim, fact("k") === dim("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+    assert(joined.count() == 50000)
+  }
 }

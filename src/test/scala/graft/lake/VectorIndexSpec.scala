@@ -194,4 +194,56 @@ class VectorIndexSpec extends SparkTestBase {
     // the rest of the ranking is unchanged
     assert(after.take(1).toSeq == before.take(1).toSeq)
   }
+
+  test("incremental refresh: appended vectors searchable without retrain") {
+    val ds = makeDs()
+    VectorIndex.build(ds, "embedding")
+    val maxIndexed = ds.manifest.nextRowId - 1
+    // append near-duplicates of the query vector — they must dominate top-k
+    val q = queryVec(ds)
+    import spark.implicits._
+    val newVecs = Seq(
+      (800001L, 3, q.map(v => v * 1.001f)),
+      (800002L, 3, q.map(v => v * 0.999f)))
+      .toDF("vec_id", "label", "embedding")
+    ds.append(newVecs.coalesce(1))
+    VectorIndex.refresh(ds, "embedding")
+    // delta segment contains only the new rowids
+    val deltaDir = java.nio.file.Paths.get(
+      ds.root, "_indexes", "ivf", f"v${ds.version}%020d")
+    val delta = spark.read.parquet(s"$deltaDir/assignments")
+    assert(delta.count() == 2)
+    assert(delta.agg(min("_rowid")).head().getLong(0) > maxIndexed)
+    // probing all clusters finds them at the top (cosine ≈ 1 to the query;
+    // the query vector's own row ties with them, hence top-3)
+    val hits = VectorIndex.search(ds, "embedding", q, k = 3,
+      nprobe = VectorIndex.DefaultClusters)
+      .collect().map(_.getLong(0))
+    assert(Set(800001L, 800002L).subsetOf(hits.take(3).toSet))
+    // refresh with nothing appended is a no-op
+    val before = VectorIndex.builtVersion(ds, "ivf")
+    ds.createTag("pin")
+    VectorIndex.refresh(ds, "embedding")
+    assert(VectorIndex.builtVersion(ds, "ivf") == before)
+  }
+
+  test("incremental refresh encodes deltas with the base PQ codebooks") {
+    val ds = makeDs()
+    VectorIndex.build(ds, "embedding", name = "ivfpq", quantizer = "pq")
+    val q = queryVec(ds)
+    import spark.implicits._
+    ds.append(Seq((800010L, 5, q.map(v => v * 1.0005f)))
+      .toDF("vec_id", "label", "embedding").coalesce(1))
+    VectorIndex.refresh(ds, "embedding", name = "ivfpq")
+    val deltaDir = java.nio.file.Paths.get(
+      ds.root, "_indexes", "ivfpq", f"v${ds.version}%020d")
+    val delta = spark.read.parquet(s"$deltaDir/assignments")
+    // the delta rows carry PQ codes shaped like the base segment's
+    assert(delta.columns.contains("codes"))
+    assert(delta.count() == 1)
+    val hits = VectorIndex.search(ds, "embedding", q, k = 2,
+      nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
+      .collect().map(_.getLong(0))
+    assert(hits.contains(800010L))
+  }
 }
