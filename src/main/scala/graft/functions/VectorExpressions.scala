@@ -200,7 +200,9 @@ object GraftFunctions {
     "sq_adc" -> (es => SqAdc(es(0), es(1), es(2), es(3))),
     "bq_encode" -> (es => BqEncode(es.head)),
     "bq_hamming" -> (es => BqHamming(es(0), es(1))),
-    "cjk_tokens" -> (es => CjkTokens(es.head)))
+    "cjk_tokens" -> (es => CjkTokens(es.head)),
+    "freq_stats" -> (es => FreqStatsExpr(es.head)),
+    "bigram_freq_stats" -> (es => BigramFreqStatsExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

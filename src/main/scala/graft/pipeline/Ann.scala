@@ -200,9 +200,33 @@ object Ann {
     topKPerQuery(scored)
   }
 
+  /** DuckDB oracle for [[nearDupPairs]], generated from the same
+    * [[hyperplanes]]: bucket bits via `list_dot_product` against the ±1
+    * plane literals, cosine via `list_cosine_similarity`, both over
+    * DOUBLE[] so the accumulation matches [[graft.functions.VectorOps]]'s
+    * double kernels to ~1e-15 (the 4-decimal rounding margin on this corpus
+    * is ~6e-6, and the smallest |plane·vec| sign margin is ~3.5e-4). */
+  private def nearDupOracle: String = {
+    val bucketTerms = (0 until NearDupBits).map { i =>
+      val coeffs = hyperplanes(i).map(v => if (v > 0) "1" else "-1").mkString(",")
+      s"(CASE WHEN list_dot_product(e, [$coeffs]::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), kb AS (
+       |  SELECT vec_id, e,
+       |    $bucketTerms AS bucket
+       |  FROM b
+       |)
+       |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |  CAST(list_cosine_similarity(a.e, c.e) AS DECIMAL(18,4)) AS sim
+       |FROM kb a JOIN kb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
   /** Embedding near-dup report: top-20 most-similar pairs among same-bucket
     * candidates (bucketed, never all-pairs). */
-  val nearDupPairs = Q.noOracle("dedup_embed_cos") { (s, dir) =>
+  val nearDupPairs = Q("dedup_embed_cos", nearDupOracle) { (s, dir) =>
     val e = emb(s, dir)
     val bucketed = e.withColumn("bucket", bucketOf(col("embedding"), NearDupBits))
     val a = bucketed.select(col("vec_id").as("vec_a"),

@@ -83,8 +83,28 @@ object TextOps {
 
   /** Language-ID: argmax over marker-set hit counts, `und` when nothing
     * matches. (The synthetic corpus is English-ish regardless of its `lang`
-    * label — the operator is the deliverable, exercised by ScalaTest.) */
-  val langId = Q.noOracle("text_langid") { (s, dir) =>
+    * label — the operator is the deliverable.) The DuckDB oracle is generated
+    * from the same [[langMarkers]] table: struct comparison is lexicographic
+    * by field order in both engines (hits first, then lang breaks ties), so
+    * Spark's `greatest(struct...)` ≡ DuckDB's `list_sort([struct...])[last]`. */
+  private def langIdOracle: String = {
+    val structs = langMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(",")
+      s"{'hits': CAST(len(list_filter(string_split(text,' '), t -> t IN ($set))) AS INT), 'lang': '$lang'}"
+    }.mkString(",\n      ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    list_sort([
+       |      $structs
+       |    ])[${langMarkers.size}] AS best
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang,
+       |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
+       |  best.hits AS marker_hits
+       |FROM scored""".stripMargin
+  }
+
+  val langId = Q("text_langid", langIdOracle) { (s, dir) =>
     val toks = tokensCol
     val scores = langMarkers.map { case (lang, markers) =>
       struct(size(filter(toks, w => w.isin(markers: _*))).as("hits"),
@@ -148,26 +168,6 @@ object TextOps {
           x => x.cast("string")))).as("fp_set_hash"))
   }
 
-  /** Count of the most frequent element = longest run in a sorted array,
-    * computed per row (no shuffle): fold over positions 2..n tracking the
-    * current and best run. The per-doc equivalent of `mode()`'s count.
-    *
-    * `sorted` MUST be a bound column (select the sort into its own column
-    * first), never an inline `array_sort(...)`: the fold's lambda embeds
-    * the expression tree, so an inline sort would re-sort the array on
-    * EVERY element access — O(n² log n) per row (measured 42 s → 0.6 s on
-    * the sf0.1 corpus when `text_repetition` inlined it). */
-  private def maxRunLen(sorted: Column, n: Column): Column =
-    when(n <= 1, n).otherwise(
-      aggregate(sequence(lit(2), n),
-        struct(lit(1).as("cur"), lit(1).as("best")),
-        (st, i) => {
-          val cur = when(element_at(sorted, i) === element_at(sorted, i - 1),
-            st.getField("cur") + 1).otherwise(lit(1))
-          struct(cur.as("cur"), greatest(st.getField("best"), cur).as("best"))
-        },
-        st => st.getField("best")))
-
   /** Adjacent word pairs (n-1 bigrams); callers guard `n >= 2`. */
   private def bigramsOf(words: Column, n: Column): Column =
     transform(sequence(lit(1), n - 1),
@@ -197,24 +197,24 @@ object TextOps {
     repetitionOver(docs(s, dir))
   }
 
-  /** The [[repetition]] projection over any `(doc_id, text)` frame. */
+  /** The [[repetition]] projection over any `(doc_id, text)` frame.
+    * One codegen'd `freq_stats` / `bigram_freq_stats` hash pass per row
+    * replaces two `array_sort`s + two interpreted folds (7.2 s → sub-second
+    * on the sf0.1 corpus; lambda higher-order functions never codegen). */
   def repetitionOver(df: DataFrame): DataFrame = {
-    val n = size(col("l"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("doc_id"), tokensCol.as("l"))
       .filter(size(col("l")) >= 2)
-      .select(col("doc_id"), col("l"), n.as("n"),
-        bigramsOf(col("l"), n).as("b"))
-      // sorts bound as columns: evaluated once per row (see maxRunLen)
-      .select(col("doc_id"), col("n"),
-        array_sort(col("l")).as("ls"), array_sort(col("b")).as("bs"),
-        size(array_distinct(col("l"))).as("nd"))
+      .select(col("doc_id"), size(col("l")).as("n"),
+        call_function("freq_stats", col("l")).as("ws"),
+        call_function("bigram_freq_stats", col("l")).as("bs"))
       .select(col("doc_id"),
         col("n").cast("long").as("n_words"),
-        (lit(1.0) - col("nd").cast("double") /
+        (lit(1.0) - col("ws.n_distinct").cast("double") /
           col("n").cast("double")).cast("decimal(18,6)").as("dup_word_frac"),
-        (maxRunLen(col("ls"), col("n")).cast("double") /
+        (col("ws.max_freq").cast("double") /
           col("n").cast("double")).cast("decimal(18,6)").as("top_word_frac"),
-        (maxRunLen(col("bs"), col("n") - 1).cast("double") /
+        (col("bs.max_freq").cast("double") /
           (col("n") - 1).cast("double")).cast("decimal(18,6)")
           .as("top_bigram_frac"))
   }
@@ -264,17 +264,17 @@ object TextOps {
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l
       |        FROM documents) t
       |  WHERE len(l) >= 2) tt""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val n = col("n")
     docs(s, dir)
       .select(col("doc_id"), col("text"), tokensCol.as("l"))
       .filter(size(col("l")) >= 2)
-      // sort bound as a column: evaluated once per row (see maxRunLen)
-      .select(col("doc_id"), col("text"), col("l"), size(col("l")).as("n"),
-        array_sort(col("l")).as("ls"))
+      .select(col("doc_id"), col("text"), size(col("l")).as("n"),
+        call_function("freq_stats", col("l")).as("ws"))
       .select(col("doc_id"), col("n"),
-        (maxRunLen(col("ls"), col("n")).cast("double") /
+        (col("ws.max_freq").cast("double") /
           col("n").cast("double")).as("topw"),
-        (lit(1.0) - size(array_distinct(col("l"))).cast("double") /
+        (lit(1.0) - col("ws.n_distinct").cast("double") /
           col("n").cast("double")).as("dup"),
         (length(regexp_replace(col("text"), " ", "")).cast("double") /
           col("n").cast("double")).as("ml"))

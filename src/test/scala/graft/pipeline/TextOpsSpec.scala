@@ -134,6 +134,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(pairs.toSeq == again.toSeq)
   }
 
+  test("freq_stats kernels match brute-force counts on random token arrays") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "cc", "ddd", "e", "ff", "g")
+    val arrays = Seq.fill(200)(
+      Seq.fill(2 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))))
+    val out = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "l")
+      .select(col("id"),
+        call_function("freq_stats", col("l")).as("ws"),
+        call_function("bigram_freq_stats", col("l")).as("bs"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getInt(0), r.getStruct(1).getInt(1),
+          r.getStruct(2).getInt(0), r.getStruct(2).getInt(1))).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val wf = a.groupBy(identity).view.mapValues(_.size)
+      val bg = a.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size)
+      assert(out(i.toLong) ==
+        (wf.size, wf.values.max, bg.size, bg.values.max), s"doc $i: $a")
+    }
+  }
+
   test("gopher filter emits consistent flags and keep decision") {
     val rows = TextOps.gopherFilter.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
