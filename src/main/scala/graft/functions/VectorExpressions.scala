@@ -202,7 +202,9 @@ object GraftFunctions {
     "bq_hamming" -> (es => BqHamming(es(0), es(1))),
     "cjk_tokens" -> (es => CjkTokens(es.head)),
     "freq_stats" -> (es => FreqStatsExpr(es.head)),
-    "bigram_freq_stats" -> (es => BigramFreqStatsExpr(es.head)))
+    "bigram_freq_stats" -> (es => BigramFreqStatsExpr(es.head)),
+    "quantile_rank" -> (es => QuantileRank(es(0), es(1))),
+    "z_value" -> (es => ZValueExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1004,6 +1004,62 @@ final class LakeDataset private (
       s"optimize_layout(${sortCols.mkString(",")})")
   }
 
+  /** Z-order (Morton) layout: rank each z column into 256 quantile buckets,
+    * interleave the rank bits ([[graft.functions.ZOrderKernel]]), and
+    * rewrite range-partitioned + sorted by the z-value. Unlike
+    * [[optimizeLayoutWith]]'s lexicographic sort — which only gives the
+    * LEAD column disjoint zonemaps — every z column ends up clustered, so
+    * predicates on any of them prune fragments (Delta's OPTIMIZE ZORDER
+    * BY; Morton 1966). Quantile cuts (one multi-column approxQuantile
+    * pass) keep ranks uniform under value skew, so fragments stay
+    * balanced regardless of distribution. Strings rank by hash bucket:
+    * equality predicates still prune via the fragment value-set/bloom
+    * stats, range predicates on strings don't (documented trade-off).
+    * One commit; preserves rowids. */
+  def optimizeLayoutZOrder(zCols: Seq[String],
+      targetRows: Long = 1 << 20): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 8,
+      s"z-order needs 2..8 columns, got ${zCols.size}")
+    zCols.foreach(c =>
+      require(m.fields.exists(_.name == c), s"no column $c"))
+    if (m.fragments.isEmpty) return
+    graft.functions.GraftFunctions.register(spark)
+    val all = m.fragments.map(_.id).toSet
+    val total = m.fragments.map(_.rowCount).sum
+    val parts = math.max(1, (total / targetRows).toInt +
+      (if (total % targetRows > 0) 1 else 0))
+    val df = readFragments(m, m.fragments, withRowId = true)
+    val numericCols = zCols.filter { c =>
+      DataType.fromJson(m.fields.find(_.name == c).get.dataType) match {
+        case _: NumericType | DateType | TimestampType => true
+        case _ => false
+      }
+    }
+    // one pass over the numeric z columns: 255 cuts each, 1% rank error
+    val cuts: Map[String, Array[Double]] = if (numericCols.isEmpty) Map.empty
+      else numericCols.zip(df.select(numericCols.map(c =>
+        col(c).cast("double").as(c)): _*).stat.approxQuantile(
+          numericCols.toArray, (1 to 255).map(_ / 256.0).toArray, 0.01))
+        .map { case (c, b) => c -> b.distinct.sorted }.toMap
+    val ranks = zCols.map { c =>
+      cuts.get(c) match {
+        case Some(b) if b.nonEmpty =>
+          coalesce(call_function("quantile_rank",
+            col(c).cast("double"), typedlit(b.toSeq)), lit(0))
+        case _ => // strings (or constant columns): 256 hash buckets
+          pmod(xxhash64(col(c)), lit(256)).cast("int")
+      }
+    }
+    val zed = df
+      .withColumn("__z", call_function("z_value", array(ranks: _*)))
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(zed, m), m)
+    commitRewrite(OpKind.Rewrite, all, frags,
+      s"optimize_layout_zorder(${zCols.mkString(",")})")
+  }
+
   // ------------------------------------------------------------ compaction
 
   /** OPTIMIZE-style rewrite: merge fragments smaller than `targetRows` into

@@ -237,7 +237,36 @@ object LakeQueries {
              |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** Z-order layout demonstration: seed a scratch dataset from `lineitem`
+    * (two independent key columns), rewrite with
+    * [[LakeDataset.optimizeLayoutZOrder]], and report fragment counts +
+    * files scanned per predicate class. Rows-only driver check; the
+    * pruning guarantees are pinned by ZOrderSpec. */
+  val zorderPrune: Q = Q.noOracle("lake_zorder_prune") { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-zorder-${UUID.randomUUID()}")
+      .toString
+    // bounded deterministic corpus (the PQ-demo precedent): the demo
+    // exercises create → quantile pass → z-rewrite → pruned scans at a
+    // fixed cost regardless of SF; scale guarantees are ZOrderSpec's job
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1500)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val ds = LakeDataset.create(s, root, li.schema)
+    ds.append(li.coalesce(4))
+    val rows = ds.read().count()
+    ds.optimizeLayoutZOrder(Seq("l_orderkey", "l_partkey"),
+      targetRows = math.max(256, rows / 16))
+    val n = ds.manifest.fragments.size
+    import s.implicits._
+    Seq((rows, n,
+      ds.prunedFileCount("l_orderkey < 100"),
+      ds.prunedFileCount("l_partkey < 100"),
+      ds.read().count()))
+      .toDF("n_rows", "n_fragments", "scanned_by_orderkey",
+        "scanned_by_partkey", "n_rows_after")
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, catalogRead, sqlDml,
-      sqlDmlMor)
+      sqlDmlMor, zorderPrune)
 }

@@ -145,9 +145,17 @@ object TextOps {
     * sketch estimates are engine-specific; KmvSketchSpec bounds the error). */
   val kmvDistinct = Q.noOracle("agg_kmv_distinct") { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.load(s, dir, "lineitem").groupBy("l_returnflag").agg(
-      call_function("kmv_distinct", col("l_orderkey")).as("kmv_orders"),
-      countDistinct("l_orderkey").as("exact_orders"))
+    val li = Tables.load(s, dir, "lineitem")
+    // Two aggregations, not one: a DISTINCT aggregate beside a
+    // TypedImperativeAggregate forces the whole group-by through a single
+    // expand + sort-based aggregate (measured 2.5-5.7 s at sf0.1); split,
+    // the sketch runs object-hash and the exact count runs hash-with-expand,
+    // and the 3-row join is free.
+    val kmv = li.groupBy("l_returnflag")
+      .agg(call_function("kmv_distinct", col("l_orderkey")).as("kmv_orders"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact_orders"))
+    kmv.join(exact, "l_returnflag")
   }
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
