@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data assembly (beyond-reference
+  * pipeline mandate): deterministic hash sampling / weighted source mixing,
+  * train-val-test splitting, and token-budget selection. Everything keys on
+  * `md5(doc_id)` — a pure function of the row — so membership is stable
+  * across runs, engines, partitionings, and re-shards (the property random
+  * sampling loses the moment data moves). All decisions are narrow per-row
+  * projections; the only shuffles are the final count aggregations — the
+  * 100 TB shape.
+  *
+  * Exact-arithmetic discipline for the oracles: the sampling hash is an
+  * INTEGER in [0, 65535] (first 4 md5 hex digits), thresholds are integers,
+  * token estimates use floor() on int math — no doubles anywhere a row
+  * membership decision is made, so Spark and DuckDB agree bit-for-bit. */
+object Curate {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** 16-bit uniform hash of the doc id: first 4 hex digits of md5. */
+  private def hash16 = conv(
+    substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Per-source sampling rate out of 65536, derived from the source's
+    * numeric suffix: srcN keeps (8192 + 2048·(N mod 8)) / 65536 ∈
+    * [12.5%, 34.4%] — a deterministic stand-in for the per-source weights
+    * of a real data-mixing recipe. */
+  private def rate16 =
+    lit(8192) + lit(2048) * (substring(col("source"), 4, 10).cast("int") % 8)
+
+  /** Stratified hash sampling = weighted source mixing: keep each doc iff
+    * hash16(doc_id) < rate(source); report kept volume per source. */
+  val hashSample = Q(
+    "curate_hash_sample",
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      |      AS INT) AS h,
+      |    8192 + 2048 * (CAST(substr(source, 4) AS INT) % 8) AS rate
+      |  FROM documents) t
+      |WHERE h < rate
+      |GROUP BY source""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .filter(hash16 < rate16)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").cast("long").as("chars_kept"))
+  }
+
+  /** Deterministic train/val/test split by hash range: 5% test, 10% val,
+    * 85% train — disjoint and exhaustive by construction (one hash, three
+    * ranges), and a doc never migrates between splits when the corpus is
+    * re-sharded or appended to. */
+  val split = Q(
+    "curate_split",
+    """SELECT source, split,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CASE
+      |      WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      |        AS INT) < 3277 THEN 'test'
+      |      WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      |        AS INT) < 9830 THEN 'val'
+      |      ELSE 'train'
+      |    END AS split
+      |  FROM documents) t
+      |GROUP BY source, split""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .withColumn("split",
+        when(hash16 < 3277, "test")
+          .when(hash16 < 9830, "val")
+          .otherwise("train"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars_total"))
+  }
+
+  /** Token-budget selection, scale-shaped: instead of a global running sum
+    * over every doc (a single-partition window at 100 TB), aggregate token
+    * mass per length bucket (one shuffle over ~hundreds of distinct
+    * lengths), take the tiny cumulative sum over buckets, and keep every
+    * bucket while the running total fits 25% of the corpus' tokens —
+    * longest docs first. Budget refinement inside the boundary bucket is a
+    * second cheap pass if ever needed; whole-bucket granularity keeps the
+    * decision deterministic. */
+  val tokenBudget = Q(
+    "curate_token_budget",
+    """WITH per AS (
+      |  SELECT n_chars, count(*) AS n_docs,
+      |    CAST(sum(CAST(floor((n_chars + 3) / 4) AS BIGINT)) AS BIGINT)
+      |      AS toks
+      |  FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT n_chars, n_docs, toks,
+      |    sum(toks) OVER (ORDER BY n_chars DESC) AS cum_toks,
+      |    sum(toks) OVER () AS all_toks
+      |  FROM per)
+      |SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs_kept,
+      |  CAST(sum(toks) AS BIGINT) AS tokens_kept,
+      |  CAST(min(n_chars) AS BIGINT) AS cutoff_n_chars
+      |FROM cum WHERE cum_toks <= all_toks * 0.25""".stripMargin) { (s, dir) =>
+    val per = docs(s, dir)
+      .groupBy("n_chars")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor((col("n_chars") + 3) / 4).cast("long")).as("toks"))
+    val cum = per
+      .withColumn("cum_toks",
+        sum("toks").over(Window.orderBy(col("n_chars").desc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("all_toks",
+        sum("toks").over(Window.partitionBy()))
+    cum.filter(col("cum_toks") <= col("all_toks") * 0.25)
+      .agg(sum("n_docs").cast("long").as("n_docs_kept"),
+        sum("toks").cast("long").as("tokens_kept"),
+        min("n_chars").cast("long").as("cutoff_n_chars"))
+  }
+
+  def all: Seq[Q] = Seq(hashSample, split, tokenBudget)
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+
+class CurateSpec extends SparkTestBase {
+
+  test("hash sampling is deterministic and respects per-source rates") {
+    val a = Curate.hashSample.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Curate.hashSample.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, "sampling must be a pure function of the data")
+    assert(a.nonEmpty && a.values.forall(_._1 > 0))
+    // srcN's configured rate is (8192 + 2048*(N%8))/65536; with ~25
+    // docs/source the kept fraction is noisy, so only pin the rate ORDER
+    // property in aggregate: the four lowest-rate sources (N%8==0,1)
+    // together keep fewer docs than the four highest (N%8==6,7)
+    def total(mods: Set[Int]) = a.collect {
+      case (s, (n, _)) if mods.contains(s.drop(3).toInt % 8) => n
+    }.sum
+    assert(total(Set(0, 1)) < total(Set(6, 7)),
+      s"low-rate sources should keep fewer docs: $a")
+  }
+
+  test("split is disjoint, exhaustive, and roughly 5/10/85") {
+    val rows = Curate.split.run(spark, sf0001).collect()
+    val bySplit = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == 500, s"every doc lands in exactly one split: $bySplit")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val testFrac = bySplit("test").toDouble / total
+    val valFrac = bySplit("val").toDouble / total
+    assert(testFrac > 0.01 && testFrac < 0.12, s"test ~5%: $testFrac")
+    assert(valFrac > 0.04 && valFrac < 0.20, s"val ~10%: $valFrac")
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+  }
+
+  test("token budget keeps longest docs first within 25% of corpus tokens") {
+    val r = Curate.tokenBudget.run(spark, sf0001).collect().head
+    val (kept, toks, cutoff) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(kept > 0 && toks > 0)
+    // total corpus tokens via the same estimator
+    import org.apache.spark.sql.functions._
+    val total = graft.Tables.load(spark, sf0001, "documents")
+      .agg(sum(floor((col("n_chars") + 3) / 4).cast("long"))).head().getLong(0)
+    assert(toks <= total / 4 + 1, s"kept $toks of $total exceeds the budget")
+    // every kept doc is at least as long as the cutoff; docs above the
+    // cutoff are all kept — verify the count matches a direct filter
+    val directCount = graft.Tables.load(spark, sf0001, "documents")
+      .filter(col("n_chars") >= cutoff).count()
+    assert(directCount == kept,
+      s"bucket selection must equal the >=cutoff filter: $directCount vs $kept")
+  }
+}
