@@ -304,9 +304,35 @@ object Rel {
     graft.streaming.EventStream.windowedAgg(Tables.load(s, dir, "events"))
   }
 
+  /** The streaming module's stream-stream interval join run in BATCH mode:
+    * views/clicks joined to same-user purchases within the preceding 30
+    * minutes (graft.streaming.EventStream.intervalJoin — identical plan
+    * declaration runs over two readStream sources with watermark-bounded
+    * join state; EventStreamSpec proves batch≡streaming). Value sums go
+    * through integer cents so both engines aggregate exactly. */
+  val evIntervalJoin = Q(
+    "ev_interval_join",
+    """SELECT r.event_id AS purchase_id, r.user_id,
+      |  CAST(count(*) AS BIGINT) AS n_prior,
+      |  CAST(sum(CAST(round(l.value * 100) AS BIGINT)) AS BIGINT)
+      |    AS prior_value_cents
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') r
+      |JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) l
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |  AND l.ts >= r.ts - INTERVAL 30 MINUTE
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    graft.streaming.EventStream.intervalJoin(
+        ev.filter(col("event_type").isin("view", "click")),
+        ev.filter(col("event_type") === "purchase"))
+      .groupBy(col("r_id").as("purchase_id"), col("r_user").as("user_id"))
+      .agg(count(lit(1)).as("n_prior"),
+        sum(round(col("l_value") * 100).cast("long")).as("prior_value_cents"))
+  }
+
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
     exceptAll, intersectAll, stringFuncs, mathFuncs, condFuncs,
     dateFuncs, regexFuncs,
     window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
-    evWindowAgg)
+    evWindowAgg, evIntervalJoin)
 }

@@ -51,6 +51,26 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream interval join: pair each right-side event with the
+    * left-side events of the same user in the `beforeMinutes` window
+    * leading up to it. Works identically on batch frames and on two
+    * `readStream` sources; in streaming, BOTH sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark derives state
+    * eviction for each side — state is O(events within the watermark), not
+    * O(stream). Shuffles both sides by user_id once. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      beforeMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("l_user") === col("r_user") &&
+      col("l_ts") <= col("r_ts") &&
+      col("l_ts") >= col("r_ts") - expr(s"INTERVAL $beforeMinutes MINUTES"))
+  }
+
   /** Gap-based sessionization with mapGroupsWithState-family custom state:
     * a session closes when no event arrives within `gapMinutes` (event
     * time, enforced by watermark timeout). */

@@ -44,6 +44,45 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch run and is watermark-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      EventStream.Event(1, ts("2026-01-01 00:05:00"), 1, "view", 1.0),
+      EventStream.Event(2, ts("2026-01-01 00:20:00"), 1, "view", 2.0),
+      EventStream.Event(3, ts("2026-01-01 00:50:00"), 1, "view", 4.0), // > 30 min before either purchase
+      EventStream.Event(4, ts("2026-01-01 00:21:00"), 2, "view", 8.0)) // other user
+    val purchases = Seq(
+      EventStream.Event(10, ts("2026-01-01 00:25:00"), 1, "purchase", 99.0),
+      EventStream.Event(11, ts("2026-01-01 02:00:00"), 1, "purchase", 50.0))
+
+    val lStream = MemoryStream[EventStream.Event]
+    val rStream = MemoryStream[EventStream.Event]
+    val q = EventStream.intervalJoin(lStream.toDF(), rStream.toDF())
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      lStream.addData(views: _*)
+      rStream.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance both watermarks so all joinable pairs are emitted
+      lStream.addData(EventStream.Event(90, ts("2026-01-01 09:00:00"), 9, "view", 0.0))
+      rStream.addData(EventStream.Event(91, ts("2026-01-01 09:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ij")
+        .filter(col("r_id") < 90)
+        .collect().map(r => (r.getAs[Long]("r_id"), r.getAs[Long]("l_user"),
+          r.getAs[Double]("l_value"))).toSet
+      val batch = EventStream.intervalJoin(views.toDF(), purchases.toDF())
+        .collect().map(r => (r.getAs[Long]("r_id"), r.getAs[Long]("l_user"),
+          r.getAs[Double]("l_value"))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // purchase 10 at 00:25 sees views at 00:05 and 00:20 (user 1 only);
+      // purchase 11 at 02:00 sees nothing within 30 minutes
+      assert(batch == Set((10L, 1L, 1.0), (10L, 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the gap via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
