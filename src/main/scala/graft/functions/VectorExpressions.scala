@@ -192,6 +192,8 @@ object GraftFunctions {
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
     "kmv_distinct" -> (es =>
       KmvDistinct(es.head).toAggregateExpression()),
+    "heavy_hitters" -> (es =>
+      MgHeavyHitters(es.head).toAggregateExpression()),
     "bloom_agg" -> (es =>
       BloomAgg(es(0), es(1), es(2)).toAggregateExpression()),
     "pq_encode" -> (es => PqEncode(es(0), es(1), es(2), es(3))),

@@ -158,6 +158,38 @@ object TextOps {
     kmv.join(exact, "l_returnflag")
   }
 
+  /** Misra-Gries heavy hitters per language: top-5 tokens through the
+    * mergeable `heavy_hitters` sketch ([[graft.functions.MgHeavyHitters]]
+    * — O(k) state, map-side partials; the frequent-token / boilerplate
+    * report at 100 TB without an exact full-vocabulary groupBy). On this
+    * corpus the vocabulary (31) fits the k=64 summary, so the sketch is in
+    * its EXACT regime and the DuckDB oracle checks it against true counts;
+    * the approximate regime's guarantees are HeavyHittersSpec's job. */
+  val heavyHitters = Q(
+    "agg_heavy_hitters",
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      |  FROM t WHERE len(token) > 0 GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, token, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+      |  FROM c)
+      |SELECT lang, token, n FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select(col("lang"), explode(tokensCol).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang")
+      .agg(call_function("heavy_hitters", col("tok")).as("hh"))
+      .select(col("lang"), posexplode(col("hh")))
+      .filter(col("pos") < 5)
+      .select(col("lang"), col("col.item").as("token"),
+        col("col.min_count").as("n"))
+  }
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
     * every char k-gram (rolling windows), keep each w-window's minimum —
     * guarantees shared fingerprints for any match ≥ w+k-1 chars at
@@ -296,5 +328,6 @@ object TextOps {
   }
 
   def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint,
-    approxDistinct, kmvDistinct, winnow, repetition, topBigrams, gopherFilter)
+    approxDistinct, kmvDistinct, heavyHitters, winnow, repetition, topBigrams,
+    gopherFilter)
 }
