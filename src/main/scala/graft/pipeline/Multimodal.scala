@@ -29,6 +29,11 @@ object Multimodal {
   val decodeFeatures = Q.noOracle("mm_decode_features") { (s, dir) =>
     import s.implicits._
     Tables.load(s, dir, "documents")
+      // bounded deterministic corpus (the PQ-demo precedent): the demo
+      // exercises the encode→decode pipeline shape at a fixed cost
+      // regardless of SF — decode cost is linear in media count, and the
+      // bench should not turn into an ImageIO throughput test at sf1+
+      .filter(col("doc_id") < 5000)
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(48)) * 2 + 16).cast("int").as("width"),
         (pmod(col("doc_id"), lit(32)) * 2 + 12).cast("int").as("height"))
