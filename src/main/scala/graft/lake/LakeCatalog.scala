@@ -6,7 +6,8 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,7 +30,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Namespaces are directories. All reads route through [[LakeTable]]
   * (zonemap/bloom/value-set pruning + vectorized parquet); writes commit
   * through the optimistic manifest protocol. */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -47,6 +49,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private def dirOf(ident: Identifier) =
     Paths.get(root, ident.namespace().toSeq :+ ident.name(): _*)
+
+  /** Maintenance procedures under the `system` namespace:
+    * `CALL <cat>.system.optimize_zorder/compact/vacuum(...)`. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("system"))))
+      throw new IllegalArgumentException(
+        s"procedures live in the system namespace, got $ident")
+    LakeProcedures.load(ident.name().toLowerCase,
+      parts => Paths.get(root, parts: _*).toString)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      LakeProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get(root, namespace.toSeq: _*)

@@ -1,0 +1,104 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 stored procedures for dataset maintenance (SPARK-44167 procedure
+  * API, the SQL door to the reference's sdk maintenance surface —
+  * sdk/dataset.go compaction/cleanup entry points):
+  *
+  * {{{
+  *   CALL lake.system.optimize_zorder(`table` => 'db.t', cols => 'x,y', target_rows => 1000000)
+  *   CALL lake.system.compact('db.t', 1000000)
+  *   CALL lake.system.vacuum('db.t', 2)
+  * }}}
+  *
+  * Each runs the corresponding [[LakeDataset]] operation through the
+  * optimistic commit protocol and returns a one-row summary via a
+  * [[LocalScan]]. */
+object LakeProcedures {
+
+  val Names: Seq[String] = Seq("optimize_zorder", "compact", "vacuum")
+
+  /** One-row result surface for a maintenance call. */
+  private final case class ResultScan(schema: StructType,
+      data: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = data
+    override def readSchema(): StructType = schema
+    override def description(): String = "lake_procedure_result"
+  }
+
+  private def summarySchema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_fragments", IntegerType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  private def summary(table: String, op: String,
+      ds: LakeDataset): java.util.Iterator[Scan] = {
+    val row = InternalRow(UTF8String.fromString(table),
+      UTF8String.fromString(op), ds.manifest.fragments.size, ds.version)
+    java.util.List.of[Scan](
+      ResultScan(summarySchema, Array(row))).iterator()
+  }
+
+  private abstract class LakeProc(procName: String,
+      params: Array[ProcedureParameter]) extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = procName
+    override def bind(input: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+  }
+
+  /** `table` is a catalog-relative name (`ns1[.ns2].table`). */
+  def load(name: String,
+      resolvePath: Seq[String] => String): UnboundProcedure = {
+    def open(tableArg: UTF8String): (String, LakeDataset) = {
+      val parts = tableArg.toString.split('.').toSeq
+      val path = resolvePath(parts)
+      if (!LakeDataset.exists(path))
+        throw new IllegalArgumentException(s"no lake table at $path")
+      (tableArg.toString, LakeDataset.open(SparkSession.active, path))
+    }
+
+    name match {
+      case "optimize_zorder" => new LakeProc("optimize_zorder", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("cols", StringType).build(),
+        ProcedureParameter.in("target_rows", LongType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          val cols = input.getUTF8String(1).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          ds.optimizeLayoutZOrder(cols, input.getLong(2))
+          summary(tbl, s"optimize_zorder(${cols.mkString(",")})", ds)
+        }
+      }
+      case "compact" => new LakeProc("compact", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_rows", LongType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          ds.compact(input.getLong(1))
+          summary(tbl, "compact", ds)
+        }
+      }
+      case "vacuum" => new LakeProc("vacuum", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_versions", IntegerType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          ds.vacuum(keepVersions = input.getInt(1))
+          summary(tbl, "vacuum", ds)
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"undefined procedure: $other (have: ${Names.mkString(", ")})")
+    }
+  }
+}

@@ -101,6 +101,41 @@ class LakeCatalogSpec extends SparkTestBase {
       Seq((keepRid, 20L)))
   }
 
+  test("CALL procedures: compact, optimize_zorder, vacuum through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.mx")
+    spark.sql("CREATE TABLE lakecat.mx.g (x BIGINT, y BIGINT)")
+    (0 until 6).foreach { i =>
+      spark.sql(s"INSERT INTO lakecat.mx.g VALUES ($i, ${5 - i})")
+    }
+    assert(LakeDataset.open(spark, s"$root/mx/g")
+      .manifest.fragments.size == 6)
+
+    val c = spark.sql(
+      "CALL lakecat.system.compact('mx.g', 1000000)").collect().head
+    assert(c.getString(1) == "compact" && c.getInt(2) == 1)
+
+    // enough rows that the z-rewrite produces >1 fragment
+    spark.sql(
+      """INSERT INTO lakecat.mx.g
+        |SELECT id % 50, 49 - (id % 50) FROM range(2000)""".stripMargin)
+    val z = spark.sql(
+      "CALL lakecat.system.optimize_zorder(`table` => 'mx.g', " +
+        "cols => 'x,y', target_rows => 512)").collect().head
+    assert(z.getString(1) == "optimize_zorder(x,y)")
+    assert(z.getInt(2) >= 2, s"expected multiple fragments, got ${z.getInt(2)}")
+    // content survives the rewrite
+    assert(spark.sql("SELECT count(*) FROM lakecat.mx.g").head().getLong(0)
+      == 2006)
+
+    val v = spark.sql(
+      "CALL lakecat.system.vacuum('mx.g', 2)").collect().head
+    assert(v.getString(1) == "vacuum")
+
+    val procs = spark.sql("SHOW PROCEDURES IN lakecat.system").collect()
+    assert(procs.length == 3, procs.mkString(","))
+  }
+
   test("catalog reads prune fragments like the path-based door") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.pr")
