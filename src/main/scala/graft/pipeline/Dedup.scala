@@ -192,7 +192,9 @@ object Dedup {
       .distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    (1 to iterations).foreach { _ =>
+    var converged = false
+    var i = 0
+    while (i < iterations && !converged) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
@@ -202,11 +204,21 @@ object Dedup {
       // replicated sf1 corpus this was the difference between 64 s and
       // seconds); with it, each iteration is one bounded job over
       // fixed-width (id, label) pairs
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
+      val next = labels
+        .withColumnRenamed("label", "prev")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nlabel"), col("prev")))
             .as("label"))
         .localCheckpoint()
+      // min-label propagation is converged exactly when no label moved —
+      // near-dup clusters are shallow, so this usually exits after 2
+      // rounds instead of burning the full iteration budget (and when it
+      // exits early the components are EXACT, not diameter-bounded). The
+      // convergence probe is a limit-1 scan of the checkpointed result.
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select("doc_id", "label")
+      i += 1
     }
     labels.withColumn("keep", col("doc_id") === col("label"))
   }
