@@ -126,20 +126,26 @@ case class MgHeavyHitters(
   }
 
   override def serialize(buf: MgBuffer): Array[Byte] = {
+    val n = buf.counts.size
+    val keys = new Array[Array[Byte]](n)
+    val vals = new Array[Long](n)
     var bytes = 8 + 4
-    val it0 = buf.counts.entrySet().iterator()
-    while (it0.hasNext) {
-      val e = it0.next()
-      bytes += 4 + e.getKey.getBytes(StandardCharsets.UTF_8).length + 8
-    }
-    val bb = ByteBuffer.allocate(bytes)
-    bb.putLong(buf.processed)
-    bb.putInt(buf.counts.size)
+    var i = 0
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
-      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+      keys(i) = e.getKey.getBytes(StandardCharsets.UTF_8)
+      vals(i) = e.getValue
+      bytes += 4 + keys(i).length + 8
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putLong(buf.processed)
+    bb.putInt(n)
+    i = 0
+    while (i < n) {
+      bb.putInt(keys(i).length); bb.put(keys(i)); bb.putLong(vals(i))
+      i += 1
     }
     bb.array()
   }

@@ -987,21 +987,31 @@ final class LakeDataset private (
     * Z-ordering — lead-column predicates prune via disjoint zonemaps and
     * secondary columns get tight per-fragment ranges. */
   def optimizeLayoutWith(sortCols: Seq[String],
-      targetRows: Long): Unit = {
-    require(sortCols.nonEmpty, "need at least one sort column")
-    sortCols.foreach(c =>
+      targetRows: Long): Unit =
+    layoutRewrite(sortCols, targetRows, s"optimize_layout(${sortCols.mkString(",")})") {
+      (df, parts) =>
+        df.repartitionByRange(parts, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    }
+
+  /** Shared layout-rewrite core: validates columns and targetRows, plans
+    * the partition count, applies the layout transform, and commits one
+    * rowid-preserving rewrite of every fragment. No-op on empty datasets. */
+  private def layoutRewrite(cols: Seq[String], targetRows: Long,
+      operation: String)(
+      layout: (DataFrame, Int) => DataFrame): Unit = {
+    require(cols.nonEmpty, "need at least one layout column")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    cols.foreach(c =>
       require(m.fields.exists(_.name == c), s"no column $c"))
     if (m.fragments.isEmpty) return
     val all = m.fragments.map(_.id).toSet
     val total = m.fragments.map(_.rowCount).sum
     val parts = math.max(1, (total / targetRows).toInt +
       (if (total % targetRows > 0) 1 else 0))
-    val sorted = readFragments(m, m.fragments, withRowId = true)
-      .repartitionByRange(parts, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-    val (frags, _) = stageFragments(toPhysicalPreservingRowId(sorted, m), m)
-    commitRewrite(OpKind.Rewrite, all, frags,
-      s"optimize_layout(${sortCols.mkString(",")})")
+    val laid = layout(readFragments(m, m.fragments, withRowId = true), parts)
+    val (frags, _) = stageFragments(toPhysicalPreservingRowId(laid, m), m)
+    commitRewrite(OpKind.Rewrite, all, frags, operation)
   }
 
   /** Z-order (Morton) layout: rank each z column into 256 quantile buckets,
@@ -1020,44 +1030,38 @@ final class LakeDataset private (
       targetRows: Long = 1 << 20): Unit = {
     require(zCols.size >= 2 && zCols.size <= 8,
       s"z-order needs 2..8 columns, got ${zCols.size}")
-    zCols.foreach(c =>
-      require(m.fields.exists(_.name == c), s"no column $c"))
-    if (m.fragments.isEmpty) return
     graft.functions.GraftFunctions.register(spark)
-    val all = m.fragments.map(_.id).toSet
-    val total = m.fragments.map(_.rowCount).sum
-    val parts = math.max(1, (total / targetRows).toInt +
-      (if (total % targetRows > 0) 1 else 0))
-    val df = readFragments(m, m.fragments, withRowId = true)
-    val numericCols = zCols.filter { c =>
+    // the rankable numeric projection of each z column (DATE has no legal
+    // cast to DOUBLE — rank its epoch-day number instead)
+    def numericOf(c: String): Option[Column] =
       DataType.fromJson(m.fields.find(_.name == c).get.dataType) match {
-        case _: NumericType | DateType | TimestampType => true
-        case _ => false
+        case DateType => Some(unix_date(col(c)).cast("double"))
+        case _: NumericType | TimestampType => Some(col(c).cast("double"))
+        case _ => None
       }
-    }
-    // one pass over the numeric z columns: 255 cuts each, 1% rank error
-    val cuts: Map[String, Array[Double]] = if (numericCols.isEmpty) Map.empty
-      else numericCols.zip(df.select(numericCols.map(c =>
-        col(c).cast("double").as(c)): _*).stat.approxQuantile(
-          numericCols.toArray, (1 to 255).map(_ / 256.0).toArray, 0.01))
-        .map { case (c, b) => c -> b.distinct.sorted }.toMap
-    val ranks = zCols.map { c =>
-      cuts.get(c) match {
-        case Some(b) if b.nonEmpty =>
-          coalesce(call_function("quantile_rank",
-            col(c).cast("double"), typedlit(b.toSeq)), lit(0))
-        case _ => // strings (or constant columns): 256 hash buckets
-          pmod(xxhash64(col(c)), lit(256)).cast("int")
+    layoutRewrite(zCols, targetRows,
+      s"optimize_layout_zorder(${zCols.mkString(",")})") { (df, parts) =>
+      val numericCols = zCols.filter(c => numericOf(c).isDefined)
+      // one pass over the numeric z columns: 255 cuts each, 1% rank error
+      val cuts: Map[String, Array[Double]] = if (numericCols.isEmpty) Map.empty
+        else numericCols.zip(df.select(numericCols.map(c =>
+          numericOf(c).get.as(c)): _*).stat.approxQuantile(
+            numericCols.toArray, (1 to 255).map(_ / 256.0).toArray, 0.01))
+          .map { case (c, b) => c -> b.distinct.sorted }.toMap
+      val ranks = zCols.map { c =>
+        cuts.get(c) match {
+          case Some(b) if b.nonEmpty =>
+            coalesce(call_function("quantile_rank",
+              numericOf(c).get, typedlit(b.toSeq)), lit(0))
+          case _ => // strings (or constant columns): 256 hash buckets
+            pmod(xxhash64(col(c)), lit(256)).cast("int")
+        }
       }
+      df.withColumn("__z", call_function("z_value", array(ranks: _*)))
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
     }
-    val zed = df
-      .withColumn("__z", call_function("z_value", array(ranks: _*)))
-      .repartitionByRange(parts, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    val (frags, _) = stageFragments(toPhysicalPreservingRowId(zed, m), m)
-    commitRewrite(OpKind.Rewrite, all, frags,
-      s"optimize_layout_zorder(${zCols.mkString(",")})")
   }
 
   // ------------------------------------------------------------ compaction
@@ -1386,6 +1390,12 @@ final class LakeDataset private (
           val c = stat.take(iso.length).compareTo(iso)
           if (c == 0) None else Some(c)
         }
+      // DATE stats render as ISO yyyy-MM-dd (zone-free; lexical order ==
+      // chronological); the Catalyst literal carries epoch days. Must
+      // precede the Number case — Integer is a Number.
+      case (days: java.lang.Integer, DateType) =>
+        Some(stat.compareTo(
+          java.time.LocalDate.ofEpochDay(days.longValue()).toString))
       case (v: Number, _) =>
         try Some(BigDecimal(stat).compare(BigDecimal(v.toString)))
         catch { case _: NumberFormatException => None }

@@ -72,6 +72,49 @@ class ZOrderSpec extends SparkTestBase {
     assert(beforeIds == afterIds, "stable rowids must survive the rewrite")
   }
 
+  test("null values in a z column rank as bucket 0 and survive the rewrite") {
+    val dir = tmpDir()
+    val nSchema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = true),
+      StructField("tag", StringType)))
+    val ds = LakeDataset.create(spark, dir, nSchema)
+    val rows = new java.util.ArrayList[Row]()
+    (0 until 500).foreach { i =>
+      rows.add(Row(i.toLong, if (i % 7 == 0) null else (i % 50).toLong, s"t$i"))
+    }
+    ds.append(spark.createDataFrame(rows, nSchema).repartition(3))
+    ds.optimizeLayoutZOrder(Seq("x", "y"), targetRows = 128)
+    val out = ds.read()
+    assert(out.count() == 500)
+    assert(out.filter(col("y").isNull).count() == 72) // ceil(500/7)
+    // pruning on the nullable column still works for non-null predicates
+    assert(ds.prunedFileCount("y >= 40") < ds.manifest.fragments.size)
+  }
+
+  test("DATE z columns rank by epoch day; invalid target_rows is rejected") {
+    val dir = tmpDir()
+    val dSchema = StructType(Seq(
+      StructField("d", DateType, nullable = false),
+      StructField("x", LongType, nullable = false)))
+    val ds = LakeDataset.create(spark, dir, dSchema)
+    val rows = new java.util.ArrayList[Row]()
+    (0 until 400).foreach { i =>
+      rows.add(Row(java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i % 100)), i.toLong))
+    }
+    ds.append(spark.createDataFrame(rows, dSchema).repartition(3))
+    ds.optimizeLayoutZOrder(Seq("d", "x"), targetRows = 128)
+    assert(ds.read().count() == 400)
+    // the date dimension actually clusters: a narrow date range prunes
+    assert(ds.prunedFileCount("d < DATE'2024-01-10'") <
+      ds.manifest.fragments.size)
+    val err = intercept[IllegalArgumentException] {
+      ds.optimizeLayoutZOrder(Seq("d", "x"), targetRows = 0)
+    }
+    assert(err.getMessage.contains("targetRows"))
+  }
+
   test("string z columns rank by hash bucket and equality still prunes via stats") {
     val dir = tmpDir()
     val ds = LakeDataset.create(spark, dir, schema)
