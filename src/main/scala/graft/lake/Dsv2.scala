@@ -228,7 +228,13 @@ private[lake] final class LakeScanBuilder(root: String,
     private val man = new LakeDataSource().pinnedManifest(ds, options)
     private val outSchema = required.getOrElse(LakeDataset.logicalSchema(man))
 
-    private def prunedFrags =
+    // lazy val, not def: Catalyst may ask for statistics/description
+    // several times while planning a multi-join query, and each pruning
+    // pass re-parses the predicate and probes blooms/value-sets (plus one
+    // driver-side Files.size per fragment in fragmentsSize). The manifest
+    // is pinned, so one computation serves every call — including the
+    // actual scan below.
+    private lazy val prunedFrags =
       if (predicates.isEmpty) man.fragments
       else ds.pruneFragments(man, predicates.mkString(" AND "))
 
@@ -261,9 +267,7 @@ private[lake] final class LakeScanBuilder(root: String,
         override def sqlContext: SQLContext = context
         override def schema: StructType = outSchema
         override def buildScan(): RDD[Row] = {
-          val frags =
-            if (predicates.isEmpty) man.fragments
-            else ds.pruneFragments(man, predicates.mkString(" AND "))
+          val frags = prunedFrags
           LakeDataSource.recordScan(root, frags.size, man.fragments.size)
           // metadata columns are read only when the query named them
           val needRowId =

@@ -35,8 +35,6 @@ object FtsIndex {
       explode(Fts.tokens(col("text"), tokenizer)).as("term"))
     val d = dir(ds, name, ds.version)
     Files.createDirectories(d)
-    Files.writeString(d.resolve("meta.json"),
-      s"""{"tokenizer": "$tokenizer"}""")
     toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
       .repartition(1).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$d/postings")
@@ -46,6 +44,14 @@ object FtsIndex {
       .crossJoin(toks.groupBy("_rowid").agg(count(lit(1)).as("l"))
         .agg(avg("l").as("avglen")))
       .write.mode("overwrite").parquet(s"$d/stats")
+    // meta.json is the COMMIT POINT (written after every data file):
+    // builtVersion ignores dirs without it, so a build that dies mid-write
+    // can't brick the index. The high-water marks make refresh independent
+    // of dataset manifests, which vacuum may delete.
+    Files.writeString(d.resolve("meta.json"),
+      s"""{"tokenizer": "$tokenizer",""" +
+        s""" "max_rowid": "${ds.manifest.nextRowId - 1}",""" +
+        s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
   }
 
   /** The tokenizer an index was built with. */
@@ -99,12 +105,22 @@ object FtsIndex {
     }
     if (v0 == ds.version) return
     val tokenizer = tokenizerOf(ds, name)
-    val oldMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
-    val maxIndexed = oldMan.nextRowId - 1
-    // fragments the old manifest didn't reference: appended data, plus
+    // High-water marks from the built segment's own meta, NOT the dataset
+    // manifest at v0 — vacuum deletes old manifests, and an index must
+    // stay refreshable after them. (Manifest fallback for segments built
+    // before the marks existed.)
+    def legacyMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
+    val maxIndexed = metaFieldAt(ds, name, v0, "max_rowid").map(_.toLong)
+      .getOrElse(legacyMan.nextRowId - 1)
+    // fragments beyond the built high-water mark: appended data, plus
     // compaction outputs (whose OLD rows the rowid filter screens out)
-    val oldIds = oldMan.fragments.map(_.id).toSet
-    val newFrags = ds.manifest.fragments.filterNot(f => oldIds(f.id))
+    val newFrags = metaFieldAt(ds, name, v0, "max_fragment_id")
+      .map(_.toLong) match {
+      case Some(mf) => ds.manifest.fragments.filter(_.id > mf)
+      case None =>
+        val oldIds = legacyMan.fragments.map(_.id).toSet
+        ds.manifest.fragments.filterNot(f => oldIds(f.id))
+    }
     val d = dir(ds, name, ds.version)
     // nothing appended (pure deletes/schema ops): the old segments already
     // cover every live row — leave the chain as-is
@@ -112,25 +128,32 @@ object FtsIndex {
     val rows = ds.readFragments(ds.manifest, newFrags, withRowId = true)
       .select(col(LakeDataset.RowIdCol).as("_rowid"), col(textCol).as("text"))
       .filter(col("text").isNotNull && col("_rowid") > maxIndexed)
+    // compaction-only advance: fresh fragment ids, no post-mark rowids
+    if (rows.isEmpty) return
     graft.functions.GraftFunctions.register(ds.spark)
     val toks = rows.select(col("_rowid"),
       explode(Fts.tokens(col("text"), tokenizer)).as("term"))
     Files.createDirectories(d)
-    Files.writeString(d.resolve("meta.json"),
-      s"""{"tokenizer": "$tokenizer", "parent": "v$v0"}""")
     toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
       .repartition(1).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$d/postings")
     toks.groupBy("_rowid").agg(count(lit(1)).cast("double").as("len"))
       .write.mode("overwrite").parquet(s"$d/doclen")
-    // global corpus stats re-derived from the (small) doclen segments
+    // global corpus stats re-derived from the (small) doclen segments; the
+    // chain is named explicitly (new dir + old chain) because the new
+    // dir's meta — the commit point — is not written yet
     val spark = ds.spark
-    val allLens = segmentDirs(ds, name, ds.version)
+    val allLens = (d +: segmentDirs(ds, name, v0))
       .map(sd => spark.read.parquet(s"$sd/doclen"))
       .reduce(_ unionByName _)
     allLens.agg(count(lit(1)).cast("double").as("n_docs"),
         avg("len").as("avglen"))
       .write.mode("overwrite").parquet(s"$d/stats")
+    // meta last = commit point (see build)
+    Files.writeString(d.resolve("meta.json"),
+      s"""{"tokenizer": "$tokenizer", "parent": "v$v0",""" +
+        s""" "max_rowid": "${ds.manifest.nextRowId - 1}",""" +
+        s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
   }
 
   /** Search with a free-text query, tokenized the same way the index was
@@ -143,7 +166,9 @@ object FtsIndex {
     val base = Paths.get(ds.root, "_indexes", name)
     if (!Files.exists(base)) return None
     import scala.jdk.CollectionConverters._
-    Files.list(base).iterator().asScala.map(_.getFileName.toString)
+    Files.list(base).iterator().asScala
+      .filter(d => Files.exists(d.resolve("meta.json"))) // commit marker
+      .map(_.getFileName.toString)
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
       .filter(_ <= ds.version).maxOption
   }

@@ -885,8 +885,14 @@ final class LakeDataset private (
     // unions are order-independent), hence the dedicated DeleteDv kind;
     // the purge lost-update hole is closed by commitRewrite's
     // foldedDeletes guard.
-    val candidateIds = candidates.map(_.id).toSet
-    withOpRetry(OpKind.DeleteDv, 5, touched = candidateIds) {
+    // Recomputed from the CURRENT manifest on every attempt: a rebase over
+    // a concurrent compaction replaces fragment ids (rowids survive, ids
+    // don't), and committing the pre-race ids would rob later
+    // value-rewriting ops of the overlap refinement — their rewrite of the
+    // compacted fragment would see no overlap with this delete and could
+    // resurrect its rows.
+    def candidateIdsNow: Set[Long] = pruneFragments(m, predicate).map(_.id).toSet
+    withOpRetry(OpKind.DeleteDv, 5, touched = candidateIdsNow) {
       commit(m.copy(
         version = m.version + 1,
         deletionFiles = m.deletionFiles :+ dvName,
@@ -894,7 +900,7 @@ final class LakeDataset private (
         parentVersion = Some(m.version),
         createdMs = System.currentTimeMillis(),
         operation = "delete_dv",
-        touchedFragmentIds = candidateIds.toSeq.sorted))
+        touchedFragmentIds = candidateIdsNow.toSeq.sorted))
     }
     n
   }
@@ -1303,8 +1309,13 @@ final class LakeDataset private (
     * operation is checked against the conflict matrix — incompatible
     * winners surface as [[CommitConflictException]] instead of a blind
     * rebase. */
+  // `touched` is by-name: it re-evaluates AFTER each refresh(), so a retry
+  // that rebased over a fragment-rewriting intervener (e.g. compaction)
+  // checks the matrix against CURRENT fragment ids, not the ids planned
+  // before the race (stale ids under-claim overlap and can let a real
+  // conflict slip through the refinement).
   private def withOpRetry(kind: OpKind.Value, attempts: Int,
-      touched: Set[Long] = Set.empty)(body: => Unit): Unit = {
+      touched: => Set[Long] = Set.empty)(body: => Unit): Unit = {
     var left = attempts
     while (true) {
       val base = m.version
@@ -1343,10 +1354,49 @@ final class LakeDataset private (
     * separate tree structure is needed at fragment granularity. */
   def pruneFragments(man: Manifest, predicate: String): Seq[Fragment] = {
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
-    val conjuncts = splitAnd(parsed)
     val byName = man.fields.map(f => f.name -> f).toMap
+    val conjuncts = splitAnd(parsed).map(coerceLiterals(_, byName))
     man.fragments.filter { frag =>
       conjuncts.forall(c => mayMatch(frag, byName, c))
+    }
+  }
+
+  /** The parsed predicate is UNRESOLVED — no analyzer coercion ever runs —
+    * so `ts >= '2026-01-01'` arrives with a STRING literal while the stat
+    * is epoch micros, and a raw lexical compare would prune fragments that
+    * contain matches (silent wrong results). Cast every literal compared
+    * against a known column to that column's declared type up front (one
+    * pass per predicate, not per fragment); a literal that fails the cast
+    * (null result) is left as-is, and the probes below conservatively keep
+    * the fragment when types still disagree. */
+  private def coerceLiterals(e: CExpr,
+      byName: Map[String, FieldDef]): CExpr = {
+    def fieldType(attr: CExpr): Option[DataType] = attr match {
+      case UnresolvedAttribute(parts) =>
+        byName.get(parts.mkString(".")).map(f => DataType.fromJson(f.dataType))
+      case _ => None
+    }
+    def coerce(attr: CExpr, l: Literal): Literal =
+      fieldType(attr) match {
+        case Some(t) if t != l.dataType && l.value != null =>
+          try {
+            val v = org.apache.spark.sql.catalyst.expressions.Cast(
+              l, t, Some(spark.sessionState.conf.sessionLocalTimeZone))
+              .eval(null)
+            if (v == null) l else Literal(v, t)
+          } catch { case _: Exception => l }
+        case _ => l
+      }
+    e transformUp {
+      case EqualTo(a, l: Literal) => EqualTo(a, coerce(a, l))
+      case GreaterThan(a, l: Literal) => GreaterThan(a, coerce(a, l))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        GreaterThanOrEqual(a, coerce(a, l))
+      case LessThan(a, l: Literal) => LessThan(a, coerce(a, l))
+      case LessThanOrEqual(a, l: Literal) => LessThanOrEqual(a, coerce(a, l))
+      case in @ org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        in.copy(list = vs.map(v => coerce(a, v.asInstanceOf[Literal])))
     }
   }
 
@@ -1758,7 +1808,8 @@ object LakeDataset {
       // tombstone-only delete: no fragment content changes; commutes with
       // anything that preserves rowids (other DV deletes, compaction)
       case "delete_dv" => OpKind.DeleteDv
-      case "compact" | "optimize_layout" | "purge_deletes" => OpKind.Rewrite
+      case "compact" | "optimize_layout" | "optimize_layout_zorder" |
+          "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge
       case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |

@@ -134,6 +134,14 @@ object VectorIndex {
     withCodes
       .repartition(1).sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$dir/assignments")
+    // meta.json is the COMMIT POINT, written after every data file: a
+    // build that dies mid-write leaves a dir without meta, which
+    // builtVersion ignores — no half-built segment can brick the index.
+    // The high-water marks make refresh independent of dataset manifests
+    // (which vacuum may delete).
+    Files.writeString(dir.resolve("meta.json"),
+      s"""{"max_rowid": "${ds.manifest.nextRowId - 1}",""" +
+        s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
   }
 
   /** Per-subspace k-means in DataFrame ops (no driver math): subvectors
@@ -195,6 +203,7 @@ object VectorIndex {
     if (!Files.exists(base)) return None
     import scala.jdk.CollectionConverters._
     Files.list(base).iterator().asScala
+      .filter(d => Files.exists(d.resolve("meta.json"))) // commit marker
       .map(_.getFileName.toString)
       .filter(_.startsWith("v"))
       .map(_.drop(1).toLong)
@@ -202,13 +211,17 @@ object VectorIndex {
       .maxOption
   }
 
-  private def parentOf(dir: java.nio.file.Path): Option[Long] = {
+  private def metaStrAt(dir: java.nio.file.Path,
+      field: String): Option[String] = {
     val meta = dir.resolve("meta.json")
     if (!Files.exists(meta)) None
-    else """"parent"\s*:\s*"v(\d+)"""".r
+    else (""""""" + field + """"\s*:\s*"([^"]+)"""").r
       .findFirstMatchIn(Files.readString(meta))
-      .map(_.group(1).toLong)
+      .map(_.group(1))
   }
+
+  private def parentOf(dir: java.nio.file.Path): Option[Long] =
+    metaStrAt(dir, "parent").map(_.drop(1).toLong)
 
   /** Segment chain newest→oldest; the OLDEST (base) segment holds the
     * trained centroids + quantizer parameters, every segment holds its own
@@ -240,10 +253,20 @@ object VectorIndex {
       case Some(v) => v
     }
     if (v0 == ds.version) return
-    val oldMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
-    val maxIndexed = oldMan.nextRowId - 1
-    val oldIds = oldMan.fragments.map(_.id).toSet
-    val newFrags = ds.manifest.fragments.filterNot(f => oldIds(f.id))
+    // High-water marks come from the built segment's own meta, NOT the
+    // dataset manifest at v0 — vacuum deletes old manifests, and an index
+    // must stay refreshable after them. (Manifest fallback for segments
+    // built before the marks existed.)
+    val v0dir = indexDir(ds, name, v0)
+    def legacyMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
+    val maxIndexed = metaStrAt(v0dir, "max_rowid").map(_.toLong)
+      .getOrElse(legacyMan.nextRowId - 1)
+    val newFrags = metaStrAt(v0dir, "max_fragment_id").map(_.toLong) match {
+      case Some(mf) => ds.manifest.fragments.filter(_.id > mf)
+      case None =>
+        val oldIds = legacyMan.fragments.map(_.id).toSet
+        ds.manifest.fragments.filterNot(f => oldIds(f.id))
+    }
     if (newFrags.isEmpty) return
     val chain = segmentDirs(ds, name, v0)
     val base = chain.last
@@ -251,6 +274,10 @@ object VectorIndex {
       .select(col(LakeDataset.RowIdCol).as("vec_id"),
         col(vecCol).as("embedding"))
       .filter(col("embedding").isNotNull && col("vec_id") > maxIndexed)
+    // compaction outputs carry fresh fragment ids but only pre-indexed
+    // rowids; nothing may survive the filter — and the PQ branch must not
+    // probe an empty frame for the dimension
+    if (rows.isEmpty) return
     val centroids = spark.read.parquet(s"$base/centroids")
     val assign = rows.crossJoin(broadcast(centroids))
       .withColumn("d",
@@ -265,8 +292,10 @@ object VectorIndex {
         val cbRows = spark.read.parquet(s"$base/codebooks").collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
         val k = cbRows.map(_._2).max + 1
-        val dim = rows.select(size(col("embedding"))).head().getInt(0)
-        val flat = flattenCodebook(cbRows, PqM, k, dim / PqM)
+        // dimension from the trained codebook (codeword length × subspaces)
+        // — never from the data, which may legally be empty here
+        val dsub = cbRows.head._3.length
+        val flat = flattenCodebook(cbRows, PqM, k, dsub)
         normalizedRows.join(assign, "vec_id")
           .select(col("cluster"), col("vec_id").as("_rowid"),
             call_function("pq_encode", col("embedding"),
@@ -288,10 +317,15 @@ object VectorIndex {
       }
     val d = indexDir(ds, name, ds.version)
     Files.createDirectories(d)
-    Files.writeString(d.resolve("meta.json"), s"""{"parent": "v$v0"}""")
     withCodes
       .repartition(1).sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$d/assignments")
+    // meta last = commit point (see build); a refresh that dies mid-write
+    // leaves an ignored dir and the old chain stays searchable
+    Files.writeString(d.resolve("meta.json"),
+      s"""{"parent": "v$v0",""" +
+        s""" "max_rowid": "${ds.manifest.nextRowId - 1}",""" +
+        s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
   }
 
   /** IVF(-PQ) top-k cosine search with an optional SQL prefilter over the

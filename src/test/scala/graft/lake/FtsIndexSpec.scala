@@ -141,4 +141,35 @@ class FtsIndexSpec extends SparkTestBase {
       .collect().map(_.getLong(0))
     assert(!after.contains(42L))
   }
+
+  test("refresh survives vacuum of the built version's manifest") {
+    val ds = makeDs()
+    FtsIndex.build(ds, "text")
+    import spark.implicits._
+    // advance several versions, then vacuum so the built version's dataset
+    // manifest is GONE — refresh must rely on the index's own meta
+    (1 to 3).foreach { i =>
+      ds.append(Seq((910000L + i, s"vacuum survivor $i spark"))
+        .toDF("doc_id", "text").coalesce(1))
+    }
+    ds.vacuum(keepVersions = 1, graceMs = 0L)
+    FtsIndex.refresh(ds, "text")
+    assert(FtsIndex.builtVersion(ds).contains(ds.version))
+    val hits = FtsIndex.search(ds, Seq("survivor"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(910001L, 910002L, 910003L).subsetOf(hits))
+  }
+
+  test("compaction-only advance refreshes as a no-op (no new rowids)") {
+    val ds = makeDs()
+    ds.append(Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").limit(20).coalesce(1))
+    FtsIndex.build(ds, "text")
+    val built = FtsIndex.builtVersion(ds)
+    ds.compact(targetRows = 1 << 20) // fresh fragment ids, same rowids
+    assert(ds.version > built.get)
+    FtsIndex.refresh(ds, "text") // must not write an empty segment or crash
+    assert(FtsIndex.builtVersion(ds) == built)
+    assert(FtsIndex.search(ds, Seq("spark"), k = 3).collect().nonEmpty)
+  }
 }

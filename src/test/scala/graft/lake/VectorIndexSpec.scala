@@ -245,5 +245,19 @@ class VectorIndexSpec extends SparkTestBase {
       nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
       .collect().map(_.getLong(0))
     assert(hits.contains(800010L))
+
+    // compaction-only advance: fresh fragment ids but zero post-mark
+    // rowids — refresh must no-op, not probe an empty frame for the PQ
+    // dimension (and search must keep working after vacuum of the old
+    // dataset manifests)
+    val built = VectorIndex.builtVersion(ds, "ivfpq")
+    ds.compact(targetRows = 1 << 20)
+    ds.vacuum(keepVersions = 1, graceMs = 0L)
+    VectorIndex.refresh(ds, "embedding", name = "ivfpq")
+    assert(VectorIndex.builtVersion(ds, "ivfpq") == built)
+    val again = VectorIndex.search(ds, "embedding", q, k = 2,
+      nprobe = VectorIndex.DefaultClusters, name = "ivfpq")
+      .collect().map(_.getLong(0))
+    assert(again.contains(800010L))
   }
 }
