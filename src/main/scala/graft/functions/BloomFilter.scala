@@ -100,7 +100,19 @@ case class BloomAgg(
   override def prettyName: String = "bloom_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
+    case LongType =>
+      // size parameters must be integral literals, or eval(null) at buffer
+      // creation dies executor-side on an unbound attribute — fail at
+      // analysis like the sibling expressions (MinHashSig, Winnow) do
+      val bad = Seq("num_bits" -> numBitsExpr, "num_hashes" -> numHashesExpr)
+        .collectFirst {
+          case (n, e) if !e.foldable => s"$n must be a literal, got $e"
+          case (n, e) if !Seq[DataType](ByteType, ShortType, IntegerType,
+            LongType).contains(e.dataType) =>
+            s"$n must be integral, got ${e.dataType}"
+        }
+      bad.fold[TypeCheckResult](TypeCheckResult.TypeCheckSuccess)(
+        TypeCheckResult.TypeCheckFailure)
     case t => TypeCheckResult.TypeCheckFailure(
       s"bloom_agg expects a bigint hash input, got $t")
   }

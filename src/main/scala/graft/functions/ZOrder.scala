@@ -31,9 +31,11 @@ object ZOrderKernel {
   }
 
   /** Morton-interleave 8-bit ranks: output bit (b*n + i) = bit b of
-    * ranks(i). */
+    * ranks(i). Max 8 ranks — beyond that the shift amounts pass 63 and
+    * wrap mod 64, silently colliding with low-order bits. */
   def interleave(ranks: ArrayData): Long = {
     val n = ranks.numElements()
+    require(n <= 8, s"z_value interleaves at most 8 ranks, got $n")
     var out = 0L
     var b = 0
     while (b < 8) {

@@ -40,9 +40,12 @@ object FtsIndex {
       .write.mode("overwrite").parquet(s"$d/postings")
     toks.groupBy("_rowid").agg(count(lit(1)).cast("double").as("len"))
       .write.mode("overwrite").parquet(s"$d/doclen")
-    rows.agg(count(lit(1)).cast("double").as("n_docs"))
-      .crossJoin(toks.groupBy("_rowid").agg(count(lit(1)).as("l"))
-        .agg(avg("l").as("avglen")))
+    // corpus stats from the written doclen (docs with >= 1 token) — the
+    // same population bm25TopK and the refresh path's chain stats use, so
+    // indexed and direct scores agree even with zero-token docs around
+    ds.spark.read.parquet(s"$d/doclen")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("len").as("avglen"))
       .write.mode("overwrite").parquet(s"$d/stats")
     // meta.json is the COMMIT POINT (written after every data file):
     // builtVersion ignores dirs without it, so a build that dies mid-write

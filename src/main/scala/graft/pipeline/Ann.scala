@@ -153,13 +153,18 @@ object Ann {
 
   // An IVF index is trained once and queried many times; memoize the
   // (assignments, centroids) pair per session+corpus — the in-session
-  // analogue of the persisted lake.VectorIndex. Weak session keys so a
-  // closed session's plans/checkpoints aren't pinned; evictable via
-  // [[clearIvfCache]] so a long-lived session (the bench harness) can
-  // release the checkpoint blocks between queries.
+  // analogue of the persisted lake.VectorIndex. The values sit behind
+  // SoftReferences: a DataFrame strongly references its SparkSession, and
+  // a WeakHashMap whose VALUES reach their own KEY never evicts (the
+  // javadoc'd self-reference trap) — soft values break the cycle, so
+  // memory pressure clears the pair first and the session key then
+  // collects normally. Also evictable via [[clearIvfCache]] so a
+  // long-lived session (the bench harness) can release the checkpoint
+  // blocks between queries.
   private val ivfCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]]())
+      java.util.concurrent.ConcurrentHashMap[String,
+        java.lang.ref.SoftReference[(DataFrame, DataFrame)]]]())
 
   /** Drop this session's memoized IVF index (its localCheckpoint blocks are
     * released by the caller's persistent-RDD sweep — see
@@ -176,15 +181,25 @@ object Ann {
     val perSession = {
       var m = ivfCache.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          java.lang.ref.SoftReference[(DataFrame, DataFrame)]]
         ivfCache.put(s, m)
       }
       m
     }
-    val (assign, centroids) = perSession.computeIfAbsent(dir, _ => {
-      val (a, c) = trainIvf(e)
-      (a.localCheckpoint(), c.localCheckpoint())
+    // strong local ref across the compute, so a softly-cleared pair can't
+    // vanish between the cache probe and its use
+    var pair: (DataFrame, DataFrame) = null
+    perSession.compute(dir, (_, old) => {
+      val cached = if (old == null) null else old.get()
+      pair = if (cached != null) cached
+        else {
+          val (a, c) = trainIvf(e)
+          (a.localCheckpoint(), c.localCheckpoint())
+        }
+      new java.lang.ref.SoftReference(pair)
     })
+    val (assign, centroids) = pair
     val q = queries(e)
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d", call_function("l2_distance", col("qvec"), col("centroid")))

@@ -33,11 +33,15 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Distinct word-k-gram shingles of the text column. */
+  /** Distinct word-k-gram shingles of the text column. A doc with fewer
+    * than k tokens yields ONE shingle (the whole doc): `sequence(0, n-k)`
+    * with n<k would descend through negative indices and `slice(toks, 0,
+    * …)` is a Spark runtime error — short docs are rare in the synthetic
+    * corpus but guaranteed on a real web corpus. */
   def shingles(text: Column, k: Int = ShingleK): Column = {
     val toks = split(text, " ")
     array_distinct(transform(
-      sequence(lit(0), size(toks) - k),
+      sequence(lit(0), greatest(lit(0), size(toks) - k)),
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
@@ -68,6 +72,31 @@ object Dedup {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
+  /** The one signature pipeline both persistence modes share: drift here
+    * (shingle hashing, size filter) would silently make cached and
+    * uncached runs of the same query disagree. */
+  private def signatureFrame(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("shh",
+        sort_array(array_distinct(transform(col("sh"), x => xxhash64(x)))))
+      .withColumn("sig", minhashSignature(col("sh")))
+      .drop("sh")
+
+  // Signature temp dirs live for the process; without cleanup a long-lived
+  // harness leaks one parquet dir per (session, corpus) PAST process exit.
+  private val sigDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[String]())
+  sys.addShutdownHook {
+    sigDirs.forEach { p =>
+      try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Exception => () }
+    }
+  }
+
   private def signatures(d: DataFrame, corpusKey: String): DataFrame = {
     val s = d.sparkSession
     val perSession = {
@@ -81,13 +110,8 @@ object Dedup {
     val path = perSession.computeIfAbsent(corpusKey, _ => {
       val p = java.nio.file.Files
         .createTempDirectory("dedup-sigs-").toString
-      d.select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("shh",
-          sort_array(array_distinct(transform(col("sh"), x => xxhash64(x)))))
-        .withColumn("sig", minhashSignature(col("sh")))
-        .drop("sh")
-        .write.mode("overwrite").parquet(p)
+      sigDirs.add(p)
+      signatureFrame(d).write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
@@ -104,13 +128,7 @@ object Dedup {
     GraftFunctions.register(d.sparkSession)
     val sigs =
       if (corpusKey.nonEmpty) signatures(d, corpusKey)
-      else d.select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("shh",
-          sort_array(array_distinct(transform(col("sh"), x => xxhash64(x)))))
-        .withColumn("sig", minhashSignature(col("sh")))
-        .drop("sh")
-        .localCheckpoint()
+      else signatureFrame(d).localCheckpoint()
     val buckets = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bucket"))
     // Skew guard: drop degenerate hot buckets (see scaladoc).

@@ -61,15 +61,18 @@ object Fts {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
   }
 
-  /** BM25 top-k scoring of `queryTerms` against the corpus. */
+  /** BM25 top-k scoring of `queryTerms` against the corpus. Tokenizes
+    * ONCE: doc length is sum(tf) over the postings and the corpus stats
+    * derive from the lengths — three separate tokenizer passes over the
+    * text (the expensive part, especially cjk) collapsed into one. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       tokenizer: String = "whitespace"): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val post = postings(docs, tokenizer)
-    val docLen = docs.select(col("doc_id"),
-      size(tokens(col("text"), tokenizer)).cast("double").as("len"))
-    val corpus = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(size(tokens(col("text"), tokenizer))).as("avglen"))
+    val docLen = post.groupBy("doc_id")
+      .agg(sum("tf").cast("double").as("len"))
+    val corpus = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("len").as("avglen"))
     val qp = post.filter(col("term").isin(queryTerms: _*))
     val df_ = qp.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
@@ -93,13 +96,15 @@ object Fts {
     * implements the identical BM25 formula in SQL. */
   val topk = Q(
     "fts_bm25_topk",
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |              FROM documents),
+    s"""WITH toks AS (SELECT doc_id, t.term
+       |              FROM documents,
+       |                unnest(list_filter(string_split(text, ' '),
+       |                  x -> len(x) > 0)) AS t(term)),
        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
        |       FROM toks GROUP BY doc_id),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-       |            avg(len(string_split(text, ' '))) AS avglen
-       |          FROM documents),
+       |            avg(len) AS avglen
+       |          FROM dl),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
        |       WHERE term IN ('spark','table','scan') GROUP BY doc_id, term),
        |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
@@ -129,10 +134,8 @@ object Fts {
        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
        |       FROM toks GROUP BY doc_id),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-       |            avg(len(list_filter(
-       |              regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-       |              x -> len(x) > 0))) AS avglen
-       |          FROM documents),
+       |            avg(len) AS avglen
+       |          FROM dl),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
        |       WHERE term IN ('spark','table','scan') GROUP BY doc_id, term),
        |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df

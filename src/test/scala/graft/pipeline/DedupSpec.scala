@@ -127,4 +127,16 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("docs shorter than the shingle size survive and still dedup exactly") {
+    import spark.implicits._
+    // 1-2 token docs: sequence(0, n-k) would go negative and slice(.., 0)
+    // is a runtime error — short docs must shingle as the whole doc
+    val d = Seq((1L, "hi"), (2L, "hi"), (3L, "hello world"),
+      (4L, "hello world"), (5L, "totally different text here okay"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(d, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+  }
 }
