@@ -23,6 +23,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Timestamp literal for RAW-attribute comparisons: the driver's date
+    * columns are midnight-aligned timestamps loaded raw, and comparing
+    * the attribute to a timestamp literal (never casting the attribute)
+    * is what keeps the predicate pushable to parquet (round-1 verdict;
+    * PlanSpec pins it). One definition, shared by every query file. */
+  def ts(s: String): org.apache.spark.sql.Column = to_timestamp(lit(s))
+
   // Schema inference costs ~50-100 ms per parquet read; memoize the loaded
   // DataFrames per (session, dir, table) so each of the ~50 registry queries
   // doesn't re-pay it (they're immutable logical plans — safe to share).

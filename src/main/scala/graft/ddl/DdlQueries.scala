@@ -47,6 +47,13 @@ object DdlQueries {
         .toDF("n_items", "total_price", "n_copied", "n_region", "n_exported")
     } finally {
       Engine.dropSchema(s, db)
+      // dropSchema only removes managed tables; the export dir and the
+      // temp root itself would otherwise accumulate one orphan per run
+      try {
+        Files.walk(java.nio.file.Paths.get(loc))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
     }
   }
 

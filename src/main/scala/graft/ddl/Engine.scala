@@ -30,16 +30,26 @@ object Engine {
   def dropSchema(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
 
-  /** CREATE TABLE with schema + declarative constraints-as-properties. */
+  /** CREATE TABLE with schema + declarative constraints-as-properties.
+    * NOT NULL columns are recorded as a property alongside the primary
+    * key: Spark's file-source catalog reports EVERY column of a `USING
+    * parquet` table as nullable, so the declared schema cannot carry the
+    * constraint — the property is the only durable record insertInto can
+    * enforce against. */
   def createTable(spark: SparkSession, table: String, schema: StructType,
       primaryKey: Seq[String] = Nil, location: Option[String] = None): Unit = {
     val cols = schema.fields.map { f =>
       val notNull = if (!f.nullable) " NOT NULL" else ""
       s"${f.name} ${f.dataType.sql}$notNull"
     }.mkString(", ")
+    val notNulls = schema.fields.filterNot(_.nullable).map(_.name)
+    val propKvs =
+      (if (primaryKey.nonEmpty)
+        Seq(s"'graft.primaryKey' = '${primaryKey.mkString(",")}'") else Nil) ++
+      (if (notNulls.nonEmpty)
+        Seq(s"'graft.notNull' = '${notNulls.mkString(",")}'") else Nil)
     val props =
-      if (primaryKey.nonEmpty)
-        s" TBLPROPERTIES ('graft.primaryKey' = '${primaryKey.mkString(",")}')"
+      if (propKvs.nonEmpty) s" TBLPROPERTIES (${propKvs.mkString(", ")})"
       else ""
     val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
     spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($cols) USING parquet$loc$props")
@@ -48,14 +58,23 @@ object Engine {
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
 
-  /** Declared primary key of a table, from its properties. */
-  def primaryKeyOf(spark: SparkSession, table: String): Seq[String] = {
+  private def propListOf(spark: SparkSession, table: String,
+      key: String): Seq[String] = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    props.get("graft.primaryKey")
+    props.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
   }
+
+  /** Declared primary key of a table, from its properties. */
+  def primaryKeyOf(spark: SparkSession, table: String): Seq[String] =
+    propListOf(spark, table, "graft.primaryKey")
+
+  /** Declared NOT NULL columns, from the property createTable records
+    * (the catalog schema itself always reports nullable for parquet). */
+  def notNullOf(spark: SparkSession, table: String): Seq[String] =
+    propListOf(spark, table, "graft.notNull")
 
   /** INSERT ... VALUES via a LocalRelation write (executor_insert.go),
     * verifying declared constraints first (executor_insert.go:1-120 →
@@ -71,33 +90,48 @@ object Engine {
     * inserts of the same key can both pass the existence probe; there is
     * no table-level lock to serialize them.  */
   def insertInto(spark: SparkSession, table: String, df: DataFrame,
-      enforceConstraints: Boolean = true): Unit = {
+      enforceConstraints: Boolean = true): Long = {
+    val target = spark.table(table)
+    // Align to the table schema BY NAME before anything else:
+    // `write.insertInto` is positional, so a reordered batch would pass
+    // name-based validation yet write columns into the wrong slots — the
+    // checked data must BE the written data. A missing column fails here
+    // with a clear message instead of silently shifting values.
+    target.schema.fieldNames.foreach(c =>
+      require(df.columns.contains(c),
+        s"insert into $table: batch is missing column $c"))
+    val alignedDf = df.select(target.schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
     if (!enforceConstraints) {
-      df.write.mode(SaveMode.Append).insertInto(table)
-      return
+      alignedDf.write.mode(SaveMode.Append).insertInto(table)
+      return -1L
     }
     import org.apache.spark.sql.functions._
     // eager=true materializes now: check-then-act sees one snapshot
-    val batch = df.localCheckpoint(true)
+    val batch = alignedDf.localCheckpoint(true)
     try {
-      val target = spark.table(table)
-      // NOT NULL: one aggregate over the batch
-      val required = target.schema.fields.filterNot(_.nullable).map(_.name)
-        .filter(batch.columns.contains)
-      if (required.nonEmpty) {
-        val counts = batch.agg(
-          count(lit(1)).as("_n"),
-          required.map(c =>
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c")): _*)
-          .collect().head
-        required.foreach { c =>
-          val n = counts.getAs[Long](s"_null_$c")
-          if (n > 0) throw new ConstraintViolationException(
-            s"NOT NULL violation: column $c has $n null value(s)")
-        }
+      // NOT NULL from the recorded property — the parquet catalog schema
+      // reports every column nullable, so it can't carry the constraint
+      val required = notNullOf(spark, table).filter(batch.columns.contains)
+      val counts = batch.agg(
+        count(lit(1)).as("_n"),
+        required.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c")): _*)
+        .collect().head
+      required.foreach { c =>
+        val n = counts.getAs[Long](s"_null_$c")
+        if (n > 0) throw new ConstraintViolationException(
+          s"NOT NULL violation: column $c has $n null value(s)")
       }
       val pk = primaryKeyOf(spark, table)
       if (pk.nonEmpty) {
+        // PK implies NOT NULL: a null key never matches the semi-join
+        // probe (NULL = NULL is not true), so repeated null-PK inserts
+        // would all "pass" uniqueness — reject them outright
+        val nullKey = batch
+          .filter(pk.map(col(_).isNull).reduce(_ || _)).limit(1)
+        if (!nullKey.isEmpty) throw new ConstraintViolationException(
+          s"PRIMARY KEY violation: null key value on $pk")
         val dupIn = batch.groupBy(pk.map(col): _*)
           .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
         if (!dupIn.isEmpty) throw new ConstraintViolationException(
@@ -108,6 +142,7 @@ object Engine {
           s"PRIMARY KEY violation: key already present in $table on $pk")
       }
       batch.write.mode(SaveMode.Append).insertInto(table)
+      counts.getAs[Long]("_n")
     } finally batch.unpersist()
   }
 
@@ -117,13 +152,11 @@ object Engine {
       format: String = "parquet",
       options: Map[String, String] = Map.empty): Long = {
     val src = spark.read.options(options).format(format).load(path)
-    // align by the table's column order, cast to its types
-    val target = spark.table(table)
-    val aligned = src.select(target.schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
-    // imports go through the same constraint-checked insert path
-    insertInto(spark, table, aligned)
-    src.count()
+    // imports go through the same constraint-checked insert path, which
+    // aligns/casts by name and returns the count of the PINNED batch —
+    // no second scan of the source file, and the count is of the rows
+    // actually written, not a re-read that could see a changed file
+    insertInto(spark, table, src)
   }
 
   /** ANALYZE: compute table + column statistics so Catalyst's CBO

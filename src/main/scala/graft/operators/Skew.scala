@@ -24,6 +24,10 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int = 8): DataFrame = {
     require(factor >= 1)
+    // withColumn would silently overwrite (then drop) a caller's _salt
+    require(!left.columns.contains("_salt") &&
+      !right.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column name")
     val saltedLeft = left.withColumn("_salt",
       (rand(seed = 42) * factor).cast("int"))
     val saltedRight = right.withColumn("_salt",

@@ -24,7 +24,7 @@ object Tpch {
 
   /** Foldable timestamp literal; testdata date columns are midnight-aligned
     * timestamp[ms] (FIXTURES.md §B), so `< ts(d)` ≡ `< DATE d`. */
-  private def ts(s: String) = to_timestamp(lit(s))
+  private def ts(s: String) = Tables.ts(s)
 
   /** TPC-H Q1: scan → filter → hash aggregate → sort.
     * Reference: executor_aggr.go (hash aggregate), executor_order.go (sort). */

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object TpchMore {
 
-  private def ts(s: String) = to_timestamp(lit(s))
+  private def ts(s: String) = Tables.ts(s)
 
   /** Q2 core: uncorrelated scalar subquery + min/max semantics.
     * Reference: cases/tpch/query/q2.sql (correlated min over partsupp —

@@ -97,9 +97,20 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               acc match {
-                case Some(a) if t - a.end <= gapMs =>
-                  acc = Some(a.copy(end = math.max(a.end, t), n = a.n + 1,
+                // within the gap of the open session's INTERVAL: a late
+                // event can extend the start backwards, not just the end
+                case Some(a) if t >= a.start - gapMs && t - a.end <= gapMs =>
+                  acc = Some(a.copy(start = math.min(a.start, t),
+                    end = math.max(a.end, t), n = a.n + 1,
                     total = a.total + e.value))
+                // straggler more than a gap OLDER than the open session:
+                // its own session, already closed by definition (anything
+                // that could join it is older still). Without this arm the
+                // `t - a.end <= gap` test is vacuously true for the past
+                // and a 3-hour-old event would merge into today's session.
+                case Some(a) if t < a.start - gapMs =>
+                  closed ::= Session(user, new Timestamp(t),
+                    new Timestamp(t), 1, e.value)
                 case Some(a) =>
                   closed ::= Session(user, new Timestamp(a.start),
                     new Timestamp(a.end), a.n, a.total)

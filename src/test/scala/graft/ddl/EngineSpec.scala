@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkTestBase
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class EngineSpec extends SparkTestBase {
@@ -29,22 +30,37 @@ class EngineSpec extends SparkTestBase {
       intercept[ConstraintViolationException](
         Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
           java.util.List.of(Row(1L, "again")), sch)))
-      // NOT NULL violation (nullable schema carrying a null key)
+      // NOT NULL violation: enforced from the graft.notNull property —
+      // the parquet catalog schema reports every column nullable, so the
+      // declared schema alone could never carry this (a null key also
+      // trips the PK null-key rejection; both are violations)
       val nullableSch = StructType(Seq(
         StructField("k", LongType, nullable = true),
         StructField("v", StringType)))
-      if (!sch("k").nullable)
-        intercept[ConstraintViolationException](
-          Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
-            java.util.List.of(Row(null, "nope")), nullableSch)))
+      intercept[ConstraintViolationException](
+        Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+          java.util.List.of(Row(null, "nope")), nullableSch)))
+      // column order must not matter: validated-by-name == written-by-name
+      val reordered = spark.createDataFrame(
+        java.util.List.of(Row("seven", Long.box(7L))),
+        StructType(Seq(StructField("v", StringType),
+          StructField("k", LongType))))
+      Engine.insertInto(spark, s"$db.t", reordered)
+      assert(spark.table(s"$db.t").filter(col("k") === 7L)
+        .head().getString(1) == "seven")
+      // a batch missing a table column fails clearly, never writes shifted
+      intercept[IllegalArgumentException](
+        Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
+          java.util.List.of(Row(Long.box(8L))),
+          StructType(Seq(StructField("k", LongType))))))
       // clean insert still works; unchecked bulk load available
       Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
         java.util.List.of(Row(2L, "two")), sch))
-      assert(spark.table(s"$db.t").count() == 2)
+      assert(spark.table(s"$db.t").count() == 3) // {1, 7, 2}
       Engine.insertInto(spark, s"$db.t", spark.createDataFrame(
         java.util.List.of(Row(1L, "dup-ok")), sch),
         enforceConstraints = false)
-      assert(spark.table(s"$db.t").count() == 3)
+      assert(spark.table(s"$db.t").count() == 4)
     } finally Engine.dropSchema(spark, db)
   }
 

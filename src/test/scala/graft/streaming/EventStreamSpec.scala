@@ -113,6 +113,40 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late events extend a session's start; far stragglers get their own") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(EventStream.Event(1, ts("2026-01-01 10:00:00"), 1, "c", 1.0))
+      q.processAllAvailable()
+      stream.addData(
+        // 10 min late but within the session gap: must merge AND pull the
+        // session start back (the old code kept start=10:00)
+        EventStream.Event(2, ts("2026-01-01 09:50:00"), 1, "c", 2.0),
+        // 90 min older than the session start (past the gap, inside the
+        // 2h watermark): its own single-event session, NOT merged into
+        // the 10:00 session the way `t - end <= gap` alone would
+        EventStream.Event(3, ts("2026-01-01 08:30:00"), 1, "c", 4.0))
+      q.processAllAvailable()
+      // close everything via the event-time timeout
+      stream.addData(EventStream.Event(9, ts("2026-01-01 23:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("late_sessions")
+        .filter(col("user_id") === 1).orderBy("start").collect()
+      assert(sessions.length == 2, sessions.mkString(","))
+      assert(sessions(0).getAs[Timestamp]("start") == ts("2026-01-01 08:30:00"))
+      assert(sessions(0).getAs[Long]("n_events") == 1)
+      assert(sessions(1).getAs[Timestamp]("start") == ts("2026-01-01 09:50:00"))
+      assert(sessions(1).getAs[Timestamp]("end") == ts("2026-01-01 10:00:00"))
+      assert(sessions(1).getAs[Long]("n_events") == 2)
+      assert(sessions(1).getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
