@@ -133,10 +133,12 @@ object Rel {
 
   /** Math-function matrix over lineitem numerics: abs/ceil/floor/round/
     * sqrt/power/mod/sign/exp/ln/log10. Every double lands in a
-    * DECIMAL(18,6) cast: Spark rounds via BigDecimal HALF_UP while DuckDB
-    * rounds through multiply/nearbyint/divide, so `round(double, 6)` can
-    * differ in the last binary ulp even when the decimal value agrees —
-    * decimals hash by exact digits on both engines. */
+    * DECIMAL(18,6) cast so 1-ulp libm differences between the JVM and
+    * DuckDB can't leak into the hash. The synthetic lineitem has duplicate
+    * (l_orderkey, l_linenumber) pairs (469 at sf0.01), so the ORDER BY
+    * lists every output column — ties would otherwise interleave
+    * engine-dependently and break the in-order hash even with equal
+    * row multisets (verified equal this round). */
   val mathFuncs = Q.sql(
     "expr_math_funcs",
     """SELECT l_orderkey, l_linenumber,
@@ -152,7 +154,7 @@ object Rel {
       |  CAST(log10(l_extendedprice) AS DECIMAL(18,6)) AS l10
       |FROM lineitem
       |WHERE l_orderkey <= 640
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |ORDER BY l_orderkey, l_linenumber, a, c, f, sq, p2, m97, sg, ex, lg, l10""".stripMargin)
 
   /** Conditional/null functions: coalesce/nullif/greatest/least + CASE
     * over a derived nullable column. */
