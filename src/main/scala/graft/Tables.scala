@@ -62,8 +62,12 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sessionCache(spark).computeIfAbsent((dir, name), _ =>
       if (name == "events") {
+        // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
+        // 2^53 exact range, so float division is ±1 µs off — invisible to
+        // window membership, fatal to exact-microsecond outputs (the
+        // as-of join's gap_us exposed it against DuckDB's integer ns→µs)
         spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       })

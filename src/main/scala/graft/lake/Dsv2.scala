@@ -41,9 +41,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[LakeDataset]]'s optimistic manifest swap, so SQL writers and API
   * writers share one commit protocol.
   */
-final class LakeDataSource extends TableProvider with DataSourceRegister {
+final class LakeDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "lake"
+
+  // ------------------------------------------------- streaming read door
+  // `spark.readStream.format("lake").load(root)` tails the manifest log
+  // (versions = offsets). The table reports no MICRO_BATCH_READ capability,
+  // so Spark falls back to this V1 StreamSourceProvider — the same bridge
+  // pattern as the batch read path's V1Scan.
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      graft.streaming.LakeStreamSource.sourceSchema(sqlContext, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    graft.streaming.LakeStreamSource.forOptions(sqlContext, parameters)
 
   // Writes may target a dataset that doesn't exist yet (created on first
   // insert): Spark then passes the query schema instead of calling
@@ -59,7 +78,9 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val ds = LakeDataset.open(spark, rootOf(options))
-    LakeDataset.logicalSchema(pinnedManifest(ds, options))
+    val base = LakeDataset.logicalSchema(pinnedManifest(ds, options))
+    if (options.containsKey("changesFrom")) LakeDataSource.changesSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -79,6 +100,14 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
 }
 
 object LakeDataSource {
+  /** Output shape of a change-feed scan (`option("changesFrom", v)`). */
+  private[lake] def changesSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq
+      :+ org.apache.spark.sql.types.StructField(LakeDataset.RowIdCol,
+        org.apache.spark.sql.types.LongType)
+      :+ org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
+
   /** Last scan's (scannedFragments, totalFragments) per dataset root —
     * test observability for pruning through the opaque DSv2 path (specs
     * assert point lookups open fewer files than the full fragment list). */
@@ -97,8 +126,10 @@ private[lake] final class LakeTable(root: String,
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  // version-pinned and change-feed handles are read-only views
   private def pinned: Boolean =
-    options.containsKey("versionAsOf") || options.containsKey("tag")
+    options.containsKey("versionAsOf") || options.containsKey("tag") ||
+      options.containsKey("changesFrom")
 
   override def name(): String = s"lake.`$root`"
 
@@ -108,7 +139,12 @@ private[lake] final class LakeTable(root: String,
   override lazy val schema: StructType =
     if (LakeDataset.exists(root)) {
       val ds = LakeDataset.open(SparkSession.active, root)
-      LakeDataset.logicalSchema(
+      if (options.containsKey("changesFrom")) {
+        val toV = Option(options.get("changesTo")).map(_.toLong)
+          .getOrElse(ds.version)
+        LakeDataSource.changesSchema(
+          LakeDataset.logicalSchema(ds.checkout(toV).manifest))
+      } else LakeDataset.logicalSchema(
         new LakeDataSource().pinnedManifest(ds, options))
     } else providedSchema.getOrElse(
       throw new IllegalArgumentException(s"lake: no dataset at $root"))
@@ -221,7 +257,38 @@ private[lake] final class LakeScanBuilder(root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new V1Scan
+  override def build(): Scan =
+    if (options.containsKey("changesFrom")) changesScan() else batchScan()
+
+  /** Change-feed scan (`option("changesFrom", a)[.option("changesTo", b)]`):
+    * the SQL door to [[LakeDataset.changes]]. Change sets are commit-sized,
+    * so no fragment pruning is attempted; column pruning still applies. */
+  private def changesScan(): Scan = new V1Scan {
+    private val spark = SparkSession.active
+    private val ds = LakeDataset.open(spark, root)
+    private val fromV = options.get("changesFrom").toLong
+    private val toV = Option(options.get("changesTo")).map(_.toLong)
+      .getOrElse(ds.version)
+    private val outSchema = required.getOrElse(
+      LakeDataSource.changesSchema(
+        LakeDataset.logicalSchema(ds.checkout(toV).manifest)))
+
+    override def readSchema(): StructType = outSchema
+
+    override def description(): String = s"lake changes ($fromV, $toV]"
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = outSchema
+        override def buildScan(): RDD[Row] =
+          ds.changes(fromV, toV)
+            .select(outSchema.fieldNames.map(col).toSeq: _*).rdd
+      }.asInstanceOf[T]
+  }
+
+  private def batchScan(): Scan = new V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     private val spark = SparkSession.active
     private val ds = LakeDataset.open(spark, root)

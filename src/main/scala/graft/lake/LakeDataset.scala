@@ -126,6 +126,205 @@ final class LakeDataset private (
         StructField("committed_at", TimestampType))))
   }
 
+  // ---------------------------------------------------- change data feed
+
+  /** Net row-level changes between two versions — a Delta-style change
+    * data feed derived from the manifests themselves, no logged feed
+    * required (every commit already records exactly which fragments it
+    * replaced, and rowids are stable across rewrites).
+    *
+    * Output: the `to` version's logical columns plus `_rowid` and
+    * `_change_type` ∈ {insert, delete, update_preimage, update_postimage}.
+    * A row rewritten with identical values (compaction, z-order layout)
+    * produces NO change rows — layout maintenance is invisible to
+    * downstream consumers.
+    *
+    * Scale: the fragment diff happens on manifest metadata; only fragments
+    * added or removed in the range are read, and fragments common to both
+    * versions are read only when the deletion-vector set changed between
+    * them (then under a `_rowid` range filter so parquet row-group stats
+    * skip the untouched majority). The classify step joins the two
+    * candidate sides on fixed-width `_rowid`s — a commit range touching k
+    * fragments costs IO proportional to k, never to the dataset. */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes: from=$fromV > to=$toV")
+    val mt = loadVersion(rootPath, toV)
+    changesBetween(loadVersion(rootPath, fromV), mt, mt)
+  }
+
+  /** Per-commit change feed over `(fromV, toV]`: one [[changes]] step per
+    * retained manifest, each tagged with `_commit_version`, all aligned to
+    * `toV`'s schema (so the feed unions cleanly across schema evolution).
+    * Requires the full version chain to still be retained (not vacuumed). */
+  def changeLog(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changeLog: from=$fromV > to=$toV")
+    val vs = versions.filter(v => v >= fromV && v <= toV)
+    require(vs.headOption.contains(fromV) &&
+      vs == (fromV to toV).toSeq,
+      s"changeLog: versions $fromV..$toV not fully retained (have $vs)")
+    val out = loadVersion(rootPath, toV)
+    val steps = (fromV until toV).map { v =>
+      changesBetween(loadVersion(rootPath, v), loadVersion(rootPath, v + 1),
+        out).withColumn("_commit_version", lit(v + 1))
+    }
+    if (steps.isEmpty)
+      changesBetween(out, out, out).withColumn("_commit_version", lit(toV))
+    else steps.reduce(_ unionByName _)
+  }
+
+  /** Commits in `(fromV, toV]` that may have deleted or rewritten rows
+    * (anything beyond appends / index builds / schema ops / net-invisible
+    * layout rewrites), as (version, operation). The streaming source uses
+    * this metadata-only check to refuse silently dropping changes unless
+    * the reader opted in (Delta's skipChangeCommits contract). */
+  def changeCommitsBetween(fromV: Long, toV: Long): Seq[(Long, String)] =
+    ((fromV + 1) to toV).flatMap { v =>
+      val op = loadVersion(rootPath, v).operation
+      kindOf(op) match {
+        case OpKind.DeleteUpdate | OpKind.DeleteDv | OpKind.Merge |
+            OpKind.Overwrite => Some(v -> op)
+        case _ => None
+      }
+    }
+
+  /** All deletion-vector rowids of a manifest as a one-column DataFrame. */
+  private def dvRowIds(man: Manifest, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq(StructField(RowIdCol, LongType, nullable = false))))
+    else spark.read.parquet(
+      files.map(f => rootPath.resolve(f).toString): _*).select(RowIdCol)
+
+  /** Project a df read under `src`'s field mapping onto `out`'s logical
+    * schema by field id: renamed fields follow the id, widened fields cast,
+    * fields absent in `src` become NULL. `_rowid` rides along. */
+  private def alignByFieldId(df: DataFrame, src: Manifest,
+      out: Manifest): DataFrame = {
+    val byId = src.fields.map(f => f.id -> f).toMap
+    df.select(out.fields.map { f =>
+      byId.get(f.id) match {
+        case Some(sf) =>
+          col(sf.name).cast(DataType.fromJson(f.dataType)).as(f.name)
+        case None => lit(null).cast(DataType.fromJson(f.dataType)).as(f.name)
+      }
+    } :+ col(RowIdCol): _*)
+  }
+
+  private def changesBetween(mf: Manifest, mt: Manifest,
+      out: Manifest): DataFrame = {
+    val outCols = out.fields.map(_.name)
+    val emptyChanges = {
+      val s = StructType(logicalSchema(out).fields.toSeq
+        :+ StructField(RowIdCol, LongType)
+        :+ StructField("_change_type", StringType, nullable = false))
+      spark.createDataFrame(new java.util.ArrayList[Row](), s)
+    }
+    if (mf.version == mt.version) return emptyChanges
+
+    val fromIds = mf.fragments.map(_.id).toSet
+    val toIds = mt.fragments.map(_.id).toSet
+    val removed = mf.fragments.filterNot(f => toIds(f.id))
+    val added = mt.fragments.filterNot(f => fromIds(f.id))
+
+    // Deletion-vector deltas matter only for fragments BOTH versions hold
+    // (removed fragments' tombstones die with them; added fragments arrive
+    // under `mt`'s vectors, which readFragments already applies). The DV
+    // file lists are append-mostly and immutable, so set difference on the
+    // NAMES decides — no Spark job — whether either direction needs a read.
+    val dvAddedFiles = mt.deletionFiles.filterNot(mf.deletionFiles.contains)
+    val dvRemovedFiles = mf.deletionFiles.filterNot(mt.deletionFiles.contains)
+
+    // Rows of common fragments whose rowid was tombstoned in the range =
+    // merge-on-read deletes. Read under the manifest where those rows are
+    // LIVE (mf for deletes, mt for resurrections — readFragments applies
+    // that manifest's own deletion vectors), with a rowid range filter:
+    // appends claim monotonically increasing rowid blocks, so parquet
+    // row-group stats on `_rowid` skip fragments far from the delta.
+    def commonRowsMatching(man: Manifest, delta: DataFrame): DataFrame = {
+      val bounds = delta.agg(min(RowIdCol), max(RowIdCol)).head()
+      if (bounds.isNullAt(0)) null
+      else readFragments(man, man.fragments.filter(f =>
+          fromIds(f.id) && toIds(f.id)), withRowId = true)
+        .filter(col(RowIdCol).between(bounds.getLong(0), bounds.getLong(1)))
+        .join(delta, Seq(RowIdCol), "left_semi")
+    }
+    val dvDeletes =
+      if (dvAddedFiles.isEmpty) null
+      else commonRowsMatching(mf,
+        dvRowIds(mt, dvAddedFiles)
+          .join(dvRowIds(mf, mf.deletionFiles), Seq(RowIdCol), "left_anti"))
+    // Un-tombstoned rowids on still-shared fragments (a restore across a
+    // merge-on-read delete) come back = inserts.
+    val dvResurrections =
+      if (dvRemovedFiles.isEmpty) null
+      else commonRowsMatching(mt,
+        dvRowIds(mf, dvRemovedFiles)
+          .join(dvRowIds(mt, mt.deletionFiles), Seq(RowIdCol), "left_anti"))
+
+    def unionAll(parts: Seq[DataFrame]): Option[DataFrame] =
+      parts.filter(_ != null).reduceOption(_ unionByName _)
+
+    val delSide = unionAll(Seq(
+      if (removed.isEmpty) null
+      else alignByFieldId(
+        readFragments(mf, removed, withRowId = true), mf, out),
+      if (dvDeletes == null) null else alignByFieldId(dvDeletes, mf, out)))
+    val insSide = unionAll(Seq(
+      if (added.isEmpty) null
+      else alignByFieldId(readFragments(mt, added, withRowId = true), mt, out),
+      // resurrections were read under mt (where those rows are live again)
+      if (dvResurrections == null) null
+      else alignByFieldId(dvResurrections, mt, out)))
+
+    (delSide, insSide) match {
+      case (None, None) => emptyChanges
+      case (Some(d), None) =>
+        d.withColumn("_change_type", lit("delete"))
+          .select((outCols :+ RowIdCol :+ "_change_type").map(col): _*)
+      case (None, Some(i)) =>
+        i.withColumn("_change_type", lit("insert"))
+          .select((outCols :+ RowIdCol :+ "_change_type").map(col): _*)
+      case (Some(d), Some(i)) =>
+        // Same rowid on both sides = a copy-on-write rewrite of that row:
+        // identical values (compaction/layout) emit nothing; changed values
+        // emit an update pre/post pair.
+        val dP = d.select(outCols.map(c => col(c).as(s"__cdf_d_$c"))
+          :+ col(RowIdCol).as("__cdf_d_rid"): _*)
+        val iP = i.select(outCols.map(c => col(c).as(s"__cdf_i_$c"))
+          :+ col(RowIdCol).as("__cdf_i_rid"): _*)
+        val joined = dP.join(iP,
+          col("__cdf_d_rid") === col("__cdf_i_rid"), "full_outer")
+        val same = outCols.map(c =>
+          col(s"__cdf_d_$c") <=> col(s"__cdf_i_$c"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        def side(p: String, ct: String) = struct(
+          outCols.map(c => col(s"__cdf_${p}_$c").as(c))
+            :+ col(s"__cdf_${p}_rid").as(RowIdCol)
+            :+ lit(ct).as("_change_type"): _*)
+        val rows = when(col("__cdf_i_rid").isNull, array(side("d", "delete")))
+          .when(col("__cdf_d_rid").isNull, array(side("i", "insert")))
+          .when(same, slice(array(side("d", "delete")), 1, 0)) // typed empty
+          .otherwise(array(side("d", "update_preimage"),
+            side("i", "update_postimage")))
+        joined.select(explode(rows).as("__cdf_row")).select(col("__cdf_row.*"))
+    }
+  }
+
+  /** Random access by stable rowid (reference Take/TakeProjected,
+    * sdk/dataset.go:1152-1160): the rows whose `_rowid` is in `rowIds`,
+    * optionally projected. Appends claim monotonically increasing rowid
+    * blocks, so the BETWEEN(min,max) pre-filter lets parquet row-group
+    * stats skip everything far from the requested ids before the IN-set
+    * evaluates — point lookups never scan the table. */
+  def take(rowIds: Seq[Long], columns: Seq[String] = Nil): DataFrame = {
+    require(rowIds.nonEmpty, "take: no rowids given")
+    val base = readFragments(m, m.fragments, withRowId = true)
+      .filter(col(RowIdCol).between(rowIds.min, rowIds.max))
+      .filter(col(RowIdCol).isin(rowIds: _*))
+    if (columns.isEmpty) base
+    else base.select((columns :+ RowIdCol).map(col): _*)
+  }
+
   /** Scanner builder (reference sdk/scanner.go:42-480). */
   def scanner(): Scanner =
     Scanner(this, None, None, Nil, None, None, false, false)
@@ -353,6 +552,13 @@ final class LakeDataset private (
     Files.deleteIfExists(p)
     affected
   }
+
+  /** Explicitly abort one detached transaction (reference DeleteDetached):
+    * drop the intent record; the staged files become unreferenced and are
+    * reaped by [[vacuum]]. Returns false when no such txn exists (already
+    * committed, cleaned, or never created). */
+  def deleteDetached(id: String): Boolean =
+    Files.deleteIfExists(detachedDir.resolve(s"$id.json"))
 
   /** Drop intent records older than `olderThanMs`; their staged files
     * become unreferenced and are reaped by [[vacuum]] (reference

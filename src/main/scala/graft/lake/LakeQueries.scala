@@ -266,7 +266,50 @@ object LakeQueries {
         "scanned_by_partkey", "n_rows_after")
   }
 
+  /** Change data feed through the public API: seed a lake table from
+    * `nation`, run a deterministic delete → update → append sequence, and
+    * net the row-level changes between the loaded and final versions. The
+    * DuckDB oracle states the expected feed directly against the original
+    * parquet — hash-equal iff the manifest-diff CDF reports exactly the
+    * rows each operation touched (rewritten-but-unchanged rows from the
+    * copy-on-write fragments must collapse, or extra pre/post rows appear).
+    */
+  val changeFeed: Q = Q(
+    "lake_change_feed",
+    """WITH ch AS (
+      |  SELECT 'delete' AS change_type, n_nationkey, n_name
+      |  FROM nation WHERE n_regionkey = 2
+      |  UNION ALL
+      |  SELECT 'update_preimage', n_nationkey, n_name
+      |  FROM nation WHERE n_nationkey < 5 AND n_regionkey <> 2
+      |  UNION ALL
+      |  SELECT 'update_postimage', n_nationkey, n_name || '!'
+      |  FROM nation WHERE n_nationkey < 5 AND n_regionkey <> 2
+      |  UNION ALL
+      |  SELECT 'insert', n_nationkey + 100, n_name
+      |  FROM nation WHERE n_nationkey >= 20)
+      |SELECT change_type, n_nationkey, n_name FROM ch
+      |ORDER BY change_type, n_nationkey""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-cdf-${UUID.randomUUID()}")
+      .toString
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val ds = LakeDataset.create(s, root, nation.schema)
+    ds.append(nation.coalesce(1))
+    val vLoaded = ds.version
+    ds.delete("n_regionkey = 2")
+    ds.update("n_nationkey < 5 AND n_regionkey <> 2",
+      Map("n_name" -> "concat(n_name, '!')"))
+    ds.append(nation.filter(col("n_nationkey") >= 20)
+      .withColumn("n_nationkey", col("n_nationkey") + lit(100))
+      .coalesce(1))
+    ds.changes(vLoaded, ds.version)
+      .select(col("_change_type").as("change_type"),
+        col("n_nationkey"), col("n_name"))
+      .orderBy("change_type", "n_nationkey")
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, catalogRead, sqlDml,
-      sqlDmlMor, zorderPrune)
+      sqlDmlMor, zorderPrune, changeFeed)
 }

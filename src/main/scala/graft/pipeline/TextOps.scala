@@ -158,6 +158,29 @@ object TextOps {
     kmv.join(exact, "l_returnflag")
   }
 
+  /** KMV in its EXACT regime, oracle-checked: with fewer distinct values
+    * than sketch slots (100 suppliers per linestatus vs k=512) the sketch
+    * holds every hash and returns the exact distinct count, so DuckDB's
+    * `count(DISTINCT)` is a valid oracle — the same split-aggregation
+    * plan shape as [[kmvDistinct]], but with the estimate itself under the
+    * hash gate. The approximate regime's error bounds stay KmvSketchSpec's
+    * job. */
+  val kmvExact = Q(
+    "agg_kmv_exact",
+    """SELECT l_linestatus,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS kmv_supps,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps
+      |FROM lineitem GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val li = Tables.load(s, dir, "lineitem")
+    val kmv = li.groupBy("l_linestatus")
+      .agg(call_function("kmv_distinct", col("l_suppkey")).as("kmv_supps"))
+    val exact = li.groupBy("l_linestatus")
+      .agg(countDistinct("l_suppkey").as("exact_supps"))
+    kmv.join(exact, "l_linestatus").orderBy("l_linestatus")
+  }
+
   /** Misra-Gries heavy hitters per language: top-5 tokens through the
     * mergeable `heavy_hitters` sketch ([[graft.functions.MgHeavyHitters]]
     * — O(k) state, map-side partials; the frequent-token / boilerplate
@@ -328,6 +351,6 @@ object TextOps {
   }
 
   def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint,
-    approxDistinct, kmvDistinct, heavyHitters, winnow, repetition, topBigrams,
-    gopherFilter)
+    approxDistinct, kmvDistinct, kmvExact, heavyHitters, winnow, repetition,
+    topBigrams, gopherFilter)
 }

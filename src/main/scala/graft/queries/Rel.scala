@@ -332,9 +332,99 @@ object Rel {
         sum(round(col("l_value") * 100).cast("long")).as("prior_value_cents"))
   }
 
+  /** Exact percentiles (linear interpolation): Spark `percentile` and
+    * DuckDB `quantile_cont` both implement the R-7 estimator, so the
+    * interpolated values agree bit-for-bit on the same doubles; DECIMAL
+    * casts put them under the hash gate. */
+  val percentiles = Q(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,6)) AS p50_qty,
+      |  CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,6)) AS p90_qty,
+      |  CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(18,6))
+      |    AS p99_price
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,6))")
+          .as("p50_qty"),
+        expr("CAST(percentile(l_quantity, 0.9) AS DECIMAL(18,6))")
+          .as("p90_qty"),
+        expr("CAST(percentile(l_extendedprice, 0.99) AS DECIMAL(18,6))")
+          .as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** PIVOT (DataFrame `.pivot()` operator): per-returnflag quantity totals
+    * spread across linestatus columns. The oracle states the same result
+    * as portable conditional aggregation — pivot is sugar for it, so the
+    * hash gate checks the operator's column spreading exactly. */
+  val pivotQ = Q(
+    "rel_pivot",
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
+      |    AS DECIMAL(18,2)) AS qty_f,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
+      |    AS DECIMAL(18,2)) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("l_quantity"))
+      .select(col("l_returnflag"),
+        col("F").cast("decimal(18,2)").as("qty_f"),
+        col("O").cast("decimal(18,2)").as("qty_o"))
+      .orderBy("l_returnflag")
+  }
+
+  /** As-of join ([[graft.operators.AsofJoin]]): each purchase matched to
+    * the user's latest view/click at-or-before it, within a 2-hour
+    * tolerance. The right side is pre-aggregated per (user, ts) so the
+    * match is deterministic; gaps are exact integer micros on both engines
+    * (events carry sub-second timestamps, so second-truncating diffs would
+    * diverge). DuckDB's native ASOF LEFT JOIN is the oracle — same
+    * semantics, totally different plan (our union + keyed window vs its
+    * specialized join operator). */
+  val evAsofJoin = Q(
+    "ev_asof_join",
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |     e AS (SELECT user_id, ts, max(value) AS v
+      |           FROM events WHERE event_type IN ('view', 'click')
+      |           GROUP BY 1, 2)
+      |SELECT p.purchase_id, p.user_id,
+      |  CASE WHEN e.ts IS NOT NULL
+      |        AND epoch_us(p.ts) - epoch_us(e.ts) <= 7200000000
+      |       THEN CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT)
+      |  END AS gap_us,
+      |  CASE WHEN e.ts IS NOT NULL
+      |        AND epoch_us(p.ts) - epoch_us(e.ts) <= 7200000000
+      |       THEN CAST(round(v * 100) AS BIGINT)
+      |  END AS last_cents
+      |FROM p ASOF LEFT JOIN e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val engage = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy("user_id", "ts").agg(max("value").as("v"))
+    graft.operators.AsofJoin.backward(purchases, engage,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("v"), toleranceSeconds = Some(7200))
+      .select(col("purchase_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("ts_matched")))
+          .as("gap_us"),
+        round(col("v") * 100).cast("long").as("last_cents"))
+      .orderBy("purchase_id")
+  }
+
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
     exceptAll, intersectAll, stringFuncs, mathFuncs, condFuncs,
     dateFuncs, regexFuncs,
     window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
-    evWindowAgg, evIntervalJoin)
+    evWindowAgg, evIntervalJoin, evAsofJoin, percentiles, pivotQ)
 }

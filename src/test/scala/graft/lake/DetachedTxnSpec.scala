@@ -96,4 +96,35 @@ class DetachedTxnSpec extends SparkTestBase {
     assert(ds.vacuum(keepVersions = 1, graceMs = 0L) >= 1)
     assert(ds.read().count() == 2)
   }
+
+  test("deleteDetached aborts a staged txn explicitly") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0)))
+    val id = ds.createDetachedAppend(rows((2, "b", 2.0)))
+    assert(ds.deleteDetached(id))
+    assert(ds.detachedStatus(id) == "unknown")
+    assert(!ds.deleteDetached(id)) // idempotent: already gone
+    intercept[IllegalArgumentException] { ds.commitDetached(id) }
+    assert(ds.read().count() == 1)
+    // the aborted txn's staged files are vacuumable garbage
+    assert(ds.vacuum(keepVersions = 1, graceMs = 0L) >= 1)
+  }
+
+  test("take(): random access by stable rowid, projected and pruned") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))
+    ds.append(rows((3, "c", 3.0), (4, "d", 4.0)))
+    val ids = ds.read().count() // 4 rows, rowids 0..3
+    assert(ids == 4)
+    val got = ds.take(Seq(0L, 3L)).collect()
+      .map(r => (r.getAs[Long]("_rowid"), r.getAs[Long]("id"))).toSet
+    assert(got == Set((0L, 1L), (3L, 4L)))
+    // projection keeps only asked columns (+ rowid)
+    val proj = ds.take(Seq(1L), columns = Seq("name"))
+    assert(proj.columns.toSeq == Seq("name", "_rowid"))
+    assert(proj.head().getString(0) == "b")
+    // rowids survive compaction — take() still resolves the same rows
+    ds.compact()
+    assert(ds.take(Seq(3L)).head().getAs[Long]("id") == 4L)
+  }
 }

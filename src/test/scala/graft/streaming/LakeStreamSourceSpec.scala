@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.lake.LakeDataset
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.spark.sql.types._
+
+/** Streaming read FROM the lake (`readStream.format("lake")`): versions are
+  * offsets, the first batch is the snapshot, later batches are the net
+  * inserts of the committed range, and non-append commits are refused
+  * unless the reader opts into skipChangeCommits. */
+class LakeStreamSourceSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("lake-src-").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType)))
+
+  private def rows(r: (Long, String)*) = {
+    val data = new java.util.ArrayList[Row]()
+    r.foreach { case (i, n) => data.add(Row(i, n)) }
+    spark.createDataFrame(data, schema).coalesce(1)
+  }
+
+  test("snapshot then append tail, exactly once across batches") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "a"), (2, "b")))
+
+    val q = spark.readStream.format("lake").load(root)
+      .writeStream.format("memory").queryName("lake_tail")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_tail").count() == 2) // initial snapshot
+
+      ds.append(rows((3, "c")))
+      ds.append(rows((4, "d"), (5, "e")))
+      q.processAllAvailable()
+      val got = spark.table("lake_tail").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      assert(spark.table("lake_tail").count() == 5) // no duplicates
+    } finally q.stop()
+  }
+
+  test("compaction streams through; a delete commit is refused") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "a")))
+
+    val q = spark.readStream.format("lake").load(root)
+      .writeStream.format("memory").queryName("lake_guard")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      ds.append(rows((2, "b")))
+      ds.compact() // net-invisible rewrite: must NOT poison the tail
+      ds.append(rows((3, "c")))
+      q.processAllAvailable()
+      assert(spark.table("lake_guard").count() == 3)
+
+      ds.delete("id = 1")
+      ds.append(rows((4, "d")))
+      val ex = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("skipChangeCommits")
+        || Option(ex.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+    } finally q.stop()
+  }
+
+  test("skipChangeCommits=true streams net inserts across change commits") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "a"), (2, "b")))
+
+    val q = spark.readStream.format("lake")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName("lake_skip")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      ds.delete("id = 2")      // dropped silently (opted in)
+      ds.append(rows((3, "c")))
+      q.processAllAvailable()
+      val got = spark.table("lake_skip").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+}
