@@ -126,5 +126,44 @@ object Curate {
         min("n_chars").cast("long").as("cutoff_n_chars"))
   }
 
-  def all: Seq[Q] = Seq(hashSample, split, tokenBudget)
+  /** Sliding-window document chunking: fixed-size token windows with
+    * overlap (size 64, stride 48 → 16-token overlap), the standard
+    * long-document preprocessing step before sequence packing. Pure
+    * per-row explode — chunk boundaries are a function of the row alone,
+    * so the operator is shuffle-free and re-shard-stable at any scale.
+    * The oracle replays the same windows with DuckDB list slicing; token
+    * arithmetic is all integers. */
+  val chunk = Q(
+    "curate_chunk",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |     s AS (SELECT doc_id, toks,
+      |             unnest(generate_series(1, greatest(len(toks), 1), 48))
+      |               AS start
+      |           FROM t)
+      |SELECT doc_id,
+      |  CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
+      |  CAST(least(64, len(toks) - start + 1) AS BIGINT) AS n_tokens,
+      |  array_to_string(toks[start:start+63], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    val size = 64
+    val stride = 48
+    val toks = org.apache.spark.sql.functions.split(col("text"), " ")
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("toks")), lit(1)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (((col("start") - 1) / stride).cast("long")).as("chunk_idx"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("toks"))
+            - col("start") + 1).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(size)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def all: Seq[Q] = Seq(hashSample, split, tokenBudget, chunk)
 }

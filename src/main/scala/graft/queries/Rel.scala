@@ -380,6 +380,44 @@ object Rel {
       .orderBy("l_returnflag")
   }
 
+  /** UNPIVOT (DataFrame `unpivot` operator / SQL `stack`): wide per-order
+    * amounts melted to (order, measure, value) rows. Oracle = the portable
+    * UNION ALL desugaring. */
+  val unpivotQ = Q(
+    "rel_unpivot",
+    """SELECT o_orderkey, measure, amount FROM (
+      |  SELECT o_orderkey, 'total' AS measure,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+      |  FROM orders WHERE o_orderkey <= 400
+      |  UNION ALL
+      |  SELECT o_orderkey, 'cust', CAST(o_custkey AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey <= 400) t
+      |ORDER BY o_orderkey, measure""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= 400)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("total"),
+        col("o_custkey").cast("decimal(18,2)").as("cust"))
+      .unpivot(Array(col("o_orderkey")), Array(col("total"), col("cust")),
+        "measure", "amount")
+      .orderBy("o_orderkey", "measure")
+  }
+
+  /** Bitwise operators over integer keys: AND/OR/XOR/NOT and shifts —
+    * both engines are two's-complement BIGINT, so results agree exactly. */
+  val bitwise = Q.sql(
+    "expr_bitwise",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_orderkey & 255 AS BIGINT) AS band,
+      |  CAST(l_orderkey | 4096 AS BIGINT) AS bor,
+      |  CAST((l_orderkey | l_partkey) & ~(l_orderkey & l_partkey)
+      |    AS BIGINT) AS bxor,
+      |  CAST(~l_orderkey AS BIGINT) AS bnot,
+      |  CAST(l_orderkey << 3 AS BIGINT) AS shl,
+      |  CAST(l_orderkey >> 2 AS BIGINT) AS shr
+      |FROM lineitem WHERE l_orderkey <= 640
+      |ORDER BY l_orderkey, l_linenumber, bxor""".stripMargin)
+
   /** As-of join ([[graft.operators.AsofJoin]]): each purchase matched to
     * the user's latest view/click at-or-before it, within a 2-hour
     * tolerance. The right side is pre-aggregated per (user, ts) so the
@@ -426,5 +464,6 @@ object Rel {
     exceptAll, intersectAll, stringFuncs, mathFuncs, condFuncs,
     dateFuncs, regexFuncs,
     window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
-    evWindowAgg, evIntervalJoin, evAsofJoin, percentiles, pivotQ)
+    evWindowAgg, evIntervalJoin, evAsofJoin, percentiles, pivotQ, unpivotQ,
+    bitwise)
 }

@@ -52,4 +52,35 @@ class CurateSpec extends SparkTestBase {
     assert(directCount == kept,
       s"bucket selection must equal the >=cutoff filter: $directCount vs $kept")
   }
+
+  test("chunking covers every token, overlaps by size-stride, reassembles") {
+    import spark.implicits._
+    val chunks = Curate.chunk.run(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("chunk_text")))
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // indices are dense from 0
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      // every chunk is the exact token window it claims
+      sorted.foreach { case (_, idx, n, text) =>
+        val start = (idx * 48).toInt
+        val want = toks.slice(start, start + 64)
+        assert(text == want.mkString(" "), s"doc $id chunk $idx")
+        assert(n == want.length)
+      }
+      // stride-coverage: concatenating each chunk's first `stride` tokens
+      // (plus the tail of the last) reassembles the document exactly
+      val rebuilt = sorted.flatMap { case (_, idx, _, text) =>
+        val t = text.split(" ", -1)
+        if (idx == sorted.last._2) t else t.take(48)
+      }
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $id reassembly")
+    }
+  }
 }
