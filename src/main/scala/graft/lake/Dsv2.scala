@@ -236,11 +236,39 @@ private[lake] final class LakeTable(root: String,
 private[lake] final class LakeScanBuilder(root: String,
     options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var predicates: Seq[String] = Nil
   private var required: Option[StructType] = None
+  private var pushedAgg: Option[LakeAggPushdown.Plan] = None
+
+  // Whole-table COUNT(*) / COUNT(col) / MIN / MAX answered from manifest
+  // math + zonemap stats — zero data IO (the reference answers CountRows
+  // the same way, sdk/dataset.go:239; JDBC connector precedent for the
+  // connector shape). Spark only offers aggregates here when every filter
+  // was fully pushed; ours are all residual, so only unfiltered scans
+  // qualify — exactly the safe cases.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = pushedAgg.isDefined || plan(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedAgg = plan(agg)
+    pushedAgg.isDefined
+  }
+
+  private def plan(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[LakeAggPushdown.Plan] = {
+    if (predicates.nonEmpty || options.containsKey("changesFrom")) return None
+    val ds = LakeDataset.open(SparkSession.active, root)
+    val man = new LakeDataSource().pinnedManifest(ds, options)
+    LakeAggPushdown.plan(agg, man)
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val translated = filters.flatMap(f => LakeFilters.toSql(f).map(f -> _))
@@ -258,7 +286,26 @@ private[lake] final class LakeScanBuilder(root: String,
     required = Some(requiredSchema)
 
   override def build(): Scan =
-    if (options.containsKey("changesFrom")) changesScan() else batchScan()
+    if (pushedAgg.isDefined) aggScan(pushedAgg.get)
+    else if (options.containsKey("changesFrom")) changesScan() else batchScan()
+
+  /** Complete aggregate pushdown: one row from manifest metadata. */
+  private def aggScan(p: LakeAggPushdown.Plan): Scan = new V1Scan {
+    override def readSchema(): StructType = p.schema
+    override def description(): String =
+      s"lake agg-pushdown [${p.schema.fieldNames.mkString(", ")}]"
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = p.schema
+        override def buildScan(): RDD[Row] = {
+          LakeDataSource.recordScan(root, 0, p.totalFragments)
+          context.sparkSession.sparkContext
+            .parallelize(Seq(Row.fromSeq(p.values)), 1)
+        }
+      }.asInstanceOf[T]
+  }
 
   /** Change-feed scan (`option("changesFrom", a)[.option("changesTo", b)]`):
     * the SQL door to [[LakeDataset.changes]]. Change sets are commit-sized,
@@ -353,6 +400,136 @@ private[lake] final class LakeScanBuilder(root: String,
           df.select(outSchema.fieldNames.map(col).toSeq: _*).rdd
         }
       }.asInstanceOf[T]
+  }
+}
+
+/** Plans whole-table aggregate pushdown from manifest metadata.
+  *
+  * Safe cases only:
+  *  - no deletion vectors (tombstones can overlap later rewrites, so
+  *    manifest arithmetic over-subtracts — [[LakeDataset.countRows]] makes
+  *    the same call and falls back to a scan);
+  *  - COUNT(*): Σ fragment rowCounts;
+  *  - COUNT(col): Σ rowCounts − Σ nullCounts, when every fragment carries
+  *    stats for the field;
+  *  - MIN/MAX(col): fold of the exact (untruncated) per-fragment zonemap
+  *    min/max, when every fragment carries them and the type round-trips
+  *    through the stat string. All-null fragments contribute nothing;
+  *    an all-null column yields SQL NULL.
+  * At 100 TB these turn metadata-only questions into actual metadata
+  * reads — zero data IO instead of a full table scan. */
+private[lake] object LakeAggPushdown {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  final case class Plan(schema: StructType, values: Seq[Any],
+      totalFragments: Int)
+
+  private def colNameOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  private def parse(s: String, dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case StringType => s
+      case DateType => java.sql.Date.valueOf(s)
+      case TimestampType => // stats store epoch micros (zone-independent)
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          s.toLong, java.time.temporal.ChronoUnit.MICROS))
+      case d: DecimalType => new java.math.BigDecimal(s)
+      case other => throw new IllegalStateException(s"unplannable $other")
+    }
+
+  private def parseable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType | DoubleType |
+          FloatType | BooleanType | StringType | DateType | TimestampType =>
+        true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+  private def ordering(dt: org.apache.spark.sql.types.DataType)
+      : Ordering[Any] = {
+    val o: Ordering[_] = dt match {
+      case IntegerType => Ordering.Int
+      case LongType => Ordering.Long
+      case ShortType => Ordering.Short
+      case ByteType => Ordering.Byte
+      case DoubleType => Ordering.Double.TotalOrdering
+      case FloatType => Ordering.Float.TotalOrdering
+      case BooleanType => Ordering.Boolean
+      case StringType => Ordering.String
+      case DateType => Ordering.by((d: java.sql.Date) => d.getTime)
+      case TimestampType =>
+        Ordering.by((t: java.sql.Timestamp) =>
+          (t.getTime, t.getNanos))
+      case _: DecimalType =>
+        Ordering.by((b: java.math.BigDecimal) => scala.math.BigDecimal(b))
+      case other => throw new IllegalStateException(s"unorderable $other")
+    }
+    o.asInstanceOf[Ordering[Any]]
+  }
+
+  def plan(agg: Aggregation, man: Manifest): Option[Plan] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (man.deletionFiles.nonEmpty) return None
+    val totalRows = man.fragments.map(_.rowCount).sum
+
+    def field(name: String): Option[FieldDef] = man.fields.find(_.name == name)
+    def statsFor(fid: Int): Option[Seq[ColumnStats]] = {
+      val per = man.fragments.map(_.stats.get(fid.toString))
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+
+    val cols = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          totalRows: Any))
+      case c: Count if !c.isDistinct =>
+        for {
+          name <- colNameOf(c.column)
+          f <- field(name)
+          st <- statsFor(f.id)
+        } yield (StructField(s"count_${f.name}", LongType, nullable = false),
+          (totalRows - st.map(_.nullCount).sum): Any)
+      case m: Min =>
+        for {
+          name <- colNameOf(m.column)
+          f <- field(name)
+          dt = DataType.fromJson(f.dataType)
+          if parseable(dt)
+          st <- statsFor(f.id)
+        } yield (StructField(s"min_${f.name}", dt),
+          st.flatMap(_.min).map(parse(_, dt))
+            .reduceOption((a, b) => ordering(dt).min(a, b)).orNull: Any)
+      case m: Max =>
+        for {
+          name <- colNameOf(m.column)
+          f <- field(name)
+          dt = DataType.fromJson(f.dataType)
+          if parseable(dt)
+          st <- statsFor(f.id)
+        } yield (StructField(s"max_${f.name}", dt),
+          st.flatMap(_.max).map(parse(_, dt))
+            .reduceOption((a, b) => ordering(dt).max(a, b)).orNull: Any)
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else Some(Plan(StructType(cols.flatten.map(_._1)),
+      cols.flatten.map(_._2), man.fragments.size))
   }
 }
 
