@@ -38,7 +38,12 @@ object BenchScale {
     }
 
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // The 10-way union arrives as copies × source-partitions tasks —
+      // written as-is that was 2,639 files for a 103 MB lineitem, and every
+      // bench query then measured file listing + footer reads instead of
+      // the engine (sf1 numbers were 5-10× inflated). Sixteen ~6 MB files
+      // is the realistic compact layout a table this size would have.
+      df.repartition(16).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scale] $name -> ${df.count()} rows")
     }
 

@@ -309,7 +309,32 @@ object LakeQueries {
       .orderBy("change_type", "n_nationkey")
   }
 
+  /** Aggregate pushdown through the DSv2 door: COUNT/MIN/MAX of a lake
+    * copy of `nation` answered purely from manifest metadata (the plan
+    * carries PushedAggregates and opens zero fragments — AggPushdownSpec
+    * pins that; this entry pins the VALUES against DuckDB aggregating the
+    * original parquet). */
+  val aggPushdown: Q = Q(
+    "lake_agg_pushdown",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(n_name) AS BIGINT) AS n_names,
+      |  CAST(min(n_nationkey) AS INT) AS min_key,
+      |  CAST(max(n_nationkey) AS INT) AS max_key,
+      |  min(n_name) AS min_name, max(n_name) AS max_name
+      |FROM nation""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-aggpd-${UUID.randomUUID()}")
+      .toString
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.coalesce(1).write.format("lake").mode("append").save(root)
+    s.read.format("lake").load(root).agg(
+      count(lit(1)).as("n"), count(col("n_name")).as("n_names"),
+      min("n_nationkey").cast("int").as("min_key"),
+      max("n_nationkey").cast("int").as("max_key"),
+      min("n_name").as("min_name"), max("n_name").as("max_name"))
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, catalogRead, sqlDml,
-      sqlDmlMor, zorderPrune, changeFeed)
+      sqlDmlMor, zorderPrune, changeFeed, aggPushdown)
 }

@@ -107,11 +107,24 @@ class AsofJoinSpec extends SparkTestBase {
   }
 
   test("plan is one shuffle + window, not a theta join") {
-    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
-      Seq("px"))
+    // distributed inputs (range), so EnsureRequirements actually plans the
+    // exchange — the in-memory fixtures collapse to LocalTableScan with no
+    // shuffle at all
+    val left = spark.range(100).select((col("id") % 5).as("k"),
+      timestamp_seconds(col("id")).as("lts"), col("id").as("lid"))
+    val right = spark.range(100).select((col("id") % 5).as("k"),
+      timestamp_seconds(col("id") * 2).as("rts"),
+      col("id").cast("double").as("pay"))
+    val out = AsofJoin.backward(left, right, Seq("k"), "lts", "rts",
+      Seq("pay"))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("Window"))
     assert(!plan.toLowerCase.contains("cartesian")
       && !plan.contains("BroadcastNestedLoopJoin"))
+    // the scale claim, pinned: both inputs shuffle ONCE on the key for the
+    // union+window sweep — no join-side exchange, no candidate pairs
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 hash Exchange, plan:\n$plan")
   }
 }
