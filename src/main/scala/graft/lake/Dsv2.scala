@@ -149,22 +149,32 @@ private[lake] final class LakeTable(root: String,
     } else providedSchema.getOrElse(
       throw new IllegalArgumentException(s"lake: no dataset at $root"))
 
-  override def capabilities(): java.util.Set[TableCapability] =
+  override def capabilities(): java.util.Set[TableCapability] = {
     // BATCH_WRITE admits the write at the DataFrameWriter gate;
     // V1_BATCH_WRITE routes execution through the V1Write bridge.
-    // No ACCEPT_ANY_SCHEMA: Spark's TableOutputResolver aligns/casts insert
-    // queries against the table schema (and row-level DML assignment
-    // alignment — UPDATE/MERGE rewrites — requires that resolution to run).
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    // No ACCEPT_ANY_SCHEMA by default: Spark's TableOutputResolver
+    // aligns/casts insert queries against the table schema (and row-level
+    // DML assignment alignment — UPDATE/MERGE rewrites — requires that
+    // resolution to run). The one exception: an explicit mergeSchema write
+    // MUST bypass the resolver (extra columns are the point); path-based
+    // writer options land in the table options, so the capability flips
+    // only for that writer's table handle.
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
+    if (options.getBoolean("mergeSchema", false))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(root, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned, "lake: cannot write through a version-pinned table")
-    new LakeWriteBuilder(root)
+    new LakeWriteBuilder(root,
+      info.options.getBoolean("mergeSchema", false)
+        || options.getBoolean("mergeSchema", false))
   }
 
   // SQL UPDATE / MERGE INTO / non-pushable DELETE: Catalyst's group-based
@@ -568,7 +578,8 @@ private[lake] object LakeFilters {
   }
 }
 
-private[lake] final class LakeWriteBuilder(root: String)
+private[lake] final class LakeWriteBuilder(root: String,
+    mergeSchema: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -588,11 +599,13 @@ private[lake] final class LakeWriteBuilder(root: String)
           // names — ACCEPT_ANY_SCHEMA means Spark didn't rewrite them)
           val names = ds.schema.fieldNames
           val aligned =
-            if (names.forall(data.columns.contains)) data
+            if (names.forall(data.columns.contains) || mergeSchema) data
             else if (data.columns.length == names.length)
               data.toDF(names.toIndexedSeq: _*)
             else data
-          if (overwrite) ds.overwrite(aligned) else ds.append(aligned)
+          if (overwrite) ds.overwrite(aligned)
+          else if (mergeSchema) ds.appendMergeSchema(aligned)
+          else ds.append(aligned)
         }
       }
   }

@@ -397,6 +397,44 @@ final class LakeDataset private (
       touchedFragmentIds = Nil))
   }
 
+  /** Append that auto-evolves the schema (reference Merge(fragments,
+    * newSchema), sdk/dataset.go:1038; Delta's mergeSchema): columns present
+    * in `df` but not in the dataset are ADDED (nullable, fresh field ids)
+    * and the new fragments commit in the SAME manifest swap — readers never
+    * see the schema without the data or vice versa. Existing rows read NULL
+    * for the new fields via field-id projection; dataset columns missing
+    * from `df` are filled with NULL in the new fragments. Commits under the
+    * strictest conflict row (schema-op and data-op at once). */
+  def appendMergeSchema(df: DataFrame): Unit = {
+    def newCols = df.schema.fields
+      .filterNot(f => m.fields.exists(_.name == f.name))
+    def missingCols = m.fields.filterNot(f => df.columns.contains(f.name))
+    if (newCols.isEmpty && missingCols.isEmpty) return append(df)
+    withOpRetry(OpKind.Merge, 5) {
+      val added = newCols.zipWithIndex.map { case (sf, i) =>
+        FieldDef(m.maxFieldId + i + 1, sf.name, sf.dataType.json,
+          nullable = true)
+      }
+      val man2 = m.copy(fields = m.fields ++ added,
+        maxFieldId = m.maxFieldId + added.length)
+      val filled = man2.fields.foldLeft(df)((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(DataType.fromJson(f.dataType))))
+      val base = man2.nextRowId
+      val (frags, maxRid) = stageFragments(toPhysical(filled, man2)
+        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), man2)
+      commit(man2.copy(
+        version = m.version + 1,
+        fragments = man2.fragments ++ frags,
+        maxFragmentId = man2.maxFragmentId + frags.size,
+        nextRowId = math.max(man2.nextRowId, maxRid + 1),
+        parentVersion = Some(m.version),
+        createdMs = System.currentTimeMillis(),
+        operation = "append_merge_schema",
+        touchedFragmentIds = Nil))
+    }
+  }
+
   /** Exactly-once micro-batch append for Structured Streaming's
     * `foreachBatch`: the appended fragments and the `(queryKey, batchId)`
     * high-water mark commit in ONE manifest swap, so a batch replay after a
@@ -2017,6 +2055,8 @@ object LakeDataset {
       case "compact" | "optimize_layout" | "optimize_layout_zorder" |
           "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge
+      // schema-op + data-op in one commit: strictest row by design
+      case "append_merge_schema" => OpKind.Merge
       case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |
           "alter_column_type" | "set_properties" | "unset_properties" =>

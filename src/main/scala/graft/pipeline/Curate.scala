@@ -133,19 +133,8 @@ object Curate {
     * so the operator is shuffle-free and re-shard-stable at any scale.
     * The oracle replays the same windows with DuckDB list slicing; token
     * arithmetic is all integers. */
-  val chunk = Q(
-    "curate_chunk",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-      |           FROM documents),
-      |     s AS (SELECT doc_id, toks,
-      |             unnest(generate_series(1, greatest(len(toks), 1), 48))
-      |               AS start
-      |           FROM t)
-      |SELECT doc_id,
-      |  CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
-      |  CAST(least(64, len(toks) - start + 1) AS BIGINT) AS n_tokens,
-      |  array_to_string(toks[start:start+63], ' ') AS chunk_text
-      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+  /** Shared chunk computation (also the base of [[pack]]). */
+  private def chunkDf(s: SparkSession, dir: String): DataFrame = {
     val size = 64
     val stride = 48
     val toks = org.apache.spark.sql.functions.split(col("text"), " ")
@@ -162,8 +151,74 @@ object Curate {
             - col("start") + 1).cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("toks"), col("start"), lit(size)))
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
-  def all: Seq[Q] = Seq(hashSample, split, tokenBudget, chunk)
+  /** The chunk CTE as portable SQL (shared by both oracles). */
+  private val chunkSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |     s AS (SELECT doc_id, toks,
+      |             unnest(generate_series(1, greatest(len(toks), 1), 48))
+      |               AS start
+      |           FROM t),
+      |     chunks AS (
+      |       SELECT doc_id,
+      |         CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
+      |         CAST(least(64, len(toks) - start + 1) AS BIGINT) AS n_tokens,
+      |         array_to_string(toks[start:start+63], ' ') AS chunk_text
+      |       FROM s)""".stripMargin
+
+  val chunk = Q(
+    "curate_chunk",
+    s"""WITH $chunkSql
+      |SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    chunkDf(s, dir).orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Greedy sequence packing: chunks are laid end-to-end per hash shard in
+    * (doc_id, chunk_idx) order and cut into 2048-token packs — the step
+    * that turns chunked documents into fixed-length training sequences.
+    * Packing is PER SHARD (16 md5 shards), which is both what makes it
+    * scale (each shard's running sum is an independent keyed window — no
+    * global cumulative bottleneck) and what real per-worker packing does.
+    * Reported per pack: chunk count, token count, distinct docs. All
+    * integer arithmetic over a deterministic order. */
+  val pack = Q(
+    "curate_pack",
+    s"""WITH $chunkSql,
+      |     sharded AS (
+      |       SELECT CAST(CAST(concat('0x',
+      |                substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      |                % 16 AS BIGINT) AS shard,
+      |              doc_id, chunk_idx, n_tokens
+      |       FROM chunks),
+      |     cum AS (
+      |       SELECT shard, doc_id, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY shard
+      |           ORDER BY doc_id, chunk_idx
+      |           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      |       FROM sharded)
+      |SELECT shard * 100000 + CAST(start_tok // 2048 AS BIGINT) AS pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin) { (s, dir) =>
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 16).as("shard")
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkDf(s, dir)
+      .select(shard, col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      .withColumn("start_tok",
+        sum("n_tokens").over(w) - col("n_tokens"))
+      .groupBy((col("shard") * 100000 +
+        floor(col("start_tok") / 2048)).as("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("pack_id")
+  }
+
+  def all: Seq[Q] = Seq(hashSample, split, tokenBudget, chunk, pack)
 }

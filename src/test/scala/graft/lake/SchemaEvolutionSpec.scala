@@ -105,4 +105,68 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(src.read().count() == 2)
     assert(clone.read().count() == 2)
   }
+
+  test("appendMergeSchema: new columns arrive with their data atomically") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    val d1 = new java.util.ArrayList[Row]()
+    d1.add(Row(1L, "a")); d1.add(Row(2L, "b"))
+    ds.append(spark.createDataFrame(d1, schema).coalesce(1))
+    val v1 = ds.version
+
+    // batch carries a NEW column and lacks an OLD one
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType)))
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(3L, 3.5))
+    ds.appendMergeSchema(spark.createDataFrame(d2, s2).coalesce(1))
+
+    // ONE commit: schema + data in the same version bump
+    assert(ds.version == v1 + 1)
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val rows = ds.read().orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // old rows read NULL for the new field; new row NULL for the old one
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).getDouble(2) == 3.5)
+    // identical-schema batch takes the plain append path
+    val d3 = new java.util.ArrayList[Row]()
+    d3.add(Row(4L, "d", 4.5))
+    ds.appendMergeSchema(spark.createDataFrame(d3, ds.schema).coalesce(1))
+    assert(ds.manifest.operation == "append")
+    assert(ds.read().count() == 4)
+    // change feed across the merge commit reports the insert, aligned to
+    // the final schema
+    val ch = ds.changes(v1, v1 + 1).collect()
+    assert(ch.length == 1 && ch.head.getAs[String]("_change_type") == "insert"
+      && ch.head.getAs[Long]("id") == 3L)
+  }
+
+  test("mergeSchema through the DSv2 write door") {
+    val root = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val d1 = new java.util.ArrayList[Row]()
+    d1.add(Row(1L, "a"))
+    spark.createDataFrame(d1, schema).coalesce(1)
+      .write.format("lake").mode("append").save(root)
+
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("extra", DoubleType)))
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(2L, 2.5))
+    spark.createDataFrame(d2, s2).coalesce(1)
+      .write.format("lake").option("mergeSchema", "true")
+      .mode("append").save(root)
+
+    val ds = LakeDataset.open(spark, root)
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "name", "extra"))
+    val rows = ds.read().orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 2.5)
+  }
 }
