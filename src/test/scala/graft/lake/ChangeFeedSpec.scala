@@ -160,6 +160,18 @@ class ChangeFeedSpec extends SparkTestBase {
     }
   }
 
+  test("vacuumed range fails fast with the version, not mid-job") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, "a", 1.0)))
+    ds.append(rows((2, "b", 2.0)))
+    ds.append(rows((3, "c", 3.0)))
+    ds.vacuum(keepVersions = 2, graceMs = 0L)
+    val ex = intercept[IllegalArgumentException] { ds.changes(0, ds.version) }
+    assert(ex.getMessage.contains("no version 0"))
+    // retained range still works
+    assert(ds.changes(ds.version - 1, ds.version).count() == 1)
+  }
+
   test("overwrite nets out as delete+insert; identical rows collapse") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     ds.append(rows((1, "a", 1.0), (2, "b", 2.0)))

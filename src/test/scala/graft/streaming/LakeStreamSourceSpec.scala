@@ -77,6 +77,32 @@ class LakeStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes at the committed version offset") {
+    val root = tmpDir()
+    val ckpt = tmpDir()
+    val sink = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "a")))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("lake").load(root)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // snapshot batch
+    assert(spark.read.parquet(sink).count() == 1)
+
+    ds.append(rows((2, "b")))
+    // a NEW query instance on the same checkpoint: the engine replays the
+    // committed offset as SerializedOffset json — the versionOf parse path
+    run()
+    val got = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"))) // no re-read of the snapshot
+  }
+
   test("skipChangeCommits=true streams net inserts across change commits") {
     val root = tmpDir()
     val ds = LakeDataset.create(spark, root, schema)
