@@ -153,9 +153,11 @@ final class LakeDataset private (
   }
 
   /** Per-commit change feed over `(fromV, toV]`: one [[changes]] step per
-    * retained manifest, each tagged with `_commit_version`, all aligned to
-    * `toV`'s schema (so the feed unions cleanly across schema evolution).
-    * Requires the full version chain to still be retained (not vacuumed). */
+    * retained manifest, each tagged with `_commit_version` and
+    * `_commit_timestamp` (the manifest's commit time — Delta CDF's column
+    * pair), all aligned to `toV`'s schema (so the feed unions cleanly
+    * across schema evolution). Requires the full version chain to still be
+    * retained (not vacuumed). */
   def changeLog(fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changeLog: from=$fromV > to=$toV")
     val vs = versions.filter(v => v >= fromV && v <= toV)
@@ -163,12 +165,15 @@ final class LakeDataset private (
       vs == (fromV to toV).toSeq,
       s"changeLog: versions $fromV..$toV not fully retained (have $vs)")
     val out = loadVersion(rootPath, toV)
+    def stamp(df: DataFrame, man: Manifest): DataFrame = df
+      .withColumn("_commit_version", lit(man.version))
+      .withColumn("_commit_timestamp",
+        timestamp_millis(lit(man.createdMs)))
     val steps = (fromV until toV).map { v =>
-      changesBetween(loadVersion(rootPath, v), loadVersion(rootPath, v + 1),
-        out).withColumn("_commit_version", lit(v + 1))
+      val mTo = loadVersion(rootPath, v + 1)
+      stamp(changesBetween(loadVersion(rootPath, v), mTo, out), mTo)
     }
-    if (steps.isEmpty)
-      changesBetween(out, out, out).withColumn("_commit_version", lit(toV))
+    if (steps.isEmpty) stamp(changesBetween(out, out, out), out)
     else steps.reduce(_ unionByName _)
   }
 
