@@ -51,6 +51,10 @@ object AsofJoin {
     val clash = (payload :+ matchedTs).filter(left.columns.contains)
     require(clash.isEmpty,
       s"asof: rename right columns colliding with left: ${clash.mkString(",")}")
+    val reserved = Seq("__asof_ts", "__asof_src", "__asof_r", "__asof_m")
+    val taken = (left.columns ++ right.columns).filter(reserved.contains)
+    require(taken.isEmpty,
+      s"asof: inputs may not use reserved columns: ${taken.mkString(",")}")
 
     val leftCols = left.columns.toSeq
     val l2 = left

@@ -159,25 +159,28 @@ object TextOps {
   }
 
   /** KMV in its EXACT regime, oracle-checked: with fewer distinct values
-    * than sketch slots (100 suppliers per linestatus vs k=512) the sketch
-    * holds every hash and returns the exact distinct count, so DuckDB's
-    * `count(DISTINCT)` is a valid oracle — the same split-aggregation
-    * plan shape as [[kmvDistinct]], but with the estimate itself under the
-    * hash gate. The approximate regime's error bounds stay KmvSketchSpec's
-    * job. */
+    * than sketch slots the sketch holds every hash and returns the exact
+    * distinct count, so DuckDB's `count(DISTINCT)` is a valid oracle —
+    * the same split-aggregation plan shape as [[kmvDistinct]], but with
+    * the estimate itself under the hash gate. The domain is bounded by a
+    * modulus (400 < k=512) so the regime holds at EVERY scale factor —
+    * raw suppkey left it at sf0.1 (~1000 distinct per group), which a
+    * scale-up verify caught. The approximate regime's error bounds stay
+    * KmvSketchSpec's job. */
   val kmvExact = Q(
     "agg_kmv_exact",
     """SELECT l_linestatus,
-      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS kmv_supps,
-      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps
+      |  CAST(count(DISTINCT l_suppkey % 400) AS BIGINT) AS kmv_supps,
+      |  CAST(count(DISTINCT l_suppkey % 400) AS BIGINT) AS exact_supps
       |FROM lineitem GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     val li = Tables.load(s, dir, "lineitem")
+      .withColumn("supp_bucket", col("l_suppkey") % 400)
     val kmv = li.groupBy("l_linestatus")
-      .agg(call_function("kmv_distinct", col("l_suppkey")).as("kmv_supps"))
+      .agg(call_function("kmv_distinct", col("supp_bucket")).as("kmv_supps"))
     val exact = li.groupBy("l_linestatus")
-      .agg(countDistinct("l_suppkey").as("exact_supps"))
+      .agg(countDistinct("supp_bucket").as("exact_supps"))
     kmv.join(exact, "l_linestatus").orderBy("l_linestatus")
   }
 
