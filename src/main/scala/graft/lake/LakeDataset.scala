@@ -409,13 +409,17 @@ final class LakeDataset private (
     * see the schema without the data or vice versa. Existing rows read NULL
     * for the new fields via field-id projection; dataset columns missing
     * from `df` are filled with NULL in the new fragments. Commits under the
-    * strictest conflict row (schema-op and data-op at once). */
+    * schema-op conflict row: every retry re-derives field ids and re-reads
+    * the manifest, so concurrent appends/deletes/compactions rebase
+    * cleanly; racing overwrite/merge still conflicts. A concurrent
+    * appendMergeSchema that already added the same column simply drops it
+    * from this commit's additions on retry (idempotent column add). */
   def appendMergeSchema(df: DataFrame): Unit = {
     def newCols = df.schema.fields
       .filterNot(f => m.fields.exists(_.name == f.name))
     def missingCols = m.fields.filterNot(f => df.columns.contains(f.name))
     if (newCols.isEmpty && missingCols.isEmpty) return append(df)
-    withOpRetry(OpKind.Merge, 5) {
+    withOpRetry(OpKind.Project, 5) {
       val added = newCols.zipWithIndex.map { case (sf, i) =>
         FieldDef(m.maxFieldId + i + 1, sf.name, sf.dataType.json,
           nullable = true)
@@ -2060,8 +2064,9 @@ object LakeDataset {
       case "compact" | "optimize_layout" | "optimize_layout_zorder" |
           "purge_deletes" => OpKind.Rewrite
       case "merge" => OpKind.Merge
-      // schema-op + data-op in one commit: strictest row by design
-      case "append_merge_schema" => OpKind.Merge
+      // schema-op + data-op in one commit: the schema-op row (appends and
+      // data rewrites commute with it; overwrite/merge conflict)
+      case "append_merge_schema" => OpKind.Project
       case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |
           "alter_column_type" | "set_properties" | "unset_properties" =>

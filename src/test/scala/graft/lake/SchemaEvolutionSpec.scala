@@ -145,6 +145,48 @@ class SchemaEvolutionSpec extends SparkTestBase {
       && ch.head.getAs[Long]("id") == 3L)
   }
 
+  test("appendMergeSchema rebases over a concurrent plain append") {
+    val root = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val mk = (r: Seq[(Long, String)]) => {
+      val d = new java.util.ArrayList[Row]()
+      r.foreach { case (i, n) => d.add(Row(i, n)) }
+      spark.createDataFrame(d, schema).coalesce(1)
+    }
+    val writer = LakeDataset.create(spark, root, schema)
+    writer.append(mk(Seq((1L, "a"))))
+
+    // interpose on the merge-schema writer's commit: the FIRST publish
+    // attempt loses to a plain append committed through a second handle
+    var raced = false
+    writer.withCommitHandler(new CommitHandler {
+      override def publish(target: java.nio.file.Path,
+          content: String): Unit = {
+        if (!raced) {
+          raced = true
+          LakeDataset.open(spark, root).append(mk(Seq((2L, "b"))))
+        }
+        HardLinkCommitHandler.publish(target, content)
+      }
+    })
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType)))
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(3L, 3.5))
+    writer.appendMergeSchema(spark.createDataFrame(d2, s2).coalesce(1))
+
+    // no lost update: the interloper's row AND the merge batch both landed,
+    // and the schema grew exactly once
+    val ds = LakeDataset.open(spark, root)
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val rows = ds.read().orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(2).getDouble(2) == 3.5 && rows(1).isNullAt(2))
+  }
+
   test("mergeSchema through the DSv2 write door") {
     val root = tmpDir()
     val schema = StructType(Seq(
