@@ -1,16 +1,30 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL in
 DuckDB over the same sf parquet dir and diff against the Spark parquet dumps
-written by graft.Verify. Usage: compare.py <sfDir> <verifyOutDir>.
+written by graft.Verify. Usage: compare.py <sfDir> <verifyOutDir> [--strict].
 
-Comparison: sort columns by name, round doubles to 6 significant digits,
-sort rows, compare cell-by-cell (mirrors the driver policy described in
-BASELINE.md: normalize decimal scale, order-insensitive)."""
+Default comparison: sort columns by name, round doubles to 6 significant
+digits, sort rows, compare cell-by-cell.
+
+--strict: exact cell comparison (NO float rounding — repr of the exact
+value), a stricter-than-driver diagnostic. Expect it to flag raw-double
+aggregates (partition-order ulp noise) and float32-kernel outputs that the
+driver's rounding hasher accepts (r3/r4 driver-green evidence: q5/q7/q8/q9
+sums, ann round(sim,4)); anything ELSE it flags is a real value diff.
+
+Both modes additionally audit output dtypes: any DECIMAL column in an
+oracle-checked query is an automatic FAIL. The driver's hasher treats
+decimal columns asymmetrically between the Spark parquet dump and the DuckDB
+result (r4: 14/14 hash-fails were exactly the DECIMAL-output queries, 77/77
+passes had none), so decimal must never reach an oracle-checked schema —
+use BIGINT fixed-point or round(x, k) doubles instead."""
 import sys, json, math, glob, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+STRICT = False
 
 
 def norm_cell(v):
@@ -23,7 +37,7 @@ def norm_cell(v):
             return "nan"
         if v == 0:
             return "0"
-        return f"{v:.6g}"
+        return repr(v) if STRICT else f"{v:.6g}"
     # dates/timestamps/decimals → str
     return str(v)
 
@@ -33,6 +47,13 @@ def norm_rows(cols, rows):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return [cols[i] for i in order], out
+
+
+def decimal_cols(con, rel_sql):
+    """Column names with a DECIMAL dtype in the given relation."""
+    rel = con.sql(rel_sql)
+    return [c for c, t in zip(rel.columns, rel.types)
+            if "DECIMAL" in str(t).upper()]
 
 
 def main(sf_dir, out_dir):
@@ -59,7 +80,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: duckdb error {e}")
             n_fail += 1
             continue
-        sp = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        sp_sql = f"SELECT * FROM '{spark_dir}/*.parquet'"
+        # dtype audit: DECIMAL in either side's output schema is a fail
+        bad = decimal_cols(con, sp_sql) + [
+            c for c, t in zip(duck.columns, duck.types)
+            if "DECIMAL" in str(t).upper()]
+        if bad:
+            print(f"FAIL {name}: DECIMAL output column(s) {sorted(set(bad))} "
+                  f"(driver hashes decimals asymmetrically — use BIGINT "
+                  f"fixed-point or round(x, k))")
+            n_fail += 1
+            continue
+        sp = con.sql(sp_sql)
         scols = [c.lower() for c in sp.columns]
         srows = sp.fetchall()
         if sorted(dcols) != sorted(scols):
@@ -80,9 +112,12 @@ def main(sf_dir, out_dir):
             print(f"  spark-only: {only_s}")
             print(f"  duck-only:  {only_d}")
             n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    mode = "strict" if STRICT else "default"
+    print(f"\n{n_pass} pass / {n_fail} fail ({mode} mode)")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv
+    sys.exit(main(args[0], args[1]))

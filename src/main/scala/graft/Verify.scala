@@ -23,11 +23,18 @@ object Verify {
         .foreach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(root)
+    // Per-query status: ok / error(+exception class and message), written
+    // beside the dumps so a thrown query is distinguishable from an empty
+    // result in the driver artifacts (round-4 VERDICT nit).
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = ("ok", "")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name) = ("error", s"${e.getClass.getName}: ${e.getMessage}")
       }
       SessionHygiene.sweep(spark)
     }
@@ -46,6 +53,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status
+      .map { case (k, (st, msg)) =>
+        s"${q(k)}: {${q("status")}: ${q(st)}, ${q("error")}: ${q(msg)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/query_status.json"), statusJson)
     spark.stop()
   }
 }

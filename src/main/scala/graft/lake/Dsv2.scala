@@ -515,26 +515,34 @@ private[lake] object LakeAggPushdown {
           st <- statsFor(f.id)
         } yield (StructField(s"count_${f.name}", LongType, nullable = false),
           (totalRows - st.map(_.nullCount).sum): Any)
+      // Try-wrapped: a stat string that doesn't round-trip (e.g. legacy
+      // timestamp zonemaps rendered as session-timezone strings, which the
+      // batch pruner tolerates) must fall back to the scan path, not crash
+      // planning with a parse exception (round-4 ADVICE).
       case m: Min =>
-        for {
-          name <- colNameOf(m.column)
-          f <- field(name)
-          dt = DataType.fromJson(f.dataType)
-          if parseable(dt)
-          st <- statsFor(f.id)
-        } yield (StructField(s"min_${f.name}", dt),
-          st.flatMap(_.min).map(parse(_, dt))
-            .reduceOption((a, b) => ordering(dt).min(a, b)).orNull: Any)
+        scala.util.Try {
+          for {
+            name <- colNameOf(m.column)
+            f <- field(name)
+            dt = DataType.fromJson(f.dataType)
+            if parseable(dt)
+            st <- statsFor(f.id)
+          } yield (StructField(s"min_${f.name}", dt),
+            st.flatMap(_.min).map(parse(_, dt))
+              .reduceOption((a, b) => ordering(dt).min(a, b)).orNull: Any)
+        }.toOption.flatten
       case m: Max =>
-        for {
-          name <- colNameOf(m.column)
-          f <- field(name)
-          dt = DataType.fromJson(f.dataType)
-          if parseable(dt)
-          st <- statsFor(f.id)
-        } yield (StructField(s"max_${f.name}", dt),
-          st.flatMap(_.max).map(parse(_, dt))
-            .reduceOption((a, b) => ordering(dt).max(a, b)).orNull: Any)
+        scala.util.Try {
+          for {
+            name <- colNameOf(m.column)
+            f <- field(name)
+            dt = DataType.fromJson(f.dataType)
+            if parseable(dt)
+            st <- statsFor(f.id)
+          } yield (StructField(s"max_${f.name}", dt),
+            st.flatMap(_.max).map(parse(_, dt))
+              .reduceOption((a, b) => ordering(dt).max(a, b)).orNull: Any)
+        }.toOption.flatten
       case _ => None
     }
     if (cols.exists(_.isEmpty)) None
@@ -603,7 +611,8 @@ private[lake] final class LakeWriteBuilder(root: String,
             else if (data.columns.length == names.length)
               data.toDF(names.toIndexedSeq: _*)
             else data
-          if (overwrite) ds.overwrite(aligned)
+          if (overwrite && mergeSchema) ds.overwriteMergeSchema(aligned)
+          else if (overwrite) ds.overwrite(aligned)
           else if (mergeSchema) ds.appendMergeSchema(aligned)
           else ds.append(aligned)
         }

@@ -204,7 +204,7 @@ object FtsIndex {
         col("idf") * col("tf") * (Fts.K1 + 1.0) /
           (col("tf") + lit(Fts.K1) *
             (lit(1.0 - Fts.B) + lit(Fts.B) * col("len") / col("avglen"))))
-      .groupBy("_rowid").agg(sum("s").cast("decimal(18,4)").as("score"))
+      .groupBy("_rowid").agg(round(sum("s"), 4).as("score"))
     val live = ds.scanner().withRowId.build()
     live.join(scored.withColumnRenamed("_rowid", "_idx_rowid"),
         col(LakeDataset.RowIdCol) === col("_idx_rowid"))

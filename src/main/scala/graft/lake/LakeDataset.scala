@@ -415,9 +415,14 @@ final class LakeDataset private (
     * appendMergeSchema that already added the same column simply drops it
     * from this commit's additions on retry (idempotent column add). */
   def appendMergeSchema(df: DataFrame): Unit = {
+    // Session-resolver name comparison (round-4 ADVICE): Spark resolution
+    // is case-insensitive by default, so a batch column differing only in
+    // case must NOT be added as a duplicate field.
+    val resolver = df.sparkSession.sessionState.conf.resolver
     def newCols = df.schema.fields
-      .filterNot(f => m.fields.exists(_.name == f.name))
-    def missingCols = m.fields.filterNot(f => df.columns.contains(f.name))
+      .filterNot(f => m.fields.exists(mf => resolver(mf.name, f.name)))
+    def missingCols =
+      m.fields.filterNot(f => df.columns.exists(resolver(_, f.name)))
     if (newCols.isEmpty && missingCols.isEmpty) return append(df)
     withOpRetry(OpKind.Project, 5) {
       val added = newCols.zipWithIndex.map { case (sf, i) =>
@@ -427,7 +432,7 @@ final class LakeDataset private (
       val man2 = m.copy(fields = m.fields ++ added,
         maxFieldId = m.maxFieldId + added.length)
       val filled = man2.fields.foldLeft(df)((d, f) =>
-        if (d.columns.contains(f.name)) d
+        if (d.columns.exists(resolver(_, f.name))) d
         else d.withColumn(f.name, lit(null).cast(DataType.fromJson(f.dataType))))
       val base = man2.nextRowId
       val (frags, maxRid) = stageFragments(toPhysical(filled, man2)
@@ -657,6 +662,46 @@ final class LakeDataset private (
       createdMs = System.currentTimeMillis(),
       operation = "overwrite",
       touchedFragmentIds = Nil))
+  }
+
+  /** Overwrite that evolves the schema in the SAME commit (round-4 ADVICE:
+    * DSv2 mode("overwrite") + mergeSchema previously skipped alignment and
+    * silently dropped new columns). Column semantics mirror
+    * [[appendMergeSchema]]: columns new in `df` are ADDED (nullable, fresh
+    * field ids), dataset columns missing from `df` are kept and null-filled,
+    * names resolve with the session resolver. All prior data is replaced. */
+  def overwriteMergeSchema(df: DataFrame): Unit = {
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def newCols = df.schema.fields
+      .filterNot(f => m.fields.exists(mf => resolver(mf.name, f.name)))
+    def missingCols =
+      m.fields.filterNot(f => df.columns.exists(resolver(_, f.name)))
+    if (newCols.isEmpty && missingCols.isEmpty) return overwrite(df)
+    withOpRetry(OpKind.Overwrite, 5) {
+      val added = newCols.zipWithIndex.map { case (sf, i) =>
+        FieldDef(m.maxFieldId + i + 1, sf.name, sf.dataType.json,
+          nullable = true)
+      }
+      val man2 = m.copy(fields = m.fields ++ added,
+        maxFieldId = m.maxFieldId + added.length)
+      val filled = man2.fields.foldLeft(df)((d, f) =>
+        if (d.columns.exists(resolver(_, f.name))) d
+        else d.withColumn(f.name, lit(null).cast(DataType.fromJson(f.dataType))))
+      val base = man2.nextRowId
+      val (frags, maxRid) = stageFragments(toPhysical(filled, man2)
+        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), man2)
+      commit(man2.copy(
+        version = m.version + 1,
+        fragments = frags,
+        maxFragmentId = man2.maxFragmentId + frags.size,
+        nextRowId = math.max(man2.nextRowId, maxRid + 1),
+        deletionFiles = Nil, // all replaced rows are gone with the data
+        deletedRowCount = 0L,
+        parentVersion = Some(m.version),
+        createdMs = System.currentTimeMillis(),
+        operation = "overwrite_merge_schema",
+        touchedFragmentIds = Nil))
+    }
   }
 
   /** Delete rows matching the predicate (Spark SQL expression string — a
@@ -1885,9 +1930,13 @@ final class LakeDataset private (
     else col(physName(fid)).cast("string")
   }
 
-  /** Logical df → physical columns (cast + rename to f<id>). */
+  /** Logical df → physical columns (cast + rename to f<id>). Column lookup
+    * uses the session resolver (case-insensitive by default), matching how
+    * Spark itself resolves `col(name)` against the frame. */
   private def toPhysical(df: DataFrame, man: Manifest): DataFrame = {
-    val missing = man.fields.map(_.name).filterNot(df.columns.contains)
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val missing = man.fields.map(_.name)
+      .filterNot(n => df.columns.exists(resolver(_, n)))
     require(missing.isEmpty, s"append missing columns: $missing")
     df.select(man.fields.map(f =>
       col(f.name).cast(DataType.fromJson(f.dataType)).as(physName(f.id))): _*)

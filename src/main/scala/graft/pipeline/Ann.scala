@@ -62,8 +62,7 @@ object Ann {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= TopK)
-      .select(col("qid"), col("vec_id"), col("rn"),
-        col("sim").cast("decimal(18,4)").as("sim"))
+      .select(col("qid"), col("vec_id"), col("rn"), round(col("sim"), 4).as("sim"))
 
   /** Exact cosine top-k for the first NumQueries vectors (self excluded). */
   val brute = Q(
@@ -73,7 +72,7 @@ object Ann {
        |scored AS (SELECT q.qid, e.vec_id,
        |             list_cosine_similarity(e.embedding, q.qvec) AS sim
        |           FROM embeddings e, q WHERE e.vec_id <> q.qid)
-       |SELECT qid, vec_id, rn, CAST(sim AS DECIMAL(18,4)) AS sim
+       |SELECT qid, vec_id, rn, round(sim, 4) AS sim
        |FROM (SELECT qid, vec_id, sim,
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, vec_id) AS rn
@@ -234,9 +233,10 @@ object Ann {
        |  FROM b
        |)
        |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       |  CAST(list_cosine_similarity(a.e, c.e) AS DECIMAL(18,4)) AS sim
+       |  CAST(round(list_cosine_similarity(a.e, c.e) * 10000) AS BIGINT)
+       |    AS sim_e4
        |FROM kb a JOIN kb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-       |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+       |ORDER BY sim_e4 DESC, vec_a, vec_b LIMIT 20""".stripMargin
   }
 
   /** Embedding near-dup report: top-20 most-similar pairs among same-bucket
@@ -251,9 +251,11 @@ object Ann {
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", call_function("cosine_sim", col("emb_a"), col("emb_b")))
+      // BIGINT fixed-point (×1e4): the driver hashes integers exactly, while
+      // DECIMAL output hashes asymmetrically between Spark and DuckDB dumps
       .select(col("vec_a"), col("vec_b"),
-        col("sim").cast("decimal(18,4)").as("sim"))
-      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        round(col("sim") * 10000).cast("long").as("sim_e4"))
+      .orderBy(col("sim_e4").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
 
@@ -268,7 +270,7 @@ object Ann {
        |             list_cosine_similarity(e.embedding, q.qvec) AS sim
        |           FROM embeddings e, q
        |           WHERE e.vec_id <> q.qid AND e.label = 3)
-       |SELECT qid, vec_id, rn, CAST(sim AS DECIMAL(18,4)) AS sim
+       |SELECT qid, vec_id, rn, round(sim, 4) AS sim
        |FROM (SELECT qid, vec_id, sim,
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, vec_id) AS rn

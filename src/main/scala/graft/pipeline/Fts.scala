@@ -85,7 +85,7 @@ object Fts {
         col("idf") * col("tf") * (K1 + 1.0) /
           (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / col("avglen"))))
       .groupBy("doc_id")
-      .agg(sum("score").cast("decimal(18,4)").as("score"))
+      .agg(round(sum("score"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -111,10 +111,9 @@ object Fts {
        |          FROM toks WHERE term IN ('spark','table','scan')
        |          GROUP BY term)
        |SELECT doc_id,
-       |  CAST(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
        |    * tf * (${K1} + 1.0)
-       |    / (tf + ${K1} * (1.0 - ${B} + ${B} * len / avglen)))
-       |    AS DECIMAL(18,4)) AS score
+       |    / (tf + ${K1} * (1.0 - ${B} + ${B} * len / avglen))), 4) AS score
        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
        |GROUP BY doc_id
        |ORDER BY score DESC, doc_id
@@ -142,10 +141,9 @@ object Fts {
        |          FROM toks WHERE term IN ('spark','table','scan')
        |          GROUP BY term)
        |SELECT doc_id,
-       |  CAST(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
        |    * tf * (${K1} + 1.0)
-       |    / (tf + ${K1} * (1.0 - ${B} + ${B} * len / avglen)))
-       |    AS DECIMAL(18,4)) AS score
+       |    / (tf + ${K1} * (1.0 - ${B} + ${B} * len / avglen))), 4) AS score
        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
        |GROUP BY doc_id
        |ORDER BY score DESC, doc_id

@@ -242,18 +242,19 @@ object TextOps {
   /** Repetition signals (the Gopher-style quality heuristics, Rae et al.
     * 2021 §A1.1): duplicate-word fraction, most-frequent-word fraction,
     * most-frequent-bigram fraction. All per-row array folds — no shuffle,
-    * the 100 TB shape for per-doc scoring. Fractions land in DECIMAL(18,6)
-    * so both engines hash identical digits. */
+    * the 100 TB shape for per-doc scoring. Fractions land in BIGINT
+    * fixed-point parts-per-million (×1e6, rounded) — integers hash
+    * identically in both dump paths, unlike DECIMAL (CORRECTNESS_r04). */
   val repetition = Q(
     "text_repetition",
     """SELECT doc_id,
       |  CAST(len(l) AS BIGINT) AS n_words,
-      |  CAST(1.0 - CAST(len(list_distinct(l)) AS DOUBLE)/len(l)
-      |    AS DECIMAL(18,6)) AS dup_word_frac,
-      |  CAST(CAST(len(list_filter(l, x -> x = list_aggregate(l, 'mode')))
-      |    AS DOUBLE)/len(l) AS DECIMAL(18,6)) AS top_word_frac,
-      |  CAST(CAST(len(list_filter(b, x -> x = list_aggregate(b, 'mode')))
-      |    AS DOUBLE)/len(b) AS DECIMAL(18,6)) AS top_bigram_frac
+      |  CAST(round((1.0 - CAST(len(list_distinct(l)) AS DOUBLE)/len(l))
+      |    * 1000000) AS BIGINT) AS dup_word_ppm,
+      |  CAST(round(CAST(len(list_filter(l, x -> x = list_aggregate(l, 'mode')))
+      |    AS DOUBLE)/len(l) * 1000000) AS BIGINT) AS top_word_ppm,
+      |  CAST(round(CAST(len(list_filter(b, x -> x = list_aggregate(b, 'mode')))
+      |    AS DOUBLE)/len(b) * 1000000) AS BIGINT) AS top_bigram_ppm
       |FROM (
       |  SELECT doc_id, l,
       |    list_transform(generate_series(1, len(l)-1),
@@ -276,13 +277,13 @@ object TextOps {
         call_function("bigram_freq_stats", col("l")).as("bs"))
       .select(col("doc_id"),
         col("n").cast("long").as("n_words"),
-        (lit(1.0) - col("ws.n_distinct").cast("double") /
-          col("n").cast("double")).cast("decimal(18,6)").as("dup_word_frac"),
-        (col("ws.max_freq").cast("double") /
-          col("n").cast("double")).cast("decimal(18,6)").as("top_word_frac"),
-        (col("bs.max_freq").cast("double") /
-          (col("n") - 1).cast("double")).cast("decimal(18,6)")
-          .as("top_bigram_frac"))
+        round((lit(1.0) - col("ws.n_distinct").cast("double") /
+          col("n").cast("double")) * 1000000).cast("long").as("dup_word_ppm"),
+        round(col("ws.max_freq").cast("double") /
+          col("n").cast("double") * 1000000).cast("long").as("top_word_ppm"),
+        round(col("bs.max_freq").cast("double") /
+          (col("n") - 1).cast("double") * 1000000).cast("long")
+          .as("top_bigram_ppm"))
   }
 
   /** Corpus-level n-gram statistics: the 50 most frequent bigrams — the

@@ -109,16 +109,16 @@ object Extra {
       |      AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |  CAST(sum(value) AS DECIMAL(18,4)) AS total_value
+      |  round(sum(value), 4) AS total_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin)
 
   /** Statistical aggregates beyond sum/avg: median, stddev, correlation. */
   val statsAgg = Q.sql(
     "agg_stats",
     """SELECT l_returnflag,
-      |  CAST(median(l_quantity) AS DECIMAL(18,4)) AS med_qty,
-      |  CAST(stddev_samp(l_extendedprice) AS DECIMAL(18,4)) AS sd_price,
-      |  CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,6)) AS qty_price_corr
+      |  round(median(l_quantity), 4) AS med_qty,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin)
 
@@ -126,10 +126,9 @@ object Extra {
   val windowFrames = Q.sql(
     "rel_window_frames",
     """SELECT o_custkey, o_orderkey,
-      |  CAST(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4))
-      |    AS mov_avg3,
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
       |  lead(o_totalprice) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey) AS next_price,
       |  ntile(4) OVER (PARTITION BY o_custkey
@@ -142,17 +141,16 @@ object Extra {
   val arrayHof = Q(
     "expr_array_hof",
     """SELECT vec_id,
-      |  CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DECIMAL(18,4)) AS sum_comp,
+      |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_comp,
       |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
-      |  CAST(CAST(list_max(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS max_comp
+      |  round(list_max(embedding), 6) AS max_comp
       |FROM embeddings""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "embeddings").select(
       col("vec_id"),
-      aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x)
-        .cast("decimal(18,4)").as("sum_comp"),
+      round(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x), 4).as("sum_comp"),
       size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-      array_max(col("embedding")).cast("double")
-        .cast("decimal(18,6)").as("max_comp"))
+      round(array_max(col("embedding")).cast("double"), 6).as("max_comp"))
   }
 
   def all: Seq[Q] = Seq(interval, casts, nestedSemi, selectScalar, rangeJoin,

@@ -132,26 +132,27 @@ object Rel {
       |ORDER BY p_partkey""".stripMargin)
 
   /** Math-function matrix over lineitem numerics: abs/ceil/floor/round/
-    * sqrt/power/mod/sign/exp/ln/log10. Every double lands in a
-    * DECIMAL(18,6) cast so 1-ulp libm differences between the JVM and
-    * DuckDB can't leak into the hash. The synthetic lineitem has duplicate
-    * (l_orderkey, l_linenumber) pairs (469 at sf0.01), so the ORDER BY
-    * lists every output column — ties would otherwise interleave
-    * engine-dependently and break the in-order hash even with equal
-    * row multisets (verified equal this round). */
+    * sqrt/power/mod/sign/exp/ln/log10. Every double lands in BIGINT
+    * fixed-point (×1e6, rounded) so 1-ulp libm differences between the
+    * JVM and DuckDB can't leak into the hash — integers hash identically
+    * in both dump paths, unlike DECIMAL (CORRECTNESS_r04). The synthetic
+    * lineitem has duplicate (l_orderkey, l_linenumber) pairs (469 at
+    * sf0.01), so the ORDER BY lists every output column — ties would
+    * otherwise interleave engine-dependently and break the in-order hash
+    * even with equal row multisets (verified equal this round). */
   val mathFuncs = Q.sql(
     "expr_math_funcs",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(abs(l_discount - 0.05) AS DECIMAL(18,6)) AS a,
+      |  CAST(round(abs(l_discount - 0.05) * 1000000) AS BIGINT) AS a,
       |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS c,
       |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS f,
-      |  CAST(sqrt(l_extendedprice) AS DECIMAL(18,6)) AS sq,
-      |  CAST(power(l_quantity, 2) AS DECIMAL(18,6)) AS p2,
+      |  CAST(round(sqrt(l_extendedprice) * 1000000) AS BIGINT) AS sq,
+      |  CAST(round(power(l_quantity, 2) * 1000000) AS BIGINT) AS p2,
       |  mod(CAST(l_orderkey AS BIGINT), 97) AS m97,
       |  CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
-      |  CAST(exp(l_tax) AS DECIMAL(18,6)) AS ex,
-      |  CAST(ln(l_extendedprice) AS DECIMAL(18,6)) AS lg,
-      |  CAST(log10(l_extendedprice) AS DECIMAL(18,6)) AS l10
+      |  CAST(round(exp(l_tax) * 1000000) AS BIGINT) AS ex,
+      |  CAST(round(ln(l_extendedprice) * 1000000) AS BIGINT) AS lg,
+      |  CAST(round(log10(l_extendedprice) * 1000000) AS BIGINT) AS l10
       |FROM lineitem
       |WHERE l_orderkey <= 640
       |ORDER BY l_orderkey, l_linenumber, a, c, f, sq, p2, m97, sg, ex, lg, l10""".stripMargin)
@@ -334,25 +335,28 @@ object Rel {
 
   /** Exact percentiles (linear interpolation): Spark `percentile` and
     * DuckDB `quantile_cont` both implement the R-7 estimator, so the
-    * interpolated values agree bit-for-bit on the same doubles; DECIMAL
-    * casts put them under the hash gate. */
+    * interpolated values agree bit-for-bit on the same doubles; BIGINT
+    * fixed-point (×1e6) puts them under the hash gate without DECIMAL's
+    * dump asymmetry (CORRECTNESS_r04). */
   val percentiles = Q(
     "agg_percentiles",
     """SELECT l_returnflag,
-      |  CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,6)) AS p50_qty,
-      |  CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,6)) AS p90_qty,
-      |  CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(18,6))
+      |  CAST(round(quantile_cont(l_quantity, 0.5) * 1000000) AS BIGINT)
+      |    AS p50_qty,
+      |  CAST(round(quantile_cont(l_quantity, 0.9) * 1000000) AS BIGINT)
+      |    AS p90_qty,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.99) * 1000000) AS BIGINT)
       |    AS p99_price
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,6))")
+        expr("CAST(round(percentile(l_quantity, 0.5) * 1000000) AS BIGINT)")
           .as("p50_qty"),
-        expr("CAST(percentile(l_quantity, 0.9) AS DECIMAL(18,6))")
+        expr("CAST(round(percentile(l_quantity, 0.9) * 1000000) AS BIGINT)")
           .as("p90_qty"),
-        expr("CAST(percentile(l_extendedprice, 0.99) AS DECIMAL(18,6))")
+        expr("CAST(round(percentile(l_extendedprice, 0.99) * 1000000) AS BIGINT)")
           .as("p99_price"))
       .orderBy("l_returnflag")
   }
@@ -364,10 +368,10 @@ object Rel {
   val pivotQ = Q(
     "rel_pivot",
     """SELECT l_returnflag,
-      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
-      |    AS DECIMAL(18,2)) AS qty_f,
-      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
-      |    AS DECIMAL(18,2)) AS qty_o
+      |  CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
+      |    * 100) AS BIGINT) AS qty_f_cents,
+      |  CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
+      |    * 100) AS BIGINT) AS qty_o_cents
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
@@ -375,8 +379,8 @@ object Rel {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum("l_quantity"))
       .select(col("l_returnflag"),
-        col("F").cast("decimal(18,2)").as("qty_f"),
-        col("O").cast("decimal(18,2)").as("qty_o"))
+        round(col("F") * 100).cast("long").as("qty_f_cents"),
+        round(col("O") * 100).cast("long").as("qty_o_cents"))
       .orderBy("l_returnflag")
   }
 
@@ -385,21 +389,22 @@ object Rel {
     * UNION ALL desugaring. */
   val unpivotQ = Q(
     "rel_unpivot",
-    """SELECT o_orderkey, measure, amount FROM (
+    """SELECT o_orderkey, measure, amount_cents FROM (
       |  SELECT o_orderkey, 'total' AS measure,
-      |         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents
       |  FROM orders WHERE o_orderkey <= 400
       |  UNION ALL
-      |  SELECT o_orderkey, 'cust', CAST(o_custkey AS DECIMAL(18,2))
+      |  SELECT o_orderkey, 'cust',
+      |         CAST(round(o_custkey * 100) AS BIGINT)
       |  FROM orders WHERE o_orderkey <= 400) t
       |ORDER BY o_orderkey, measure""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "orders")
       .filter(col("o_orderkey") <= 400)
       .select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("total"),
-        col("o_custkey").cast("decimal(18,2)").as("cust"))
+        round(col("o_totalprice") * 100).cast("long").as("total"),
+        round(col("o_custkey") * 100).cast("long").as("cust"))
       .unpivot(Array(col("o_orderkey")), Array(col("total"), col("cust")),
-        "measure", "amount")
+        "measure", "amount_cents")
       .orderBy("o_orderkey", "measure")
   }
 

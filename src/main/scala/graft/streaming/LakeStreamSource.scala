@@ -63,13 +63,27 @@ final class LakeStreamSource(sqlContext: SQLContext, root: String,
           .filter(col("_change_type") === "insert")
           .drop("_rowid", "_change_type")
     }
-    // schema evolution mid-stream changes the output shape; fail with the
-    // real reason instead of the engine's attribute-mismatch assertion
-    // (Delta's contract: restart the stream to pick up the new schema)
-    require(batch.schema.fieldNames.sameElements(schema.fieldNames),
-      s"lake stream at $root: dataset schema changed " +
-        s"(${schema.fieldNames.mkString(",")} -> " +
-        s"${batch.schema.fieldNames.mkString(",")}); restart the stream")
+    // Schema evolution mid-stream changes the output shape; fail with the
+    // real reason instead of the engine's attribute-mismatch assertion.
+    // Full StructType comparison (round-4 ADVICE: a name-only guard let
+    // type changes like int→long through to the engine assertion), pinned
+    // to the BATCH's end-version schema so the remedy is accurate:
+    //  - evolution inside this batch range → restarting picks up the new
+    //    schema (Delta's contract);
+    //  - a checkpointed batch replayed AFTER evolution (end version
+    //    predates the current schema) → restarting cannot clear it; the
+    //    stream must resume from a fresh checkpoint.
+    val endSchema = ds.checkout(endV).schema
+    if (endSchema != schema) {
+      val remedy =
+        if (ds.schema == schema)
+          "this checkpointed batch predates the current schema and cannot " +
+            "replay against it; resume from a fresh checkpoint"
+        else "restart the stream to pick up the new schema"
+      throw new IllegalStateException(
+        s"lake stream at $root: dataset schema changed " +
+          s"($schema -> $endSchema); $remedy")
+    }
     GraftSqlShims.asStreamingFrame(batch)
   }
 

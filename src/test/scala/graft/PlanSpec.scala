@@ -2,7 +2,9 @@ package graft
 
 import graft.queries.Tpch
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 
 /** Plan goldens: regressions that silently kill 100 TB scalability must fail
   * fast. Round-1 verdict: date filters were computed on a derived `to_date`
@@ -54,6 +56,40 @@ class PlanSpec extends SparkTestBase {
     val analyzed = Tpch.q5.run(spark, sf0001).queryExecution.analyzed.toString
     val hintCount = "ResolvedHint".r.findAllIn(analyzed).size
     assert(hintCount == 2, s"expected 2 broadcast hints (nation, region), got $hintCount:\n$analyzed")
+  }
+
+  /** Parquet scan paths under the BUILD side of every broadcast join. */
+  private def broadcastBuildScans(df: DataFrame): Seq[String] = {
+    def leafPaths(p: SparkPlan): Seq[String] =
+      p.collectLeaves().collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",") }
+    df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec =>
+        leafPaths(if (j.buildSide == BuildLeft) j.left else j.right)
+      case j: BroadcastNestedLoopJoinExec =>
+        leafPaths(if (j.buildSide == BuildLeft) j.left else j.right)
+    }.flatten
+  }
+
+  test("q4/q21 never broadcast a data-proportional side (lineitem/orders)") {
+    // BENCH_r04's one-off 10× mode for these queries was a broadcast flip
+    // putting a fact-table side on the build side. At tiny SF a cost-based
+    // lineitem broadcast is legitimate (real size stats say it fits), so
+    // simulate scale: with the broadcast threshold floored, any remaining
+    // fact-table broadcast can only come from a forced hint — the plan
+    // shape that dies at 100 TB. Bounded dims may still be hinted.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import graft.queries.TpchMore
+      for ((name, df) <- Seq(
+          "q4_exists" -> TpchMore.q4.run(spark, sf0001),
+          "q21_exists_notexists" -> TpchMore.q21.run(spark, sf0001))) {
+        val bad = broadcastBuildScans(df)
+          .filter(p => p.contains("lineitem") || p.contains("orders"))
+        assert(bad.isEmpty, s"$name force-broadcasts a fact-table side: $bad")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("column pruning: q6 scan reads only the 4 needed lineitem columns") {

@@ -89,6 +89,40 @@ class AggPushdownSpec extends SparkTestBase {
     assert(latest.agg(max("id")).head().getLong(0) == 9)
   }
 
+  test("unparseable legacy stats fall back to a scan, not a planning crash") {
+    // Round-4 ADVICE: legacy timestamp zonemaps rendered as session-timezone
+    // strings (a format the batch pruner tolerates) threw NumberFormatException
+    // during MIN/MAX planning. Forge such stats in the manifest and assert the
+    // whole-table aggregate answers correctly through the scan path.
+    val (root, ds) = fixture()
+    val tsField = ds.manifest.fields.find(_.name == "ts").get
+    val man2 = ds.manifest.copy(
+      version = ds.manifest.version + 1,
+      parentVersion = Some(ds.manifest.version),
+      fragments = ds.manifest.fragments.map { f =>
+        f.copy(stats = f.stats.map {
+          case (fid, st) if fid == tsField.id.toString =>
+            fid -> st.copy(min = st.min.map(_ => "2021-01-01 10:00:00"),
+              max = st.max.map(_ => "2021-06-01 10:00:00"))
+          case other => other
+        })
+      })
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_manifests",
+        Manifest.versionFileName(man2.version)),
+      Manifest.toJson(man2))
+    val t = spark.read.format("lake").load(root)
+    val g = t.agg(count(lit(1)).as("n"), min("ts"), max("ts")).head()
+    assert(g.getLong(0) == 4)
+    assert(g.getTimestamp(1) == new Timestamp(50 * 1000)
+      && g.getTimestamp(2) == new Timestamp(400 * 1000))
+    val plan = t.agg(min("ts")).queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates"), plan)
+    // numeric columns with sane stats still push down on their own
+    val g2 = t.agg(min("id"), max("id")).head()
+    assert(g2.getLong(0) == 1 && g2.getLong(1) == 4)
+  }
+
   test("count(distinct) and avg are NOT pushed; results stay correct") {
     val (root, _) = fixture()
     val t = spark.read.format("lake").load(root)

@@ -23,10 +23,10 @@ class FtsIndexSpec extends SparkTestBase {
     FtsIndex.build(ds, "text")
     val terms = Seq("spark", "table", "scan")
     val indexed = FtsIndex.search(ds, terms, k = 10)
-      .collect().map(r => (r.getLong(0), r.getDecimal(2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
     val direct = graft.pipeline.Fts.bm25TopK(
       Tables.load(spark, sf0001, "documents"), terms, 10)
-      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(indexed.toSeq == direct.toSeq)
   }
 
@@ -79,11 +79,11 @@ class FtsIndexSpec extends SparkTestBase {
     FtsIndex.build(ds, "text", name = "simple", tokenizer = "simple")
     val terms = Seq("spark", "table", "scan")
     val indexed = FtsIndex.search(ds, terms, k = 10, name = "simple")
-      .collect().map(r => (r.getLong(0), r.getDecimal(2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
     val direct = graft.pipeline.Fts.bm25TopK(
       Tables.load(spark, sf0001, "documents"), terms, 10,
       tokenizer = "simple")
-      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(indexed.toSeq == direct.toSeq)
   }
 
@@ -125,10 +125,10 @@ class FtsIndexSpec extends SparkTestBase {
       val ds2 = LakeDataset.open(spark, ds.root)
       FtsIndex.build(ds2, "text", name = "fts_rebuild")
       FtsIndex.search(ds2, Seq("spark", "table", "scan"), k = 5,
-        name = "fts_rebuild").collect().map(r => (r.getLong(0), r.getDecimal(2)))
+        name = "fts_rebuild").collect().map(r => (r.getLong(0), r.getDouble(2)))
     }
     val incr = FtsIndex.search(ds, Seq("spark", "table", "scan"), k = 5)
-      .collect().map(r => (r.getLong(0), r.getDecimal(2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(incr.toSeq == rebuilt.toSeq)
     // a refresh with no new fragments is a no-op (tombstone delete adds
     // none; a CoW delete would rewrite fragments and add an empty segment)

@@ -211,4 +211,65 @@ class SchemaEvolutionSpec extends SparkTestBase {
     val rows = ds.read().orderBy("id").collect()
     assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 2.5)
   }
+
+  test("overwrite + mergeSchema evolves the schema in the same commit") {
+    // Round-4 ADVICE: this combination previously skipped alignment and
+    // silently dropped the new column (or failed when an old one was absent).
+    val root = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val d1 = new java.util.ArrayList[Row]()
+    d1.add(Row(1L, "a"))
+    spark.createDataFrame(d1, schema).coalesce(1)
+      .write.format("lake").mode("append").save(root)
+    val v1 = LakeDataset.open(spark, root).version
+
+    // overwrite batch: NEW column `extra`, OLD column `name` absent
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("extra", DoubleType)))
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(7L, 7.5))
+    spark.createDataFrame(d2, s2).coalesce(1)
+      .write.format("lake").option("mergeSchema", "true")
+      .mode("overwrite").save(root)
+
+    val ds = LakeDataset.open(spark, root)
+    assert(ds.version == v1 + 1) // schema + replacement in ONE commit
+    assert(ds.manifest.operation == "overwrite_merge_schema")
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "name", "extra"))
+    val rows = ds.read().collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 7L && rows(0).isNullAt(1)
+      && rows(0).getDouble(2) == 7.5)
+    // time travel still reads the pre-overwrite data in the old schema
+    assert(ds.readVersion(v1).columns.toSeq == Seq("id", "name"))
+  }
+
+  test("appendMergeSchema resolves column names case-insensitively") {
+    // Round-4 ADVICE: a batch column differing only in case ("ID" vs "id")
+    // must not be added as a duplicate field.
+    val ds = LakeDataset.create(spark, tmpDir(), StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType))))
+    val d1 = new java.util.ArrayList[Row]()
+    d1.add(Row(1L, "a"))
+    ds.append(spark.createDataFrame(d1,
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("name", StringType)))).coalesce(1))
+
+    val s2 = StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("score", DoubleType)))
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(2L, 2.5))
+    ds.appendMergeSchema(spark.createDataFrame(d2, s2).coalesce(1))
+
+    // no duplicate id/ID field; score added once; both rows readable
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val rows = ds.read().orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 2.5)
+  }
 }

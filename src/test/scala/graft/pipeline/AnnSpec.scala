@@ -45,7 +45,7 @@ class AnnSpec extends SparkTestBase {
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val byRank = rs.sortBy(_.getInt(2))
       assert(byRank.map(_.getInt(2)).toSeq == (1 to Ann.TopK))
-      val sims = byRank.map(_.getDecimal(3).doubleValue())
+      val sims = byRank.map(_.getDouble(3))
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
   }

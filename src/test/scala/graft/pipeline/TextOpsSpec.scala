@@ -102,25 +102,25 @@ class TextOpsSpec extends SparkTestBase {
     docs.createOrReplaceTempView("constructed_docs")
     val byId = TextOps.repetition.run(spark, sf0001).limit(0) // shape only
     assert(byId.columns.toSeq == Seq(
-      "n_words", "dup_word_frac", "top_word_frac", "top_bigram_frac")
+      "n_words", "dup_word_ppm", "top_word_ppm", "top_bigram_ppm")
       .prepended("doc_id"))
     // run the same projection over the constructed frame
     val out = TextOps.repetitionOver(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
-    def d(x: java.math.BigDecimal): Double = x.doubleValue()
+    def ppm(frac: Double): Long = math.round(frac * 1000000)
     val r1 = out(1L)
     assert(r1.getLong(1) == 5)
-    assert(math.abs(d(r1.getDecimal(2)) - 0.4) < 1e-6)   // 1 - 3/5
-    assert(math.abs(d(r1.getDecimal(3)) - 0.6) < 1e-6)   // 3/5
-    assert(math.abs(d(r1.getDecimal(4)) - 0.5) < 1e-6)   // 'a a' 2/4
+    assert(r1.getLong(2) == ppm(0.4))       // 1 - 3/5
+    assert(r1.getLong(3) == ppm(0.6))       // 3/5
+    assert(r1.getLong(4) == ppm(0.5))       // 'a a' 2/4
     val r2 = out(2L)
-    assert(math.abs(d(r2.getDecimal(2)) - 4.0 / 6) < 1e-6)
-    assert(math.abs(d(r2.getDecimal(3)) - 0.5) < 1e-6)
-    assert(math.abs(d(r2.getDecimal(4)) - 0.6) < 1e-6)   // 'x y' 3/5
+    assert(r2.getLong(2) == ppm(4.0 / 6))
+    assert(r2.getLong(3) == ppm(0.5))
+    assert(r2.getLong(4) == ppm(0.6))       // 'x y' 3/5
     val r3 = out(3L)
-    assert(d(r3.getDecimal(2)) == 0.0)
-    assert(math.abs(d(r3.getDecimal(3)) - 1.0 / 6) < 1e-6)
-    assert(math.abs(d(r3.getDecimal(4)) - 0.2) < 1e-6)
+    assert(r3.getLong(2) == 0L)
+    assert(r3.getLong(3) == ppm(1.0 / 6))
+    assert(r3.getLong(4) == ppm(0.2))
   }
 
   test("top bigrams are deterministic, ranked, and complete at the cut") {

@@ -77,6 +77,37 @@ class LakeStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mid-stream type evolution trips the schema guard with a remedy") {
+    // Round-4 ADVICE: the guard compared field NAMES only, so a widening
+    // type change (name-preserving) fell through to the engine's raw
+    // attribute-mismatch assertion. Full StructType comparison catches it.
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType))))
+    val d1 = new java.util.ArrayList[Row]()
+    d1.add(Row(1, "a"))
+    ds.append(spark.createDataFrame(d1, ds.schema).coalesce(1))
+
+    val q = spark.readStream.format("lake").load(root)
+      .writeStream.format("memory").queryName("lake_type_guard")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_type_guard").count() == 1)
+      ds.alterColumnType("id", LongType) // names unchanged, type widened
+      val d2 = new java.util.ArrayList[Row]()
+      d2.add(Row(2L, "b"))
+      ds.append(spark.createDataFrame(d2, ds.schema).coalesce(1))
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+      assert(msgs.contains("schema changed") && msgs.contains("restart"),
+        msgs)
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes at the committed version offset") {
     val root = tmpDir()
     val ckpt = tmpDir()
