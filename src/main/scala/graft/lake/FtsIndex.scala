@@ -1,25 +1,32 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths}
-
 import graft.pipeline.Fts
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+/** Per-query pruning telemetry from [[FtsIndex.searchPruned]]: how many
+  * docs were exactly scored vs how many matched ≥1 query term. */
+final case class FtsPruneStats(scoredDocs: Long, matchingDocs: Long) {
+  def prunedDocs: Long = matchingDocs - scoredDocs
+}
 
 /** Persisted BM25 full-text index over a [[LakeDataset]] text column —
   * counterpart of the reference's inverted index + persistence
   * (pkg/storage2/fts_index.go, fts_persistence.go).
   *
-  * Layout: `<root>/_indexes/<name>/v<version>/{postings,doclen,stats}`.
-  * Postings are parquet sorted by term, so a query's term filter prunes to
-  * its own terms' row groups — the batch analogue of posting-list seeks
-  * (WAND's skipping, fts_wand.go). Like [[VectorIndex]], postings key on
-  * stable `_rowid` and join back to live data, so deletes after build
-  * don't poison results. */
+  * Layout: `<root>/_indexes/<name>/v<version>/{postings,doclen,stats,
+  * terminfo}`. Postings are parquet sorted by term, so a query's term
+  * filter prunes to its own terms' row groups — the batch analogue of
+  * posting-list seeks. `terminfo` holds per-term (max_tf, min_len) bounds
+  * powering [[searchPruned]]'s MaxScore/WAND-style top-k pruning
+  * (fts_wand.go:35-260). Like [[VectorIndex]], postings key on stable
+  * `_rowid` and join back to live data, so deletes after build don't
+  * poison results. */
 object FtsIndex {
 
   private def dir(ds: LakeDataset, name: String, v: Long) =
-    Paths.get(ds.root, "_indexes", name, f"v$v%020d")
+    new Path(ds.root).resolve("_indexes").resolve(name).resolve(f"v$v%020d")
 
   /** Tokenize (with the named tokenizer — whitespace/simple/cjk, see
     * [[Fts.tokens]]) + persist postings/doc-lengths/corpus stats at the
@@ -34,7 +41,7 @@ object FtsIndex {
     val toks = rows.select(col("_rowid"),
       explode(Fts.tokens(col("text"), tokenizer)).as("term"))
     val d = dir(ds, name, ds.version)
-    Files.createDirectories(d)
+    ds.io.mkdirs(d)
     toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
       .repartition(1).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$d/postings")
@@ -47,11 +54,12 @@ object FtsIndex {
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg("len").as("avglen"))
       .write.mode("overwrite").parquet(s"$d/stats")
+    writeTermInfo(ds, d)
     // meta.json is the COMMIT POINT (written after every data file):
     // builtVersion ignores dirs without it, so a build that dies mid-write
     // can't brick the index. The high-water marks make refresh independent
     // of dataset manifests, which vacuum may delete.
-    Files.writeString(d.resolve("meta.json"),
+    ds.io.writeString(d.resolve("meta.json"),
       s"""{"tokenizer": "$tokenizer",""" +
         s""" "max_rowid": "${ds.manifest.nextRowId - 1}",""" +
         s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
@@ -71,9 +79,9 @@ object FtsIndex {
   private def metaFieldAt(ds: LakeDataset, name: String, v: Long,
       field: String): Option[String] = {
     val meta = dir(ds, name, v).resolve("meta.json")
-    if (!Files.exists(meta)) None
+    if (!ds.io.exists(meta)) None
     else (""""""" + field + """"\s*:\s*"([^"]+)"""").r
-      .findFirstMatchIn(Files.readString(meta))
+      .findFirstMatchIn(ds.io.readString(meta))
       .map(_.group(1))
   }
 
@@ -83,9 +91,9 @@ object FtsIndex {
     * whole index — the LSM shape: extending a 100 TB index costs
     * tokenizing the appended rows, not the corpus. */
   private def segmentDirs(ds: LakeDataset, name: String,
-      v: Long): Seq[java.nio.file.Path] = {
+      v: Long): Seq[Path] = {
     var cur = Option(v)
-    val out = Seq.newBuilder[java.nio.file.Path]
+    val out = Seq.newBuilder[Path]
     while (cur.isDefined) {
       val d = dir(ds, name, cur.get)
       out += d
@@ -112,7 +120,7 @@ object FtsIndex {
     // manifest at v0 — vacuum deletes old manifests, and an index must
     // stay refreshable after them. (Manifest fallback for segments built
     // before the marks existed.)
-    def legacyMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
+    def legacyMan = LakeDataset.loadVersion(new Path(ds.root), v0)
     val maxIndexed = metaFieldAt(ds, name, v0, "max_rowid").map(_.toLong)
       .getOrElse(legacyMan.nextRowId - 1)
     // fragments beyond the built high-water mark: appended data, plus
@@ -136,7 +144,7 @@ object FtsIndex {
     graft.functions.GraftFunctions.register(ds.spark)
     val toks = rows.select(col("_rowid"),
       explode(Fts.tokens(col("text"), tokenizer)).as("term"))
-    Files.createDirectories(d)
+    ds.io.mkdirs(d)
     toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
       .repartition(1).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$d/postings")
@@ -152,12 +160,27 @@ object FtsIndex {
     allLens.agg(count(lit(1)).cast("double").as("n_docs"),
         avg("len").as("avglen"))
       .write.mode("overwrite").parquet(s"$d/stats")
+    writeTermInfo(ds, d)
     // meta last = commit point (see build)
-    Files.writeString(d.resolve("meta.json"),
+    ds.io.writeString(d.resolve("meta.json"),
       s"""{"tokenizer": "$tokenizer", "parent": "v$v0",""" +
         s""" "max_rowid": "${ds.manifest.nextRowId - 1}",""" +
         s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
   }
+
+  /** Per-term pruning bounds for one segment: (term, max_tf, min_len).
+    * BM25's per-doc term contribution is increasing in tf and decreasing
+    * in doc length, so idf·tfn(max_tf, min_len) upper-bounds every doc's
+    * contribution for the term — and unlike a precomputed max impact, the
+    * bound survives avglen drift across refreshes (avglen is applied at
+    * query time). */
+  private def writeTermInfo(ds: LakeDataset, d: Path): Unit =
+    ds.spark.read.parquet(s"$d/postings")
+      .join(ds.spark.read.parquet(s"$d/doclen"), "_rowid")
+      .groupBy("term")
+      .agg(max("tf").as("max_tf"), min("len").as("min_len"))
+      .repartition(1).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$d/terminfo")
 
   /** Search with a free-text query, tokenized the same way the index was
     * built (a CJK query string becomes bigrams against a cjk index). */
@@ -166,20 +189,21 @@ object FtsIndex {
     search(ds, Fts.tokenizeQuery(query, tokenizerOf(ds, name)), k, name)
 
   def builtVersion(ds: LakeDataset, name: String = "fts"): Option[Long] = {
-    val base = Paths.get(ds.root, "_indexes", name)
-    if (!Files.exists(base)) return None
-    import scala.jdk.CollectionConverters._
-    Files.list(base).iterator().asScala
-      .filter(d => Files.exists(d.resolve("meta.json"))) // commit marker
-      .map(_.getFileName.toString)
+    val base = new Path(ds.root).resolve("_indexes").resolve(name)
+    if (!ds.io.exists(base)) return None
+    ds.io.listNames(base)
+      .filter(n => ds.io.exists(base.resolve(n).resolve("meta.json"))) // commit marker
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
       .filter(_ <= ds.version).maxOption
   }
 
-  /** BM25 top-k over the persisted index; only the query terms' postings
-    * are read. Results join back to live rows (delete-safe). */
-  def search(ds: LakeDataset, queryTerms: Seq[String], k: Int,
-      name: String = "fts"): DataFrame = {
+  /** Chain context for one query: query-term postings, doc lengths,
+    * corpus stats, and the newest segment dir. */
+  private final case class QueryCtx(post: DataFrame, doclen: DataFrame,
+      stats: DataFrame, segs: Seq[Path], newest: Path)
+
+  private def queryCtx(ds: LakeDataset, queryTerms: Seq[String],
+      name: String): QueryCtx = {
     val spark = ds.spark
     val v = builtVersion(ds, name).getOrElse(
       throw new IllegalStateException(s"no FTS index '$name' — call build()"))
@@ -187,17 +211,22 @@ object FtsIndex {
     // read every delta segment in the chain (newest dir carries the
     // refreshed global stats); a rowid appears in exactly one segment
     val segs = segmentDirs(ds, name, v)
-      .filter(sd => Files.exists(sd.resolve("postings")))
+      .filter(sd => ds.io.exists(sd.resolve("postings")))
     val post = spark.read
       .parquet(segs.map(sd => s"$sd/postings"): _*)
       .filter(col("term").isin(queryTerms: _*))
     val doclen = spark.read.parquet(segs.map(sd => s"$sd/doclen"): _*)
-    val stats = spark.read.parquet(s"$d/stats")
-    val dfreq = post.groupBy("term")
+    QueryCtx(post, doclen, spark.read.parquet(s"$d/stats"), segs, d)
+  }
+
+  /** Exact BM25 per-doc scores (rounded like [[Fts.bm25TopK]]) for the
+    * docs present in `post`. */
+  private def scoreDocs(ctx: QueryCtx, post: DataFrame): DataFrame = {
+    val dfreq = ctx.post.groupBy("term")
       .agg(countDistinct("_rowid").cast("double").as("df"))
-    val scored = post.join(broadcast(dfreq), "term")
-      .join(doclen, "_rowid")
-      .crossJoin(broadcast(stats))
+    post.join(broadcast(dfreq), "term")
+      .join(ctx.doclen, "_rowid")
+      .crossJoin(broadcast(ctx.stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("s",
@@ -205,6 +234,9 @@ object FtsIndex {
           (col("tf") + lit(Fts.K1) *
             (lit(1.0 - Fts.B) + lit(Fts.B) * col("len") / col("avglen"))))
       .groupBy("_rowid").agg(round(sum("s"), 4).as("score"))
+  }
+
+  private def topK(ds: LakeDataset, scored: DataFrame, k: Int): DataFrame = {
     val live = ds.scanner().withRowId.build()
     live.join(scored.withColumnRenamed("_rowid", "_idx_rowid"),
         col(LakeDataset.RowIdCol) === col("_idx_rowid"))
@@ -212,5 +244,94 @@ object FtsIndex {
       .orderBy(col("score").desc, col(LakeDataset.RowIdCol))
       .limit(k)
       .select((ds.schema.fieldNames.map(col) :+ col("score")): _*)
+  }
+
+  /** BM25 top-k over the persisted index; only the query terms' postings
+    * are read. Results join back to live rows (delete-safe). */
+  def search(ds: LakeDataset, queryTerms: Seq[String], k: Int,
+      name: String = "fts"): DataFrame = {
+    val ctx = queryCtx(ds, queryTerms, name)
+    topK(ds, scoreDocs(ctx, ctx.post), k)
+  }
+
+  /** MaxScore/WAND-style pruned top-k (reference fts_wand.go:35-260): docs
+    * whose score UPPER BOUND cannot reach the current top-k floor are never
+    * scored. Returns exactly [[search]]'s rows plus how many docs were
+    * actually scored.
+    *
+    * Batch shape of the algorithm: rank query terms by per-term impact
+    * upper bound ub(t) = idf(t) · tfn(max_tf, min_len) (bounds from the
+    * persisted `terminfo`). Exactly score only docs containing the
+    * top-impact term; the k-th best live score among them is the floor.
+    * Every other matching doc's score is ≤ Σ ub(t) over the REMAINING
+    * terms, so when that sum is strictly below the floor the entire rest of
+    * the matching set is pruned unscored — on a skewed corpus (rare
+    * high-idf term + common low-idf term) this skips the common term's
+    * giant posting list. When the bound can't exclude the rest (uniform
+    * corpora, floor too low, < k candidates), it falls back to scoring
+    * everything — same result, zero pruning. */
+  def searchPruned(ds: LakeDataset, queryTerms: Seq[String], k: Int,
+      name: String = "fts"): (DataFrame, FtsPruneStats) = {
+    val spark = ds.spark
+    val ctx = queryCtx(ds, queryTerms, name)
+    val matching = ctx.post.select("_rowid").distinct().count()
+    def exhaustive = (topK(ds, scoreDocs(ctx, ctx.post), k),
+      FtsPruneStats(matching, matching))
+
+    // per-term upper bounds from terminfo (segments built before terminfo
+    // existed fall back to deriving it from their query-term postings)
+    val terminfo = ctx.segs.map { sd =>
+      if (ds.io.exists(sd.resolve("terminfo")))
+        spark.read.parquet(s"$sd/terminfo")
+          .filter(col("term").isin(queryTerms: _*))
+      else spark.read.parquet(s"$sd/postings")
+        .filter(col("term").isin(queryTerms: _*))
+        .join(spark.read.parquet(s"$sd/doclen"), "_rowid")
+        .groupBy("term").agg(max("tf").as("max_tf"), min("len").as("min_len"))
+    }.reduce(_ unionByName _)
+      .groupBy("term")
+      .agg(max("max_tf").as("max_tf"), min("min_len").as("min_len"))
+    val dfRows = ctx.post.groupBy("term")
+      .agg(countDistinct("_rowid").cast("double").as("df"))
+      .join(terminfo, "term")
+      .crossJoin(broadcast(ctx.stats))
+      .collect()
+    if (dfRows.length < 2) return exhaustive // nothing to prune against
+    val ubByTerm = dfRows.map { r =>
+      val df = r.getAs[Double]("df")
+      val nDocs = r.getAs[Double]("n_docs")
+      val avglen = r.getAs[Double]("avglen")
+      val maxTf = r.getAs[Long]("max_tf").toDouble
+      val minLen = r.getAs[Double]("min_len")
+      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      val tfn = maxTf * (Fts.K1 + 1.0) /
+        (maxTf + Fts.K1 * (1.0 - Fts.B + Fts.B * minLen / avglen))
+      r.getAs[String]("term") -> idf * tfn
+    }.toMap
+    val topTerm = ubByTerm.maxBy { case (t, ub) => (ub, t) }._1
+    val restUb = ubByTerm.collect {
+      case (t, ub) if t != topTerm => ub }.sum
+
+    // phase 1: exact scores for docs containing the top-impact term
+    val candidates = ctx.post.filter(col("term") === topTerm)
+      .select("_rowid").distinct()
+    val candScores = scoreDocs(ctx,
+      ctx.post.join(candidates, "_rowid"))
+    // floor = k-th best LIVE candidate score (deleted rows must not
+    // inflate the floor past live docs the exact path would return)
+    val liveIds = ds.scanner().withRowId.build()
+      .select(col(LakeDataset.RowIdCol).as("_rowid"))
+    val liveTop = candScores.join(liveIds, "_rowid")
+      .orderBy(col("score").desc, col("_rowid"))
+      .limit(k).collect()
+    if (liveTop.length < k) return exhaustive
+    val floor = liveTop.last.getAs[Double]("score")
+    // strict margin of one score-rounding ulp: `score` is round(Σs, 4), so
+    // a pruned doc's rounded score can sit up to 5e-5 above its true score
+    if (restUb >= floor - 1e-4) return exhaustive
+
+    // pruned: every non-candidate doc scores ≤ restUb < floor
+    (topK(ds, candScores, k),
+      FtsPruneStats(candidates.count(), matching))
   }
 }

@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -35,6 +35,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var root: String = _
+  private var io: LakeIO = _
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -42,13 +43,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name: set spark.sql.catalog.$name.root"))
-    Files.createDirectories(Paths.get(root))
+    io = LakeIO.forRoot(root)
+    io.mkdirs(new Path(root))
   }
 
   override def name(): String = catalogName
 
   private def dirOf(ident: Identifier) =
-    Paths.get(root, ident.namespace().toSeq :+ ident.name(): _*)
+    (ident.namespace().toSeq :+ ident.name())
+      .foldLeft(new Path(root))(_ resolve _)
 
   /** Maintenance procedures under the `system` namespace:
     * `CALL <cat>.system.optimize_zorder/compact/vacuum(...)`. */
@@ -58,7 +61,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"procedures live in the system namespace, got $ident")
     LakeProcedures.load(ident.name().toLowerCase,
-      parts => Paths.get(root, parts: _*).toString)
+      parts => parts.foldLeft(new Path(root))(_ resolve _).toString)
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -67,11 +70,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     else Array.empty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get(root, namespace.toSeq: _*)
-    if (!Files.exists(dir)) return Array.empty
-    Files.list(dir).iterator().asScala
-      .filter(p => LakeDataset.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    val dir = namespace.foldLeft(new Path(root))(_ resolve _)
+    if (!io.exists(dir)) return Array.empty
+    io.listNames(dir)
+      .filter(n => LakeDataset.exists(dir.resolve(n).toString))
+      .map(n => Identifier.of(namespace, n))
       .toArray
   }
 
@@ -108,7 +111,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (LakeDataset.exists(dir.toString))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    Files.createDirectories(dir.getParent)
+    io.mkdirs(dir.getParent)
     val ds = LakeDataset.create(SparkSession.active, dir.toString, schema)
     // persist engine-relevant TBLPROPERTIES (`write.*`, e.g. write.dml.mode);
     // Spark-internal keys (provider/owner/...) stay out of the manifest
@@ -150,9 +153,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!LakeDataset.exists(dir.toString)) return false
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    true
+    io.deleteRecursive(dir)
   }
 
   override def renameTable(oldIdent: Identifier,
@@ -160,25 +161,28 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val from = dirOf(oldIdent)
     val to = dirOf(newIdent)
     require(LakeDataset.exists(from.toString), s"no table $oldIdent")
-    require(!Files.exists(to), s"table $newIdent exists")
-    Files.createDirectories(to.getParent)
-    Files.move(from, to)
+    require(!io.exists(to), s"table $newIdent exists")
+    io.mkdirs(to.getParent)
+    io.move(from, to)
   }
 
   // ---- namespaces (directories) ----
 
-  override def listNamespaces(): Array[Array[String]] =
-    Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !LakeDataset.exists(p.toString))
-      .map(p => Array(p.getFileName.toString))
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    io.listNames(r)
+      .filter(n => io.isDirectory(r.resolve(n)) &&
+        !LakeDataset.exists(r.resolve(n).toString))
+      .map(n => Array(n))
       .toArray
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] = {
-    if (!Files.isDirectory(Paths.get(root, namespace.toSeq: _*)))
+    if (!io.isDirectory(namespace.foldLeft(new Path(root))(_ resolve _)))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(namespace.toSeq)
     java.util.Collections.emptyMap()
@@ -186,7 +190,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit =
-    Files.createDirectories(Paths.get(root, namespace.toSeq: _*))
+    io.mkdirs(namespace.foldLeft(new Path(root))(_ resolve _))
 
   override def alterNamespace(namespace: Array[String],
       changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
@@ -194,11 +198,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
-    val dir = Paths.get(root, namespace.toSeq: _*)
-    if (!Files.exists(dir)) return false
-    if (!cascade && Files.list(dir).iterator().hasNext) return false
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    true
+    val dir = namespace.foldLeft(new Path(root))(_ resolve _)
+    if (!io.exists(dir)) return false
+    if (!cascade && io.listNames(dir).nonEmpty) return false
+    io.deleteRecursive(dir)
   }
 }

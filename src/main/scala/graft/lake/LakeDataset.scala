@@ -1,9 +1,10 @@
 package graft.lake
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression => CExpr, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
@@ -17,27 +18,19 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
 /** Pluggable atomic version publish (reference commit.go's handler family:
   * LocalRenameCommitHandler for POSIX, conditional PUT for S3). Contract:
   * exactly one concurrent publisher of a given target wins; losers throw
-  * [[CommitConflictException]] and MUST NOT leave partial state. */
+  * [[CommitConflictException]] and MUST NOT leave partial state. The
+  * default handler delegates to the dataset's [[LakeIO]] (hard-link on
+  * local roots, rename-if-absent through Hadoop-FS on scheme'd ones). */
 trait CommitHandler {
-  def publish(target: java.nio.file.Path, content: String): Unit
+  def publish(target: Path, content: String): Unit
 }
 
 /** Local-FS handler: write-to-temp + hard-link (link creation is atomic
   * and fails if the target exists — the rename-commit idiom). On an object
   * store this becomes a conditional PUT (If-None-Match: *). */
 object HardLinkCommitHandler extends CommitHandler {
-  def publish(target: java.nio.file.Path, content: String): Unit = {
-    val tmp = target.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.writeString(tmp, content)
-    try java.nio.file.Files.createLink(target, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.delete(tmp)
-        throw new CommitConflictException(
-          s"${target.getFileName} was committed concurrently")
-    }
-    java.nio.file.Files.delete(tmp)
-  }
+  def publish(target: Path, content: String): Unit =
+    NioLakeIO.publishAtomic(target, content)
 }
 
 /** Versioned, copy-on-write dataset over parquet fragments + JSON manifests:
@@ -67,7 +60,14 @@ final class LakeDataset private (
 
   import LakeDataset._
 
-  private var commitHandler: CommitHandler = HardLinkCommitHandler
+  /** All metadata/sidecar IO for this dataset (picked by root scheme). */
+  private[lake] val io: LakeIO =
+    LakeIO.forRoot(root, spark.sparkContext.hadoopConfiguration)
+
+  private var commitHandler: CommitHandler = new CommitHandler {
+    def publish(target: Path, content: String): Unit =
+      io.publishAtomic(target, content)
+  }
 
   /** Swap the commit backend (reference WithCommitHandler) — e.g. an
     * object-store conditional-PUT handler, or a fault-injecting wrapper in
@@ -100,11 +100,10 @@ final class LakeDataset private (
     new LakeDataset(spark, root, loadVersion(rootPath, v))
 
   def versions: Seq[Long] =
-    Files.list(manifestsDir).iterator().asScala
-      .map(_.getFileName.toString)
+    io.listNames(manifestsDir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong)
-      .toSeq.sorted
+      .sorted
 
   /** Commit log across all retained versions (Delta DESCRIBE HISTORY
     * shape): version, operation, parent, fragment/row counts, timestamp. */
@@ -354,20 +353,19 @@ final class LakeDataset private (
     * driver-side stat calls over manifest entries, no data read. */
   private[lake] def fragmentsSize(frags: Seq[Fragment]): Long =
     frags.map(f =>
-      try Files.size(rootPath.resolve(f.file)) catch {
-        case _: java.io.IOException => 0L
+      try io.size(rootPath.resolve(f.file)) catch {
+        case _: Exception => 0L
       }).sum
 
   /** Names of persisted secondary indexes (FTS/vector) under `_indexes/`
     * (reference ListVectorIndexes, generalized). */
   def listIndexes(): Seq[String] = {
     val dir = rootPath.resolve("_indexes")
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
+    if (!io.exists(dir)) Nil
+    else io.listNames(dir)
+      .filter(n => io.isDirectory(dir.resolve(n)))
       .filterNot(_ == "bloom") // bloom sidecars are manifest-managed
-      .toSeq.sorted
+      .sorted
   }
 
   /** Drop a persisted secondary index by name (reference DropVectorIndex). */
@@ -375,10 +373,7 @@ final class LakeDataset private (
     require(name != "bloom", "bloom index is manifest-managed; " +
       "drop via schema ops or rebuild with enableBloomIndex")
     val dir = rootPath.resolve("_indexes").resolve(name)
-    if (!Files.exists(dir)) return false
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    true
+    io.deleteRecursive(dir)
   }
 
   // --------------------------------------------------------------- writes
@@ -500,8 +495,8 @@ final class LakeDataset private (
   private def detachedDir: Path = rootPath.resolve("_detached")
 
   private def persistDetached(t: DetachedTxn): String = {
-    Files.createDirectories(detachedDir)
-    Files.writeString(detachedDir.resolve(s"${t.id}.json"),
+    io.mkdirs(detachedDir)
+    io.writeString(detachedDir.resolve(s"${t.id}.json"),
       DetachedTxn.toJson(t))
     t.id
   }
@@ -546,16 +541,16 @@ final class LakeDataset private (
 
   /** Pending detached transactions (reference ListDetached). */
   def listDetached(): Seq[DetachedTxn] = {
-    if (!Files.exists(detachedDir)) return Nil
-    Files.list(detachedDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map(p => DetachedTxn.fromJson(Files.readString(p)))
-      .toSeq.sortBy(_.createdMs)
+    if (!io.exists(detachedDir)) return Nil
+    io.listNames(detachedDir)
+      .filter(_.endsWith(".json"))
+      .map(n => DetachedTxn.fromJson(io.readString(detachedDir.resolve(n))))
+      .sortBy(_.createdMs)
   }
 
   /** "pending" | "unknown" (reference GetDetachedStatus). */
   def detachedStatus(id: String): String =
-    if (Files.exists(detachedDir.resolve(s"$id.json"))) "pending"
+    if (io.exists(detachedDir.resolve(s"$id.json"))) "pending"
     else "unknown"
 
   /** Phase 2: commit a persisted detached txn through the same matrix-
@@ -564,8 +559,8 @@ final class LakeDataset private (
     * deleted rows / new row count for overwrite). */
   def commitDetached(id: String): Long = {
     val p = detachedDir.resolve(s"$id.json")
-    require(Files.exists(p), s"no detached txn $id")
-    val t = DetachedTxn.fromJson(Files.readString(p))
+    require(io.exists(p), s"no detached txn $id")
+    val t = DetachedTxn.fromJson(io.readString(p))
     val affected: Long = t.op match {
       case "append" =>
         commitStaged(StagedAppend(t.fragments, t.baseRowId, t.maxRowId))
@@ -601,7 +596,7 @@ final class LakeDataset private (
       case other =>
         throw new IllegalStateException(s"unknown detached op '$other'")
     }
-    Files.deleteIfExists(p)
+    io.delete(p)
     affected
   }
 
@@ -610,7 +605,7 @@ final class LakeDataset private (
     * reaped by [[vacuum]]. Returns false when no such txn exists (already
     * committed, cleaned, or never created). */
   def deleteDetached(id: String): Boolean =
-    Files.deleteIfExists(detachedDir.resolve(s"$id.json"))
+    io.delete(detachedDir.resolve(s"$id.json"))
 
   /** Drop intent records older than `olderThanMs`; their staged files
     * become unreferenced and are reaped by [[vacuum]] (reference
@@ -619,7 +614,7 @@ final class LakeDataset private (
     val cutoff = System.currentTimeMillis() - olderThanMs
     listDetached().count { t =>
       t.createdMs <= cutoff &&
-        Files.deleteIfExists(detachedDir.resolve(s"${t.id}.json"))
+        io.delete(detachedDir.resolve(s"${t.id}.json"))
     }
   }
 
@@ -1026,15 +1021,15 @@ final class LakeDataset private (
     * from the clone; like Delta shallow clones, vacuuming the SOURCE can
     * break clones that still reference its files. */
   def shallowClone(targetPath: String): LakeDataset = {
-    val target = Paths.get(targetPath)
+    val tio = LakeIO.forRoot(targetPath, spark.sparkContext.hadoopConfiguration)
+    val target = new Path(targetPath)
     val manifests = target.resolve("_manifests")
-    require(!Files.exists(manifests) ||
-      !Files.list(manifests).iterator().hasNext,
+    require(!tio.exists(manifests) || tio.listNames(manifests).isEmpty,
       s"dataset exists at $targetPath")
-    Files.createDirectories(manifests)
-    Files.createDirectories(target.resolve("data"))
-    Files.createDirectories(target.resolve("_refs").resolve("tags"))
-    val abs = rootPath.toAbsolutePath
+    tio.mkdirs(manifests)
+    tio.mkdirs(target.resolve("data"))
+    tio.mkdirs(target.resolve("_refs").resolve("tags"))
+    val abs = io.absolute(rootPath)
     val frags = m.fragments.map(f => f.copy(
       file = abs.resolve(f.file).toString,
       blooms = f.blooms.map { case (k, v) => k -> abs.resolve(v).toString }))
@@ -1049,35 +1044,32 @@ final class LakeDataset private (
       createdMs = System.currentTimeMillis(),
       operation = s"shallow_clone($root@${m.version})",
       touchedFragmentIds = Nil)
-    Files.writeString(
+    tio.writeString(
       manifests.resolve(Manifest.versionFileName(1)), Manifest.toJson(cm))
     new LakeDataset(spark, targetPath, cm)
   }
 
   def createTag(name: String, v: Long = version): Unit = {
     require(versions.contains(v), s"no version $v")
-    val tmp = tagsDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, s"""{"version": $v}""")
-    val target = tagsDir.resolve(s"$name.json")
-    try Files.createLink(target, tmp)
+    try io.publishAtomic(tagsDir.resolve(s"$name.json"),
+      s"""{"version": $v}""")
     catch {
-      case _: FileAlreadyExistsException =>
-        Files.delete(tmp)
+      case _: CommitConflictException =>
         throw new CommitConflictException(s"tag $name exists")
     }
-    Files.delete(tmp)
   }
 
   def deleteTag(name: String): Unit =
-    Files.deleteIfExists(tagsDir.resolve(s"$name.json"))
+    io.delete(tagsDir.resolve(s"$name.json")): Unit
 
   def tags: Map[String, Long] =
-    Files.list(tagsDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map { p =>
-        val n = p.getFileName.toString.dropRight(5)
+    io.listNames(tagsDir)
+      .filter(_.endsWith(".json"))
+      .map { fn =>
+        val n = fn.dropRight(5)
         val v = """"version"\s*:\s*(\d+)""".r
-          .findFirstMatchIn(Files.readString(p)).get.group(1).toLong
+          .findFirstMatchIn(io.readString(tagsDir.resolve(fn))).get
+          .group(1).toLong
         n -> v
       }.toMap
 
@@ -1126,7 +1118,7 @@ final class LakeDataset private (
       frags: Seq[Fragment]): Map[Long, Map[String, String]] = {
     if (man.bloomFields.isEmpty || frags.isEmpty) return Map.empty
     graft.functions.GraftFunctions.register(spark)
-    Files.createDirectories(bloomDir)
+    io.mkdirs(bloomDir)
     val phys = physicalSchema(man)
     val aggCols = man.bloomFields.map { fid =>
       call_function("bloom_agg", xxhash64(col(physName(fid))),
@@ -1142,7 +1134,7 @@ final class LakeDataset private (
         f.id -> man.bloomFields.map { fid =>
           val bytes = r.getAs[Array[Byte]](s"_bloom_$fid")
           val name = s"bloom-${f.id}-f$fid-${UUID.randomUUID()}.bin"
-          Files.write(bloomDir.resolve(name), bytes)
+          io.writeBytes(bloomDir.resolve(name), bytes)
           fid.toString -> s"_indexes/bloom/$name"
         }.toMap
       }
@@ -1163,15 +1155,14 @@ final class LakeDataset private (
     if (candidates.isEmpty) return 0L
     val dvName = s"_deletes/dv-${UUID.randomUUID()}.parquet"
     val dvPath = rootPath.resolve(dvName)
-    Files.createDirectories(dvPath.getParent)
+    io.mkdirs(dvPath.getParent)
     readFragments(m, candidates, withRowId = true)
       .filter(coalesce(pred, lit(false)))
       .select(col(RowIdCol))
       .write.option("compression", "zstd").parquet(dvPath.toString)
     val n = spark.read.parquet(dvPath.toString).count()
     if (n == 0) {
-      Files.walk(dvPath).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      io.deleteRecursive(dvPath)
       return 0L
     }
     // Record the pruned candidates as this commit's touched fragments so
@@ -1466,58 +1457,52 @@ final class LakeDataset private (
         listDetached().flatMap(_.fragments.map(f => fileName(f.file)))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     def oldEnough(p: Path): Boolean =
-      try Files.getLastModifiedTime(p).toMillis <= cutoff
-      catch { case _: java.io.IOException => false }
+      try io.lastModifiedMs(p) <= cutoff
+      catch { case _: Exception => false }
     var deleted = 0
     // drop unreferenced data files older than the grace window
-    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
-      val n = p.getFileName.toString
+    io.listNames(dataDir).foreach { n =>
+      val p = dataDir.resolve(n)
       val isFrag = n.startsWith("frag-") && n.endsWith(".parquet")
       if (((isFrag && !referenced(n)) || n.startsWith("stage-")) && oldEnough(p)) {
-        if (Files.isDirectory(p)) {
-          Files.list(p).iterator().asScala.foreach(Files.deleteIfExists(_))
-          Files.deleteIfExists(p)
-        } else Files.deleteIfExists(p)
+        io.deleteRecursive(p)
         deleted += 1
       }
     }
     // drop unreferenced deletion-vector files older than the grace window
     val dvRoot = rootPath.resolve("_deletes")
-    if (Files.exists(dvRoot)) {
+    if (io.exists(dvRoot)) {
       val refDv = keptManifests.flatMap(_.deletionFiles)
         .map(fileName).toSet
-      Files.list(dvRoot).iterator().asScala.toSeq.foreach { p =>
-        val n = p.getFileName.toString
+      io.listNames(dvRoot).foreach { n =>
+        val p = dvRoot.resolve(n)
         if (!refDv(n) && oldEnough(p)) {
-          if (Files.isDirectory(p)) {
-            Files.list(p).iterator().asScala.foreach(Files.deleteIfExists(_))
-            Files.deleteIfExists(p)
-          } else Files.deleteIfExists(p)
+          io.deleteRecursive(p)
           deleted += 1
         }
       }
     }
     // drop unreferenced bloom sidecars older than the grace window
-    if (Files.exists(bloomDir)) {
+    if (io.exists(bloomDir)) {
       val refBlooms = keptManifests
         .flatMap(_.fragments.flatMap(_.blooms.values)).map(fileName).toSet
-      Files.list(bloomDir).iterator().asScala.toSeq.foreach { p =>
-        val n = p.getFileName.toString
+      io.listNames(bloomDir).foreach { n =>
+        val p = bloomDir.resolve(n)
         if (!refBlooms(n) && oldEnough(p)) {
-          Files.deleteIfExists(p); deleted += 1
+          io.delete(p); deleted += 1
         }
       }
     }
     // drop unretained manifests
     all.filterNot(keep).foreach { v =>
-      Files.deleteIfExists(manifestsDir.resolve(Manifest.versionFileName(v)))
+      io.delete(manifestsDir.resolve(Manifest.versionFileName(v)))
     }
     deleted
   }
 
   // ------------------------------------------------------------- internals
 
-  private def rootPath: Path = Paths.get(root)
+  private def rootPath: Path = new Path(root)
   private[lake] def rootAbs: Path = rootPath
   private def manifestsDir: Path = rootPath.resolve("_manifests")
   private def tagsDir: Path = rootPath.resolve("_refs").resolve("tags")
@@ -1532,7 +1517,7 @@ final class LakeDataset private (
   private def loadBloom(rel: String): graft.functions.BloomFilter =
     bloomCache.computeIfAbsent(rel, r =>
       graft.functions.BloomFilter.deserialize(
-        Files.readAllBytes(rootPath.resolve(r))))
+        io.readBytes(rootPath.resolve(r))))
 
   /** Commit a copy-on-write rewrite (delete/update/compact/merge): replace
     * `touchedIds` with `newFrags`. On a concurrent-commit conflict, every
@@ -1961,11 +1946,10 @@ final class LakeDataset private (
       .option("compression", "zstd")
       .option("maxRecordsPerFile", 1 << 20)
       .parquet(stage.toString)
-    val parts = Files.list(stage).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.toSeq.sortBy(_.getFileName.toString)
+    val parts = io.listNames(stage)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+      .map(stage.resolve)
     adoptStagedFiles(parts, man, Some(stage))
   }
 
@@ -1979,19 +1963,16 @@ final class LakeDataset private (
       cleanupDir: Option[Path] = None): (Seq[Fragment], Long) = {
     val moved = parts.zipWithIndex.map { case (p, i) =>
       val name = s"frag-${UUID.randomUUID()}-$i.parquet"
-      Files.move(p, dataDir.resolve(name))
+      io.move(p, dataDir.resolve(name))
       name
     }
-    cleanupDir.foreach { stage =>
-      Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(stage)
-    }
+    cleanupDir.foreach(stage => io.deleteRecursive(stage))
     if (moved.isEmpty) return (Nil, man.nextRowId - 1)
 
     val phys = physicalSchema(man)
     if (man.bloomFields.nonEmpty) {
       graft.functions.GraftFunctions.register(spark)
-      Files.createDirectories(bloomDir)
+      io.mkdirs(bloomDir)
     }
     val bloomAggs = man.bloomFields.map { fid =>
       call_function("bloom_agg", xxhash64(col(physName(fid))),
@@ -2035,7 +2016,7 @@ final class LakeDataset private (
         }.toMap
         val blooms = man.bloomFields.map { fid =>
           val sidecar = s"bloom-$fragId-f$fid-${UUID.randomUUID()}.bin"
-          Files.write(bloomDir.resolve(sidecar),
+          io.writeBytes(bloomDir.resolve(sidecar),
             r.getAs[Array[Byte]](s"_bloom_$fid"))
           fid.toString -> s"_indexes/bloom/$sidecar"
         }.toMap
@@ -2210,49 +2191,51 @@ object LakeDataset {
 
   /** Create a new dataset at `path` (fails if one exists). */
   def create(spark: SparkSession, path: String, schema: StructType): LakeDataset = {
-    val root = Paths.get(path)
+    val io = LakeIO.forRoot(path, spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
     val manifests = root.resolve("_manifests")
-    require(!Files.exists(manifests) ||
-      !Files.list(manifests).iterator().hasNext, s"dataset exists at $path")
-    Files.createDirectories(manifests)
-    Files.createDirectories(root.resolve("data"))
-    Files.createDirectories(root.resolve("_refs").resolve("tags"))
+    require(!io.exists(manifests) || io.listNames(manifests).isEmpty,
+      s"dataset exists at $path")
+    io.mkdirs(manifests)
+    io.mkdirs(root.resolve("data"))
+    io.mkdirs(root.resolve("_refs").resolve("tags"))
     val fields = schema.fields.zipWithIndex.map { case (sf, i) =>
       FieldDef(i + 1, sf.name, sf.dataType.json, sf.nullable)
     }.toSeq
     val m = Manifest(1, fields, fields.size, Nil, 0, 0, None,
       System.currentTimeMillis(), "create")
-    Files.writeString(
+    io.writeString(
       manifests.resolve(Manifest.versionFileName(1)), Manifest.toJson(m))
     new LakeDataset(spark, path, m)
   }
 
   /** True iff a dataset (≥1 committed manifest) exists at `path`. */
   def exists(path: String): Boolean = {
-    val dir = Paths.get(path).resolve("_manifests")
-    Files.exists(dir) && Files.list(dir).iterator().asScala
-      .exists(_.getFileName.toString.endsWith(".json"))
+    val io = LakeIO.forRoot(path)
+    val dir = new Path(path).resolve("_manifests")
+    io.exists(dir) && io.listNames(dir).exists(_.endsWith(".json"))
   }
 
   /** Open the latest version of an existing dataset. */
   def open(spark: SparkSession, path: String): LakeDataset =
-    new LakeDataset(spark, path, loadLatest(Paths.get(path)))
+    new LakeDataset(spark, path, loadLatest(new Path(path)))
 
   private[lake] def loadLatest(root: Path): Manifest = {
+    val io = LakeIO.forRoot(root.toString)
     val dir = root.resolve("_manifests")
-    require(Files.exists(dir), s"no dataset at $root")
-    val latest = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    require(io.exists(dir), s"no dataset at $root")
+    val latest = io.listNames(dir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .maxByOption(identity)
+      .maxOption
       .getOrElse(throw new IllegalArgumentException(s"no manifests in $dir"))
-    Manifest.fromJson(Files.readString(dir.resolve(latest)))
+    Manifest.fromJson(io.readString(dir.resolve(latest)))
   }
 
   private[lake] def loadVersion(root: Path, v: Long): Manifest = {
+    val io = LakeIO.forRoot(root.toString)
     val p = root.resolve("_manifests").resolve(Manifest.versionFileName(v))
-    require(Files.exists(p), s"no version $v")
-    Manifest.fromJson(Files.readString(p))
+    require(io.exists(p), s"no version $v")
+    Manifest.fromJson(io.readString(p))
   }
 }
 
@@ -2281,7 +2264,7 @@ final case class Scanner(
 
   def build(): DataFrame = {
     val man = version
-      .map(v => LakeDataset.loadVersion(java.nio.file.Paths.get(ds.root), v))
+      .map(v => LakeDataset.loadVersion(new Path(ds.root), v))
       .getOrElse(ds.manifest)
     val frags = filter.map(f => ds.pruneFragments(man, f))
       .getOrElse(man.fragments)

@@ -1,0 +1,190 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Filesystem seam for ALL lake metadata and sidecar IO — manifests,
+  * deletion vectors, bloom sidecars, detached transactions, tags, index
+  * segments, staged-fragment moves. Fragment DATA always reads/writes
+  * through Spark's own Hadoop-FS integration; this trait covers the
+  * driver-side file operations around it, so a dataset root can live on
+  * any `org.apache.hadoop.fs.FileSystem` scheme (file://, hdfs://, s3a://)
+  * — the portability the reference gets from its store family
+  * (storage2/store_factory.go, s3_store.go, gs_store.go, az_store.go).
+  *
+  * Two implementations:
+  *  - [[NioLakeIO]] for plain local paths (no scheme): java.nio, hard-link
+  *    atomic publish — byte-for-byte the pre-seam behavior.
+  *  - [[HadoopLakeIO]] for scheme'd roots: `FileSystem` API throughout.
+  *
+  * All paths are absolute; relative manifest entries resolve against the
+  * dataset root before reaching this layer. */
+trait LakeIO {
+  def readString(p: Path): String
+  def readBytes(p: Path): Array[Byte]
+  /** Plain overwrite write (create-path metadata, staging — NOT commits). */
+  def writeString(p: Path, s: String): Unit
+  def writeBytes(p: Path, b: Array[Byte]): Unit
+  def exists(p: Path): Boolean
+  def isDirectory(p: Path): Boolean
+  /** Basenames of the direct children of `dir` (not recursive). */
+  def listNames(dir: Path): Seq[String]
+  def mkdirs(p: Path): Unit
+  /** Delete a file or empty directory; false if absent. Idempotent. */
+  def delete(p: Path): Boolean
+  /** Recursive delete; false if absent. */
+  def deleteRecursive(p: Path): Boolean
+  def size(p: Path): Long
+  def lastModifiedMs(p: Path): Long
+  /** Move a file (same filesystem). */
+  def move(from: Path, to: Path): Unit
+  /** Fully-qualified absolute form of `p` (for cross-root references). */
+  def absolute(p: Path): Path
+
+  /** Atomic create-if-absent publish: exactly one concurrent publisher of
+    * `target` wins; losers throw [[CommitConflictException]] and leave no
+    * partial state. The commit primitive (reference commit.go handler
+    * family: POSIX link/rename locally, conditional PUT on S3). */
+  def publishAtomic(target: Path, content: String): Unit
+}
+
+object LakeIO {
+  /** Pick the implementation from the root's scheme: URIs go through
+    * Hadoop-FS, bare paths keep the java.nio fast path. */
+  def forRoot(root: String, conf: Configuration = new Configuration())
+      : LakeIO =
+    if (root.contains("://")) new HadoopLakeIO(conf) else NioLakeIO
+
+  private[lake] def toNio(p: Path): java.nio.file.Path = {
+    val uri = p.toUri
+    if (uri.getScheme == null) Paths.get(uri.getPath)
+    else {
+      require(uri.getScheme == "file",
+        s"nio IO cannot reach scheme ${uri.getScheme} ($p)")
+      Paths.get(uri.getPath)
+    }
+  }
+}
+
+/** java.nio implementation for local roots (scheme-less or file://). */
+object NioLakeIO extends LakeIO {
+  import LakeIO.toNio
+
+  def readString(p: Path): String = Files.readString(toNio(p))
+  def readBytes(p: Path): Array[Byte] = Files.readAllBytes(toNio(p))
+  def writeString(p: Path, s: String): Unit =
+    Files.writeString(toNio(p), s): Unit
+  def writeBytes(p: Path, b: Array[Byte]): Unit =
+    Files.write(toNio(p), b): Unit
+  def exists(p: Path): Boolean = Files.exists(toNio(p))
+  def isDirectory(p: Path): Boolean = Files.isDirectory(toNio(p))
+  def listNames(dir: Path): Seq[String] =
+    Files.list(toNio(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+  def mkdirs(p: Path): Unit = Files.createDirectories(toNio(p)): Unit
+  def delete(p: Path): Boolean = Files.deleteIfExists(toNio(p))
+  def deleteRecursive(p: Path): Boolean = {
+    val n = toNio(p)
+    if (!Files.exists(n)) return false
+    Files.walk(n).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => Files.deleteIfExists(x))
+    true
+  }
+  def size(p: Path): Long = Files.size(toNio(p))
+  def lastModifiedMs(p: Path): Long =
+    Files.getLastModifiedTime(toNio(p)).toMillis
+  def move(from: Path, to: Path): Unit =
+    Files.move(toNio(from), toNio(to)): Unit
+  def absolute(p: Path): Path = new Path(toNio(p).toAbsolutePath.toString)
+
+  /** Hard-link publish: link creation is atomic and fails if the target
+    * exists — the POSIX rename-commit idiom. */
+  def publishAtomic(target: Path, content: String): Unit = {
+    val t = toNio(target)
+    val tmp = t.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try Files.createLink(t, tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new CommitConflictException(
+          s"${t.getFileName} was committed concurrently")
+    }
+    Files.delete(tmp)
+  }
+}
+
+/** Hadoop-FS implementation for scheme'd roots. FileSystem instances are
+  * private (`newInstance`, cached per scheme+authority) so disabling write
+  * checksums here never mutates the JVM-wide cached instances Spark uses. */
+final class HadoopLakeIO(conf: Configuration) extends LakeIO {
+
+  private val fss =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
+  private def fs(p: Path): FileSystem = {
+    val uri = p.toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    fss.computeIfAbsent(key, _ => {
+      val f = FileSystem.newInstance(uri, conf)
+      f.setWriteChecksum(false)
+      f.setVerifyChecksum(false)
+      f
+    })
+  }
+
+  def readString(p: Path): String =
+    new String(readBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+  def readBytes(p: Path): Array[Byte] = {
+    val in = fs(p).open(p)
+    try in.readAllBytes() finally in.close()
+  }
+  def writeString(p: Path, s: String): Unit =
+    writeBytes(p, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def writeBytes(p: Path, b: Array[Byte]): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(b) finally out.close()
+  }
+  def exists(p: Path): Boolean = fs(p).exists(p)
+  def isDirectory(p: Path): Boolean =
+    exists(p) && fs(p).getFileStatus(p).isDirectory
+  def listNames(dir: Path): Seq[String] =
+    fs(dir).listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")) // checksum/hidden sidecars
+  def mkdirs(p: Path): Unit = fs(p).mkdirs(p): Unit
+  def delete(p: Path): Boolean = fs(p).delete(p, false)
+  def deleteRecursive(p: Path): Boolean = fs(p).delete(p, true)
+  def size(p: Path): Long = fs(p).getFileStatus(p).getLen
+  def lastModifiedMs(p: Path): Long =
+    fs(p).getFileStatus(p).getModificationTime
+  def move(from: Path, to: Path): Unit = {
+    if (!fs(from).rename(from, to))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+  def absolute(p: Path): Path = fs(p).makeQualified(p)
+
+  /** Local scheme keeps the truly-atomic hard-link; everything else uses
+    * write-temp + rename-if-absent (the reference's s3_commit.go analogue:
+    * on a store with conditional PUT, this maps to If-None-Match). */
+  def publishAtomic(target: Path, content: String): Unit = {
+    val f = fs(target)
+    if (f.getScheme == "file") NioLakeIO.publishAtomic(target, content)
+    else {
+      val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
+      writeString(tmp, content)
+      val won =
+        try !f.exists(target) && f.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+      if (!won) {
+        f.delete(tmp, false)
+        throw new CommitConflictException(
+          s"${target.getName} was committed concurrently")
+      }
+    }
+  }
+}

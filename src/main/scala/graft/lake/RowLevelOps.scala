@@ -1,11 +1,11 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
@@ -425,7 +425,7 @@ private[lake] final class LakeReplaceBatchWrite(op: LakeRowLevelOperation,
 
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(stage)
+    ds.io.mkdirs(stage)
     // input column index for each physical output column, by logical name;
     // -1 for a column absent from the write schema (written as NULL)
     val lower = writeSchema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
@@ -442,9 +442,9 @@ private[lake] final class LakeReplaceBatchWrite(op: LakeRowLevelOperation,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {
       case m: LakeReplaceCommitMessage => m.files
-    }.flatten.map(Paths.get(_)).toSeq
+    }.flatten.map(new Path(_)).toSeq
     val (frags, maxRid) =
-      ds.adoptStagedFiles(files.sortBy(_.getFileName.toString), man,
+      ds.adoptStagedFiles(files.sortBy(_.getName), man,
         cleanupDir = Some(stage))
     val (kind, opName) = op.command() match {
       case Command.UPDATE => (LakeDataset.OpKind.DeleteUpdate, "update")
@@ -460,10 +460,7 @@ private[lake] final class LakeReplaceBatchWrite(op: LakeRowLevelOperation,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    if (Files.exists(stage)) {
-      Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(stage)
-    }
+    ds.io.deleteRecursive(stage): Unit
 }
 
 private[lake] final case class LakeReplaceCommitMessage(files: Seq[String])
@@ -541,7 +538,9 @@ private[lake] final class LakeReplaceDataWriter(stageDir: String,
 
   override def abort(): Unit = {
     writer.close()
-    Files.deleteIfExists(Paths.get(file))
+    // executor-side: delete through the file's own Hadoop filesystem
+    val p = new Path(file)
+    p.getFileSystem(new Configuration()).delete(p, false): Unit
   }
 
   override def close(): Unit = ()
@@ -619,8 +618,8 @@ private[lake] final class LakeDeltaBatchWrite(op: LakeDeltaOperation,
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
-    Files.createDirectories(stage)
-    Files.createDirectories(deletesDir)
+    ds.io.mkdirs(stage)
+    ds.io.mkdirs(deletesDir)
     val lower = writeSchema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
     val fieldIdx = man.fields.map(f => lower.getOrElse(f.name.toLowerCase, -1))
     val fieldTypes = man.fields.map(f => DataType.fromJson(f.dataType))
@@ -633,14 +632,14 @@ private[lake] final class LakeDeltaBatchWrite(op: LakeDeltaOperation,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: LakeDeltaCommitMessage => m }
-    val insertFiles = msgs.flatMap(_.insertFiles).map(Paths.get(_)).toSeq
+    val insertFiles = msgs.flatMap(_.insertFiles).map(new Path(_)).toSeq
     val dvNames = msgs.flatMap(_.dvFile).toSeq
     val nDeleted = msgs.map(_.nDeleted).sum
     if (insertFiles.isEmpty && dvNames.isEmpty) {
       abort(messages); return
     }
     val (frags, maxRid) =
-      ds.adoptStagedFiles(insertFiles.sortBy(_.getFileName.toString), man,
+      ds.adoptStagedFiles(insertFiles.sortBy(_.getName), man,
         cleanupDir = Some(stage))
     val opName = op.command() match {
       case Command.DELETE => "delete_dv"
@@ -658,10 +657,9 @@ private[lake] final class LakeDeltaBatchWrite(op: LakeDeltaOperation,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case m: LakeDeltaCommitMessage => m }
       .flatMap(_.dvFile)
-      .foreach(n => Files.deleteIfExists(ds.rootAbs.resolve(n)))
-    if (Files.exists(stage)) {
-      Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(stage)
+      .foreach(n => ds.io.delete(ds.rootAbs.resolve(n)))
+    if (ds.io.exists(stage)) {
+      ds.io.deleteRecursive(stage)
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 import graft.functions.GraftFunctions
 import graft.pipeline.Ann
@@ -44,7 +44,8 @@ object VectorIndex {
   val BqRefine = 16
 
   private def indexDir(ds: LakeDataset, name: String, version: Long) =
-    Paths.get(ds.root, "_indexes", name, f"v$version%020d")
+    new HPath(ds.root).resolve("_indexes").resolve(name)
+      .resolve(f"v$version%020d")
 
   /** Build (train + assign + persist) at the dataset's current version.
     *
@@ -70,7 +71,7 @@ object VectorIndex {
     val e = data.select(col("_rowid").as("vec_id"), col("vec").as("embedding"))
     val (assign, centroids) = Ann.trainIvf(e)
     val dir = indexDir(ds, name, ds.version)
-    Files.createDirectories(dir)
+    ds.io.mkdirs(dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
 
     // quantize UNIT vectors in all three schemes: the search metric is
@@ -139,7 +140,7 @@ object VectorIndex {
     // builtVersion ignores — no half-built segment can brick the index.
     // The high-water marks make refresh independent of dataset manifests
     // (which vacuum may delete).
-    Files.writeString(dir.resolve("meta.json"),
+    ds.io.writeString(dir.resolve("meta.json"),
       s"""{"max_rowid": "${ds.manifest.nextRowId - 1}",""" +
         s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
   }
@@ -199,41 +200,39 @@ object VectorIndex {
 
   /** Newest built version ≤ the dataset's current version, if any. */
   def builtVersion(ds: LakeDataset, name: String): Option[Long] = {
-    val base = Paths.get(ds.root, "_indexes", name)
-    if (!Files.exists(base)) return None
-    import scala.jdk.CollectionConverters._
-    Files.list(base).iterator().asScala
-      .filter(d => Files.exists(d.resolve("meta.json"))) // commit marker
-      .map(_.getFileName.toString)
+    val base = new HPath(ds.root).resolve("_indexes").resolve(name)
+    if (!ds.io.exists(base)) return None
+    ds.io.listNames(base)
+      .filter(n => ds.io.exists(base.resolve(n).resolve("meta.json"))) // commit marker
       .filter(_.startsWith("v"))
       .map(_.drop(1).toLong)
       .filter(_ <= ds.version)
       .maxOption
   }
 
-  private def metaStrAt(dir: java.nio.file.Path,
+  private def metaStrAt(ds: LakeDataset, dir: HPath,
       field: String): Option[String] = {
     val meta = dir.resolve("meta.json")
-    if (!Files.exists(meta)) None
+    if (!ds.io.exists(meta)) None
     else (""""""" + field + """"\s*:\s*"([^"]+)"""").r
-      .findFirstMatchIn(Files.readString(meta))
+      .findFirstMatchIn(ds.io.readString(meta))
       .map(_.group(1))
   }
 
-  private def parentOf(dir: java.nio.file.Path): Option[Long] =
-    metaStrAt(dir, "parent").map(_.drop(1).toLong)
+  private def parentOf(ds: LakeDataset, dir: HPath): Option[Long] =
+    metaStrAt(ds, dir, "parent").map(_.drop(1).toLong)
 
   /** Segment chain newest→oldest; the OLDEST (base) segment holds the
     * trained centroids + quantizer parameters, every segment holds its own
     * delta assignments. */
   private def segmentDirs(ds: LakeDataset, name: String,
-      v: Long): Seq[java.nio.file.Path] = {
+      v: Long): Seq[HPath] = {
     var cur = Option(v)
-    val out = Seq.newBuilder[java.nio.file.Path]
+    val out = Seq.newBuilder[HPath]
     while (cur.isDefined) {
       val d = indexDir(ds, name, cur.get)
       out += d
-      cur = parentOf(d)
+      cur = parentOf(ds, d)
     }
     out.result()
   }
@@ -258,10 +257,10 @@ object VectorIndex {
     // must stay refreshable after them. (Manifest fallback for segments
     // built before the marks existed.)
     val v0dir = indexDir(ds, name, v0)
-    def legacyMan = LakeDataset.loadVersion(Paths.get(ds.root), v0)
-    val maxIndexed = metaStrAt(v0dir, "max_rowid").map(_.toLong)
+    def legacyMan = LakeDataset.loadVersion(new HPath(ds.root), v0)
+    val maxIndexed = metaStrAt(ds, v0dir, "max_rowid").map(_.toLong)
       .getOrElse(legacyMan.nextRowId - 1)
-    val newFrags = metaStrAt(v0dir, "max_fragment_id").map(_.toLong) match {
+    val newFrags = metaStrAt(ds, v0dir, "max_fragment_id").map(_.toLong) match {
       case Some(mf) => ds.manifest.fragments.filter(_.id > mf)
       case None =>
         val oldIds = legacyMan.fragments.map(_.id).toSet
@@ -288,7 +287,7 @@ object VectorIndex {
     def normalizedRows = rows
       .withColumn("embedding", normalized(col("embedding")))
     val withCodes =
-      if (Files.exists(base.resolve("codebooks"))) {
+      if (ds.io.exists(base.resolve("codebooks"))) {
         val cbRows = spark.read.parquet(s"$base/codebooks").collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
         val k = cbRows.map(_._2).max + 1
@@ -300,7 +299,7 @@ object VectorIndex {
           .select(col("cluster"), col("vec_id").as("_rowid"),
             call_function("pq_encode", col("embedding"),
               typedlit(flat.toSeq), lit(PqM), lit(k)).as("codes"))
-      } else if (Files.exists(base.resolve("sq"))) {
+      } else if (ds.io.exists(base.resolve("sq"))) {
         val row = spark.read.parquet(s"$base/sq").head()
         val mins = row.getSeq[Float](row.fieldIndex("mins"))
         val spans = row.getSeq[Float](row.fieldIndex("spans"))
@@ -308,7 +307,7 @@ object VectorIndex {
           .select(col("cluster"), col("vec_id").as("_rowid"),
             call_function("sq_encode", col("embedding"),
               typedlit(mins), typedlit(spans)).as("codes"))
-      } else if (Files.exists(base.resolve("bq"))) {
+      } else if (ds.io.exists(base.resolve("bq"))) {
         normalizedRows.join(assign, "vec_id")
           .select(col("cluster"), col("vec_id").as("_rowid"),
             call_function("bq_encode", col("embedding")).as("codes"))
@@ -316,13 +315,13 @@ object VectorIndex {
         assign.select(col("cluster"), col("vec_id").as("_rowid"))
       }
     val d = indexDir(ds, name, ds.version)
-    Files.createDirectories(d)
+    ds.io.mkdirs(d)
     withCodes
       .repartition(1).sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$d/assignments")
     // meta last = commit point (see build); a refresh that dies mid-write
     // leaves an ignored dir and the old chain stays searchable
-    Files.writeString(d.resolve("meta.json"),
+    ds.io.writeString(d.resolve("meta.json"),
       s"""{"parent": "v$v0",""" +
         s""" "max_rowid": "${ds.manifest.nextRowId - 1}",""" +
         s""" "max_fragment_id": "${ds.manifest.maxFragmentId}"}""")
@@ -359,14 +358,14 @@ object VectorIndex {
           .parquet(segs.map(sd => s"$sd/assignments"): _*)
           .join(broadcast(probed), Seq("cluster"))
         val assignments =
-          if (Files.exists(Paths.get(s"$dir/codebooks"))) {
+          if (ds.io.exists(dir.resolve("codebooks"))) {
             val lut = queryLut(spark, s"$dir/codebooks", query)
             probedAssign
               .withColumn("_adc",
                 call_function("pq_adc", col("codes"), typedlit(lut.toSeq)))
               .orderBy(col("_adc"), col("_rowid"))
               .limit(PqRefine * k)
-          } else if (Files.exists(Paths.get(s"$dir/sq"))) {
+          } else if (ds.io.exists(dir.resolve("sq"))) {
             val row = spark.read.parquet(s"$dir/sq").head()
             val mins = row.getSeq[Float](row.fieldIndex("mins"))
             val spans = row.getSeq[Float](row.fieldIndex("spans"))
@@ -377,7 +376,7 @@ object VectorIndex {
                   typedlit(mins), typedlit(spans)))
               .orderBy(col("_adc"), col("_rowid"))
               .limit(PqRefine * k)
-          } else if (Files.exists(Paths.get(s"$dir/bq"))) {
+          } else if (ds.io.exists(dir.resolve("bq"))) {
             val qcode = graft.functions.SqOps.bqEncode(
               org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
                 normalizeQuery(query)))

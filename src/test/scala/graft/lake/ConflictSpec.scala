@@ -175,7 +175,7 @@ class ConflictSpec extends SparkTestBase {
     // simulates an object store returning 412 on the first conditional PUT
     // even though the write would have succeeded (e.g. a retryable race)
     ds.withCommitHandler(new CommitHandler {
-      override def publish(target: java.nio.file.Path,
+      override def publish(target: org.apache.hadoop.fs.Path,
           content: String): Unit = {
         publishes += 1
         if (!injected) {

@@ -87,6 +87,41 @@ class FtsIndexSpec extends SparkTestBase {
     assert(indexed.toSeq == direct.toSeq)
   }
 
+  test("pruned search: identical top-k, strictly fewer scored docs") {
+    // Skewed corpus: 'common' appears in EVERY doc (low idf), 'rare' in 5
+    // (high idf). MaxScore pruning must skip the common-only docs entirely.
+    val dir = Files.createTempDirectory("ftswand-").toString
+    val ds = LakeDataset.create(spark, dir, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType))))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (0 until 200).foreach { i =>
+      val rare = if (i < 5) " rare" else ""
+      // varying lengths so scores aren't all ties
+      val pad = " pad" * (i % 7)
+      rows.add(org.apache.spark.sql.Row(i.toLong, s"common$rare$pad word$i"))
+    }
+    ds.append(spark.createDataFrame(rows, ds.schema).coalesce(2))
+    FtsIndex.build(ds, "text")
+
+    val terms = Seq("rare", "common")
+    val exact = FtsIndex.search(ds, terms, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val (prunedDf, stats) = FtsIndex.searchPruned(ds, terms, k = 3)
+    val pruned = prunedDf
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(pruned == exact, s"pruned=$pruned exact=$exact")
+    // only the 5 rare docs were scored, not the 200 matching docs
+    assert(stats.scoredDocs == 5 && stats.matchingDocs == 200, stats.toString)
+    assert(stats.prunedDocs == 195)
+
+    // uniform query (no skew): falls back to exhaustive, same result
+    val (uniformDf, uStats) = FtsIndex.searchPruned(ds, Seq("common"), k = 3)
+    assert(uStats.scoredDocs == uStats.matchingDocs)
+    assert(uniformDf.collect().map(_.getLong(0)).toSeq ==
+      FtsIndex.search(ds, Seq("common"), k = 3).collect().map(_.getLong(0)).toSeq)
+  }
+
   test("stageAppend is invisible until commitStaged (two-phase)") {
     val ds = makeDs()
     val before = ds.read().count()

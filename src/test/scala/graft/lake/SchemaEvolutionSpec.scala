@@ -162,7 +162,7 @@ class SchemaEvolutionSpec extends SparkTestBase {
     // attempt loses to a plain append committed through a second handle
     var raced = false
     writer.withCommitHandler(new CommitHandler {
-      override def publish(target: java.nio.file.Path,
+      override def publish(target: org.apache.hadoop.fs.Path,
           content: String): Unit = {
         if (!raced) {
           raced = true
