@@ -27,7 +27,13 @@ object Verify {
     // beside the dumps so a thrown query is distinguishable from an empty
     // result in the driver artifacts (round-4 VERDICT nit).
     val status = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subsetting (same contract as Bench): SPARK_GRAFT_ONLY=a,b,c
+    // dumps just those queries and trims oracle_sql.json to match, so
+    // compare.py on a filtered run checks exactly the filtered set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -50,7 +56,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val statusJson = status

@@ -64,9 +64,9 @@ object Ann {
       .filter(col("rn") <= TopK)
       .select(col("qid"), col("vec_id"), col("rn"), round(col("sim"), 4).as("sim"))
 
-  /** Exact cosine top-k for the first NumQueries vectors (self excluded). */
-  val brute = Q(
-    "ann_cosine_topk",
+  /** Brute-force cosine top-k SQL — the oracle for [[brute]] and (because
+    * an exhaustive probe ranks every vector) for [[ivfExhaustive]]. */
+  private val bruteOracle =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
        |           FROM embeddings WHERE vec_id < $NumQueries),
        |scored AS (SELECT q.qid, e.vec_id,
@@ -77,7 +77,10 @@ object Ann {
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, vec_id) AS rn
        |      FROM scored) t
-       |WHERE rn <= $TopK""".stripMargin) { (s, dir) =>
+       |WHERE rn <= $TopK""".stripMargin
+
+  /** Exact cosine top-k for the first NumQueries vectors (self excluded). */
+  val brute = Q("ann_cosine_topk", bruteOracle) { (s, dir) =>
     val e = emb(s, dir)
     val scored = e.crossJoin(broadcast(queries(e)))
       .filter(col("vec_id") =!= col("qid"))
@@ -173,9 +176,8 @@ object Ann {
     if (m != null) m.clear()
   }
 
-  /** IVF top-k: per query, rank only vectors in the NProbe nearest
-    * clusters. */
-  val ivf = Q.noOracle("ann_ivf_topk") { (s, dir) =>
+  /** IVF top-k with `nprobe` probed clusters per query (memoized index). */
+  private def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = emb(s, dir)
     val perSession = {
       var m = ivfCache.get(s)
@@ -204,7 +206,7 @@ object Ann {
       .withColumn("d", call_function("l2_distance", col("qvec"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("d"), col("cluster"))))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nprobe)
       .select("qid", "qvec", "cluster")
     val scored = e.join(assign, "vec_id")
       .join(broadcast(probes), Seq("cluster"))
@@ -212,6 +214,22 @@ object Ann {
       .withColumn("sim",
         call_function("cosine_sim", col("embedding"), col("qvec")))
     topKPerQuery(scored)
+  }
+
+  /** IVF top-k: per query, rank only vectors in the NProbe nearest
+    * clusters (recall vs brute pinned by AnnSpec). */
+  val ivf = Q.noOracle("ann_ivf_topk") { (s, dir) =>
+    ivfTopK(s, dir, NProbe)
+  }
+
+  /** IVF with nprobe = NumClusters: every cluster probed, so the result is
+    * provably the exact top-k regardless of how k-means assigned vectors —
+    * which makes the brute-force SQL a valid oracle for the whole IVF
+    * machinery (training, assignment join, probe ranking, per-query top-k).
+    * The approximate path above stays the scale entry; this one is its
+    * oracle-checked exhaustive twin. */
+  val ivfExhaustive = Q("ann_ivf_exhaustive", bruteOracle) { (s, dir) =>
+    ivfTopK(s, dir, NumClusters)
   }
 
   /** DuckDB oracle for [[nearDupPairs]], generated from the same
@@ -285,5 +303,5 @@ object Ann {
     topKPerQuery(scored)
   }
 
-  def all: Seq[Q] = Seq(brute, lsh, ivf, prefiltered, nearDupPairs)
+  def all: Seq[Q] = Seq(brute, lsh, ivf, ivfExhaustive, prefiltered, nearDupPairs)
 }

@@ -173,24 +173,76 @@ object Dedup {
     minhashDedup(docs(s, dir), 0.8, corpusKey = dir)
   }
 
-  /** SimHash near-dup: 64-bit fingerprint, 4×16-bit band buckets, verify by
-    * Hamming distance ≤ 6. */
-  val simhash = Q.noOracle("dedup_simhash") { (s, dir) =>
-    GraftFunctions.register(s)
+  /** SimHash near-dup, oracle-checked end-to-end: 60-bit fingerprint from a
+    * per-token md5-derived hash (both engines compute md5 identically; 15
+    * hex chars = 60 bits fits BIGINT on both), per-bit majority vote
+    * weighted by term frequency, 4×15-bit band buckets, verify by Hamming
+    * distance ≤ 6. All integer arithmetic → the DuckDB oracle replays the
+    * fingerprint, banding, and verify exactly. The codegen'd single-pass
+    * [[graft.functions.SimHash64]] (non-portable token hash) remains the
+    * scale kernel — it powers `text_fingerprint` and is pinned by
+    * DedupSpec/TextOpsSpec; this entry proves the *operator* (vote →
+    * band → bucket-join → Hamming verify) against an independent engine. */
+  val SimBits = 60
+  val SimBands = 4
+  val SimBandBits = 15 // SimBands * SimBandBits = SimBits
+
+  /** 60-bit token hash both engines agree on: first 15 hex chars of md5. */
+  private def tokenHash60(x: Column): Column =
+    conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+
+  /** Portable simhash fingerprint of a token array (term-frequency
+    * weighted majority vote per bit). */
+  def simhashFp60(toks: Column): Column = {
+    val hs = transform(toks, x => tokenHash60(x))
+    aggregate(
+      sequence(lit(0), lit(SimBits - 1)), lit(0L),
+      (acc, j) => acc + when(
+        size(filter(hs, x => call_function("shiftright", x, j)
+          .bitwiseAND(lit(1L)) === lit(1L))) * 2 > size(toks),
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+  }
+
+  private val simhashOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |h AS (SELECT doc_id,
+       |        list_transform(toks,
+       |          x -> (('0x' || substr(md5(x), 1, 15))::BIGINT)) AS hs,
+       |        len(toks) AS n
+       |      FROM t),
+       |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, $SimBits),
+       |        j -> CASE WHEN 2 * len(list_filter(hs,
+       |                     x -> (x >> j) & 1 = 1)) > n
+       |             THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS fp
+       |      FROM h),
+       |banded AS (SELECT doc_id, fp,
+       |             unnest(list_transform(range(0, $SimBands),
+       |               b -> (b::BIGINT << $SimBandBits)
+       |                    | ((fp >> (b * $SimBandBits)) & 32767))) AS bucket
+       |           FROM f)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count((a.fp | b.fp) & ~(a.fp & b.fp)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count((a.fp | b.fp) & ~(a.fp & b.fp)) <= 6""".stripMargin
+
+  val simhash = Q("dedup_simhash", simhashOracle) { (s, dir) =>
     val fp = docs(s, dir).select(col("doc_id"),
-      call_function("simhash64", split(col("text"), " ")).as("fp"))
+      simhashFp60(split(col("text"), " ")).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map { band =>
-        // bucket key = band index ++ that 16-bit slice
-        lit(band.toLong << 16).bitwiseOR(
-          shiftrightunsigned(col("fp"), band * 16).bitwiseAND(lit(0xffffL)))
+      explode(array((0 until SimBands).map { band =>
+        // bucket key = band index ++ that 15-bit slice
+        lit(band.toLong << SimBandBits).bitwiseOR(
+          shiftrightunsigned(col("fp"), band * SimBandBits)
+            .bitwiseAND(lit(0x7fffL)))
       }: _*)).as("bucket"))
     val a = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
   }
@@ -249,10 +301,50 @@ object Dedup {
       .groupBy("keep").agg(count(lit(1)).as("n_docs"))
   }
 
-  /** N-gram Jaccard similarity report: exact Jaccard on LSH candidates at a
-    * lower threshold (0.5) — the "similarity join" form of dedup. */
-  val ngram = Q.noOracle("dedup_ngram_jaccard") { (s, dir) =>
-    minhashDedup(docs(s, dir), 0.5, corpusKey = dir)
+  /** Exact n-gram Jaccard similarity join at threshold 0.5 via a shingle
+    * inverted index: candidates = doc pairs sharing ≥1 word-3-gram (an
+    * exploded equi-join on the shingle — never an all-pairs product),
+    * intersection counted by the join, union from the per-doc distinct
+    * shingle counts. Fully deterministic integer arithmetic → DuckDB
+    * oracle replays it exactly (the threshold test `2·inter ≥ union` is
+    * integer-exact on both engines; the reported value is ×1e4 BIGINT
+    * fixed-point). [[minhash]] (LSH banding) is the 100 TB scale path —
+    * this exact form is the verify kernel, and at scale it would take the
+    * standard prefix/stop-shingle cap on hot shingles before the join. */
+  private val ngramOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           generate_series(1, greatest(1, len(toks) - 2)),
+      |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |       FROM t),
+      |e AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(round(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
+      |    AS jaccard_e4
+      |FROM p WHERE 2 * inter >= na + nb - inter""".stripMargin
+
+  val ngram = Q("dedup_ngram_jaccard", ngramOracle) { (s, dir) =>
+    val sh = docs(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"),
+      size(col("sh")).as("n"))
+    val a = e.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
+    val b = e.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
+    a.join(b, Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        first("na").as("na"), first("nb").as("nb"))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
+          .cast("long").as("jaccard_e4"))
   }
 
   /** Cluster resolution with a PORTABLE edge rule, so the whole
