@@ -334,7 +334,80 @@ object LakeQueries {
       min("n_name").as("min_name"), max("n_name").as("max_name"))
   }
 
+  /** Spatial kNN through [[SpatialIndex]] (reference rtree_index.go
+    * NearestNeighbors): seed a point table from `events` (x = value,
+    * y = user_id), z-order it so fragment bboxes are spatially tight, and
+    * branch-and-bound the 15 nearest points to a fixed query point. The
+    * distance formula uses only exactly-rounded IEEE ops, so the DuckDB
+    * oracle computes bit-identical distances and the ×1e4 fixed-point
+    * output hash-matches. Bounded corpus (event_id < 8000), the
+    * zorderPrune precedent: demo cost is SF-independent; pruning
+    * guarantees live in SpatialIndexSpec. */
+  val spatialKnn: Q = Q(
+    "lake_spatial_knn",
+    """WITH e AS (SELECT event_id, value AS x, user_id AS y
+      |           FROM events WHERE event_id < 8000),
+      |d AS (SELECT event_id,
+      |        sqrt((x - 120.0) * (x - 120.0) + (y - 40.0) * (y - 40.0))
+      |          AS dist
+      |      FROM e)
+      |SELECT event_id, CAST(round(dist * 10000) AS BIGINT) AS dist_e4
+      |FROM d ORDER BY dist, event_id LIMIT 15""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-spatial-${UUID.randomUUID()}")
+      .toString
+    val pts = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 8000)
+      .select(col("event_id"), col("value").as("x"), col("user_id").as("y"))
+    val ds = LakeDataset.create(s, root, pts.schema)
+    ds.append(pts.coalesce(4))
+    ds.optimizeLayoutZOrder(Seq("x", "y"),
+      targetRows = math.max(256, ds.read().count() / 16))
+    SpatialIndex.knn(ds, "x", "y", px = 120.0, py = 40.0, k = 15,
+        tieCol = "event_id")
+      .select(col("event_id"),
+        round(col("_dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** Spatial range search over box-valued rows (reference rtree_index.go
+    * RangeSearch/ContainsSearch): synthesize a box per event
+    * ([value, value+5] × [user_id, user_id+3]), z-order on the box minima,
+    * and report every box intersecting the query window with a flag for
+    * full containment. Intersect/contains compile to conjunctive range
+    * predicates, so fragment skipping is the zonemap pruner's. */
+  val spatialRange: Q = Q(
+    "lake_spatial_range",
+    """WITH b AS (SELECT event_id,
+      |             value AS x_min, value + 5.0 AS x_max,
+      |             user_id AS y_min, user_id + 3 AS y_max
+      |           FROM events WHERE event_id < 8000)
+      |SELECT event_id,
+      |  (x_min >= 50.0 AND x_max <= 150.0 AND
+      |   y_min >= 30.0 AND y_max <= 90.0) AS contained
+      |FROM b
+      |WHERE x_min <= 150.0 AND x_max >= 50.0
+      |  AND y_min <= 90.0 AND y_max >= 30.0""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-spatial-${UUID.randomUUID()}")
+      .toString
+    val boxes = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 8000)
+      .select(col("event_id"),
+        col("value").as("x_min"), (col("value") + 5.0).as("x_max"),
+        col("user_id").as("y_min"), (col("user_id") + 3).as("y_max"))
+    val ds = LakeDataset.create(s, root, boxes.schema)
+    ds.append(boxes.coalesce(4))
+    ds.optimizeLayoutZOrder(Seq("x_min", "y_min"),
+      targetRows = math.max(256, ds.read().count() / 16))
+    val q = SpatialIndex.BBox(50.0, 30.0, 150.0, 90.0)
+    SpatialIndex.intersects(ds,
+        SpatialIndex.BoxCols("x_min", "y_min", "x_max", "y_max"), q)
+      .withColumn("contained",
+        col("x_min") >= q.xMin && col("x_max") <= q.xMax &&
+        col("y_min") >= q.yMin && col("y_max") <= q.yMax)
+      .select("event_id", "contained")
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, catalogRead, sqlDml,
-      sqlDmlMor, zorderPrune, changeFeed, aggPushdown)
+      sqlDmlMor, zorderPrune, changeFeed, aggPushdown, spatialKnn,
+      spatialRange)
 }
