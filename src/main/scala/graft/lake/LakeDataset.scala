@@ -1044,9 +1044,14 @@ final class LakeDataset private (
       createdMs = System.currentTimeMillis(),
       operation = s"shallow_clone($root@${m.version})",
       touchedFragmentIds = Nil)
+    // fragment paths were rewritten to absolute, so parent chunks can't be
+    // re-listed — encode fresh against the TARGET root's chunk store
+    val (cmMat, cmJson) = LakeDataset.encodeManifest(tio, target, cm,
+      parent = None, chunkSize = manifestChunkSize,
+      threshold = manifestChunkThreshold)
     tio.writeString(
-      manifests.resolve(Manifest.versionFileName(1)), Manifest.toJson(cm))
-    new LakeDataset(spark, targetPath, cm)
+      manifests.resolve(Manifest.versionFileName(1)), cmJson)
+    new LakeDataset(spark, targetPath, cmMat)
   }
 
   def createTag(name: String, v: Long = version): Unit = {
@@ -1496,6 +1501,25 @@ final class LakeDataset private (
     // drop unretained manifests
     all.filterNot(keep).foreach { v =>
       io.delete(manifestsDir.resolve(Manifest.versionFileName(v)))
+    }
+    // drop fragment-list chunks no surviving version references (manifest-
+    // list split); the grace window covers a chunk published just before
+    // its commit lands
+    val chunksDir = LakeDataset.chunksDirOf(rootPath)
+    if (io.exists(chunksDir)) {
+      val refChunks = io.listNames(manifestsDir)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap { n =>
+          try Manifest.fromJson(io.readString(manifestsDir.resolve(n)))
+            .chunkFiles.map(_.file)
+          catch { case _: Exception => Nil }
+        }.toSet
+      io.listNames(chunksDir).foreach { n =>
+        val p = chunksDir.resolve(n)
+        if (!refChunks(n) && oldEnough(p)) {
+          io.delete(p); deleted += 1
+        }
+      }
     }
     deleted
   }
@@ -2034,11 +2058,22 @@ final class LakeDataset private (
   }
 
   private def commit(next: Manifest): Unit = {
+    val (mat, content) = LakeDataset.encodeManifest(io, rootPath, next,
+      parent = Some(m), chunkSize = manifestChunkSize,
+      threshold = manifestChunkThreshold)
     commitHandler.publish(
-      manifestsDir.resolve(Manifest.versionFileName(next.version)),
-      Manifest.toJson(next))
-    m = next
+      manifestsDir.resolve(Manifest.versionFileName(next.version)), content)
+    m = mat
   }
+
+  /** Manifest-list split knobs (SCALE.md): above `threshold` fragments the
+    * version JSON stops inlining the fragment list and spills it to
+    * content-addressed chunk files, keeping commit IO O(delta). Session
+    * confs so specs can exercise the split at toy scale. */
+  private[lake] def manifestChunkThreshold: Int =
+    spark.conf.get("spark.graft.manifestChunkThreshold", "65536").toInt
+  private[lake] def manifestChunkSize: Int =
+    spark.conf.get("spark.graft.manifestChunkSize", "8192").toInt
 }
 
 /** Durable uncommitted append (phase 1 of a detached transaction). */
@@ -2228,14 +2263,100 @@ object LakeDataset {
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .maxOption
       .getOrElse(throw new IllegalArgumentException(s"no manifests in $dir"))
-    Manifest.fromJson(io.readString(dir.resolve(latest)))
+    decodeManifest(io, root, Manifest.fromJson(io.readString(dir.resolve(latest))))
   }
 
   private[lake] def loadVersion(root: Path, v: Long): Manifest = {
     val io = LakeIO.forRoot(root.toString)
     val p = root.resolve("_manifests").resolve(Manifest.versionFileName(v))
     require(io.exists(p), s"no version $v")
-    Manifest.fromJson(io.readString(p))
+    decodeManifest(io, root, Manifest.fromJson(io.readString(p)))
+  }
+
+  // ---- manifest-list split (SCALE.md "Manifest-list split") -------------
+  //
+  // Past `threshold` fragments the version JSON carries ChunkRefs instead
+  // of the inline fragment list; fragments live in immutable JSON-lines
+  // chunk files under _manifests/chunks/, named by content hash. A commit
+  // re-lists every parent chunk whose fragments are untouched (zero IO)
+  // and writes only the delta as new chunks; the version file stays the
+  // single atomic-swap unit, so the commit protocol and conflict matrix
+  // are untouched. JSON-lines rather than parquet keeps a small commit
+  // free of Spark jobs; a distributed planner can still `spark.read
+  // .json` the chunk files (per-fragment rows) when fragment pruning
+  // itself needs to leave the driver.
+
+  private[lake] def chunksDirOf(root: Path): Path =
+    root.resolve("_manifests").resolve("chunks")
+
+  /** Parent chunk grouping, recovered from the invariant that a decoded
+    * manifest's fragment list is its chunks concatenated in order. */
+  private[lake] def chunkGroups(man: Manifest): Seq[(ChunkRef, Seq[Fragment])] = {
+    var rest = man.fragments
+    man.chunkFiles.map { ref =>
+      val (head, tail) = rest.splitAt(ref.count.toInt)
+      rest = tail
+      ref -> head
+    }
+  }
+
+  private def readChunk(io: LakeIO, root: Path, ref: ChunkRef): Seq[Fragment] = {
+    import Manifest.formats
+    val lines = io.readString(chunksDirOf(root).resolve(ref.file))
+    val frags = lines.split('\n').iterator.filter(_.nonEmpty)
+      .map(org.json4s.jackson.Serialization.read[Fragment](_)).toSeq
+    require(frags.size == ref.count,
+      s"chunk ${ref.file}: ${frags.size} fragments, manifest says ${ref.count}")
+    frags
+  }
+
+  private def decodeManifest(io: LakeIO, root: Path, m: Manifest): Manifest =
+    if (m.chunkFiles.isEmpty) m
+    else m.copy(fragments = m.chunkFiles.flatMap(readChunk(io, root, _)))
+
+  /** Returns (the materialized manifest to keep in memory, the version-file
+    * JSON to publish). Inline below `threshold`; chunked above, reusing
+    * every parent chunk that is still ≥ half full and fully unchanged
+    * (half-full floor bounds chunk-count growth at ≤ 2·fragments/size). */
+  private[lake] def encodeManifest(io: LakeIO, root: Path, next: Manifest,
+      parent: Option[Manifest], chunkSize: Int, threshold: Int)
+      : (Manifest, String) = {
+    import Manifest.formats
+    if (next.fragments.size <= threshold) {
+      val inline = next.copy(chunkFiles = Nil)
+      (inline, Manifest.toJson(inline))
+    } else {
+      val nextById = next.fragments.iterator.map(f => f.id -> f).toMap
+      val used = scala.collection.mutable.HashSet.empty[Long]
+      val reused = parent.toSeq.flatMap(chunkGroups).filter { case (_, fs) =>
+        fs.size >= (chunkSize + 1) / 2 &&
+          fs.forall(f => nextById.get(f.id).contains(f)) &&
+          { used ++= fs.map(_.id); true }
+      }
+      val rest = next.fragments.filterNot(f => used.contains(f.id))
+      val dir = chunksDirOf(root)
+      io.mkdirs(dir)
+      val fresh = rest.grouped(chunkSize).map { fs =>
+        val content = fs.map(f =>
+          org.json4s.jackson.Serialization.write(f)).mkString("\n")
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(content.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val name = s"c$digest.jsonl"
+        val p = dir.resolve(name)
+        if (!io.exists(p)) {
+          // content-addressed: a concurrent writer of the same name wrote
+          // the same bytes, so losing the publish race is success
+          try io.publishAtomic(p, content)
+          catch { case _: CommitConflictException => () }
+        }
+        ChunkRef(name, fs.size.toLong) -> fs
+      }.toSeq
+      val groups = reused ++ fresh
+      val slim = next.copy(fragments = Nil, chunkFiles = groups.map(_._1))
+      (next.copy(fragments = groups.flatMap(_._2),
+        chunkFiles = slim.chunkFiles), Manifest.toJson(slim))
+    }
   }
 }
 

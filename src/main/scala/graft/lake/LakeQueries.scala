@@ -382,10 +382,10 @@ object LakeQueries {
       |           FROM events WHERE event_id < 8000)
       |SELECT event_id,
       |  (x_min >= 50.0 AND x_max <= 150.0 AND
-      |   y_min >= 30.0 AND y_max <= 90.0) AS contained
+      |   y_min >= 0.0 AND y_max <= 40.0) AS contained
       |FROM b
       |WHERE x_min <= 150.0 AND x_max >= 50.0
-      |  AND y_min <= 90.0 AND y_max >= 30.0""".stripMargin) { (s, dir) =>
+      |  AND y_min <= 40.0 AND y_max >= 0.0""".stripMargin) { (s, dir) =>
     val root = Files.createTempDirectory(s"lake-spatial-${UUID.randomUUID()}")
       .toString
     val boxes = Tables.load(s, dir, "events")
@@ -397,7 +397,9 @@ object LakeQueries {
     ds.append(boxes.coalesce(4))
     ds.optimizeLayoutZOrder(Seq("x_min", "y_min"),
       targetRows = math.max(256, ds.read().count() / 16))
-    val q = SpatialIndex.BBox(50.0, 30.0, 150.0, 90.0)
+    // y window anchored at 0 so the box set is non-empty at every SF
+    // (sf0.001 user_ids only reach 14)
+    val q = SpatialIndex.BBox(50.0, 0.0, 150.0, 40.0)
     SpatialIndex.intersects(ds,
         SpatialIndex.BoxCols("x_min", "y_min", "x_max", "y_max"), q)
       .withColumn("contained",

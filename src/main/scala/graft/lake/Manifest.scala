@@ -40,6 +40,13 @@ final case class Fragment(id: Long, file: String, rowCount: Long,
 final case class FieldDef(id: Int, name: String, dataType: String,
     nullable: Boolean)
 
+/** One immutable fragment-list chunk (the manifest-list split, SCALE.md):
+  * `file` under `_manifests/chunks/`, holding `count` fragments as JSON
+  * lines. Content-addressed (name = hash of content), so an unchanged
+  * chunk is re-listed by later versions at zero IO — commit cost is
+  * O(delta), not O(table). */
+final case class ChunkRef(file: String, count: Long)
+
 final case class Manifest(
     version: Long,
     fields: Seq[FieldDef],
@@ -77,7 +84,13 @@ final case class Manifest(
       * the conflict matrix's fragment-overlap refinement (conflict.go:
       * deleteDeleteConflict/deleteRewriteConflict/rewriteRewriteConflict
       * conflict only when touching the same fragments). */
-    touchedFragmentIds: Seq[Long] = Nil)
+    touchedFragmentIds: Seq[Long] = Nil,
+    /** When non-empty, `fragments` was spilled to these chunk files on
+      * storage (the version JSON then serializes with `fragments = Nil`);
+      * [[LakeDataset.loadVersion]] re-materializes them in chunk order, so
+      * in-memory manifests ALWAYS carry the full fragment list and
+      * `fragments` iterates as chunk-order concatenation. */
+    chunkFiles: Seq[ChunkRef] = Nil)
 
 object Manifest {
   implicit val formats: Formats = DefaultFormats

@@ -1,0 +1,159 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+/** Manifest-list split (SCALE.md): past the chunk threshold the version
+  * JSON stops inlining fragments and re-lists immutable content-addressed
+  * chunk files, so commit IO is O(delta) and every read path (open, time
+  * travel, scans, DML, vacuum) is storage-format agnostic. Exercised at
+  * toy scale via the session confs. */
+class ManifestChunkSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def withChunking[A](threshold: Int, size: Int)(f: => A): A = {
+    spark.conf.set("spark.graft.manifestChunkThreshold", threshold.toString)
+    spark.conf.set("spark.graft.manifestChunkSize", size.toString)
+    try f finally {
+      spark.conf.unset("spark.graft.manifestChunkThreshold")
+      spark.conf.unset("spark.graft.manifestChunkSize")
+    }
+  }
+
+  private def newDs(): LakeDataset =
+    LakeDataset.create(spark,
+      Files.createTempDirectory("lake-chunks-").toString, schema)
+
+  private def appendBatch(ds: LakeDataset, ids: Range): Unit = {
+    import spark.implicits._
+    // one fragment per append (coalesce(1)) keeps fragment arithmetic exact
+    ds.append(ids.map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+      .coalesce(1))
+  }
+
+  /** Raw version JSON as stored — must NOT inline fragments once split. */
+  private def storedManifest(ds: LakeDataset, v: Long): Manifest = {
+    val p = new Path(ds.root).resolve("_manifests")
+      .resolve(Manifest.versionFileName(v))
+    Manifest.fromJson(ds.io.readString(p))
+  }
+
+  test("crossing the threshold spills fragments to chunks; reads survive") {
+    withChunking(threshold = 6, size = 4) {
+      val ds = newDs()
+      (0 until 5).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      assert(ds.manifest.fragments.size == 5)
+      assert(storedManifest(ds, ds.version).chunkFiles.isEmpty,
+        "below threshold must stay inline")
+
+      (5 until 9).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val stored = storedManifest(ds, ds.version)
+      assert(stored.fragments.isEmpty, "split manifest must not inline")
+      assert(stored.chunkFiles.nonEmpty)
+      assert(stored.chunkFiles.map(_.count).sum == 9)
+
+      // in-memory manifest stays materialized
+      assert(ds.manifest.fragments.size == 9)
+      // a fresh open decodes chunks back to the same fragment set
+      val reopened = LakeDataset.open(spark, ds.root)
+      assert(reopened.manifest.fragments.toSet == ds.manifest.fragments.toSet)
+      assert(reopened.read().count() == 90)
+      assert(reopened.scanner().withFilter("id >= 80").build().count() == 10)
+    }
+  }
+
+  test("append re-lists full unchanged chunks and writes only the delta") {
+    withChunking(threshold = 2, size = 4) {
+      val ds = newDs()
+      (0 until 8).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val before = storedManifest(ds, ds.version).chunkFiles
+      assert(before.map(_.count).sum == 8)
+      // reuse floor: chunks at least half full are re-listed, not rewritten
+      val reusable = before.filter(_.count >= 2)
+      assert(reusable.nonEmpty, s"no reusable chunks in $before")
+
+      appendBatch(ds, 80 until 90)
+      val after = storedManifest(ds, ds.version).chunkFiles
+      assert(after.map(_.count).sum == 9)
+      assert(reusable.forall(c => after.exists(_.file == c.file)),
+        s"reusable chunks rewritten: $before -> $after")
+      // fill stays >= size/2: chunk count is bounded by 2*fragments/size
+      assert(after.size <= 2 * 9 / 4 + 1, s"chunk count blew up: $after")
+    }
+  }
+
+  test("delete rewrites only the chunks holding touched fragments") {
+    withChunking(threshold = 2, size = 2) {
+      val ds = newDs()
+      (0 until 6).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val before = storedManifest(ds, ds.version).chunkFiles
+      // drop one whole fragment (ids 0-9 live in the first appended one)
+      ds.delete("id < 10")
+      val after = storedManifest(ds, ds.version).chunkFiles
+      assert(after.map(_.count).sum == 5)
+      // at most the victim's chunk disappears; the others are re-listed
+      val kept = before.count(c => after.exists(_.file == c.file))
+      assert(kept >= before.size - 1,
+        s"delete rewrote ${before.size - kept} chunks, expected <= 1")
+      assert(ds.read().count() == 50)
+      assert(ds.read().filter("id < 10").count() == 0)
+    }
+  }
+
+  test("time travel and restore decode chunked versions") {
+    withChunking(threshold = 2, size = 2) {
+      val ds = newDs()
+      (0 until 4).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val v4 = ds.version
+      ds.delete("id < 20")
+      assert(ds.read().count() == 20)
+      assert(ds.scanner().withVersion(v4).build().count() == 40)
+      ds.restore(v4)
+      assert(ds.read().count() == 40)
+    }
+  }
+
+  test("vacuum drops chunks only unretained versions reference") {
+    withChunking(threshold = 1, size = 2) {
+      val ds = newDs()
+      (0 until 4).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      // rewrite everything: compaction replaces every chunk
+      ds.compact(targetRows = 1000)
+      val live = storedManifest(ds, ds.version).chunkFiles.map(_.file).toSet
+      val chunksDir = LakeDataset.chunksDirOf(new Path(ds.root))
+      val allBefore = ds.io.listNames(chunksDir).toSet
+      assert(live.subsetOf(allBefore) && allBefore.size > live.size)
+      val deleted = ds.vacuum(keepVersions = 1, graceMs = 0L)
+      assert(deleted > 0)
+      val allAfter = ds.io.listNames(chunksDir).toSet
+      assert(live.subsetOf(allAfter),
+        "vacuum must keep chunks of retained versions")
+      // chunks referenced by no surviving version are gone
+      assert((allAfter -- live).forall(n =>
+        ds.versions.map(v => storedManifest(ds, v)).exists(
+          _.chunkFiles.exists(_.file == n))))
+      assert(ds.read().count() == 40)
+    }
+  }
+
+  test("shallow clone of a chunked dataset encodes fresh chunks") {
+    withChunking(threshold = 2, size = 2) {
+      val ds = newDs()
+      (0 until 4).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val target = Files.createTempDirectory("lake-chunks-clone-").toString
+      val clone = ds.shallowClone(target)
+      assert(clone.read().count() == 40)
+      val stored = storedManifest(clone, 1)
+      assert(stored.fragments.isEmpty && stored.chunkFiles.nonEmpty)
+      // clone's chunks live under ITS root, not the source's
+      assert(clone.io.exists(
+        LakeDataset.chunksDirOf(new Path(clone.root))))
+    }
+  }
+}

@@ -45,7 +45,7 @@ class DedupSpec extends SparkTestBase {
   test("simhash pairs have verified hamming distance and catch near-dups") {
     val rows = Dedup.simhash.run(spark, sf0001).collect()
     assert(rows.nonEmpty, "planted near-dups should fall into simhash bands")
-    assert(rows.forall(_.getInt(2) <= 6))
+    assert(rows.forall(_.getLong(2) <= 6))
     // Near-identical docs (jaccard>=0.95 on shingles) share most tokens, so
     // simhash-at-hamming<=6 should recover a large fraction of them.
     val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
