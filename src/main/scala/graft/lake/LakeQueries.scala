@@ -14,7 +14,28 @@ import org.apache.spark.sql.types._
   * check by the driver; full semantics are pinned by LakeDatasetSpec. */
 object LakeQueries {
 
-  val versionedCrud: Q = Q.noOracle("lake_versioned_crud") { (s, dir) =>
+  /** The scenario summary is fully derivable from `nation` (delete hits
+    * region 2; update hits keys <5 that survived the delete; the merge's
+    * two keys are 0 = matched-if-alive and 99 = always inserted; restore
+    * returns to the full load), so DuckDB states the expected counts
+    * directly — hash-equal iff every DML op touched exactly the rows its
+    * predicate describes AND restore recovered the tagged version. */
+  val versionedCrud: Q = Q(
+    "lake_versioned_crud",
+    """WITH d AS (SELECT count(*) AS nd FROM nation WHERE n_regionkey = 2),
+      |u AS (SELECT count(*) AS nu FROM nation
+      |      WHERE n_nationkey < 5 AND n_regionkey <> 2),
+      |m0 AS (SELECT count(*) AS m FROM nation
+      |       WHERE n_nationkey = 0 AND n_regionkey <> 2),
+      |n AS (SELECT count(*) AS total FROM nation)
+      |SELECT CAST(7 AS BIGINT) AS n_versions,
+      |  CAST(n.total - d.nd + (2 - m0.m) AS BIGINT) AS rows_before_restore,
+      |  CAST(d.nd AS BIGINT) AS n_deleted,
+      |  CAST(u.nu AS BIGINT) AS n_updated,
+      |  CAST(m0.m AS BIGINT) AS n_merge_matched,
+      |  CAST(2 - m0.m AS BIGINT) AS n_merge_inserted,
+      |  CAST(n.total AS BIGINT) AS rows_after_restore
+      |FROM d, u, m0, n""".stripMargin) { (s, dir) =>
     val root = Files.createTempDirectory(s"lake-demo-${UUID.randomUUID()}")
       .toString
     val nation = Tables.load(s, dir, "nation")
@@ -39,8 +60,8 @@ object LakeQueries {
     val restoredCount = ds.read().count()
     // deterministic one-row summary of the whole scenario
     import s.implicits._
-    Seq((ds.versions.size, preRestore, deleted, updated, matched, inserted,
-      restoredCount))
+    Seq((ds.versions.size.toLong, preRestore, deleted, updated, matched,
+      inserted, restoredCount))
       .toDF("n_versions", "rows_before_restore", "n_deleted", "n_updated",
         "n_merge_matched", "n_merge_inserted", "rows_after_restore")
   }

@@ -89,9 +89,45 @@ object Ann {
     topKPerQuery(scored)
   }
 
+  /** DuckDB oracle for [[lsh]], generated from the same [[hyperplanes]]
+    * (the [[nearDupOracle]] pattern): bucket bits via `list_dot_product`
+    * against the ±1 plane literals over DOUBLE[], multi-probe as the
+    * query bucket plus each 1-bit `xor` flip, cosine ranking on the
+    * candidates only. Replays bucketing, probing, and ranking exactly —
+    * the LSH candidate set is deterministic given the seeded planes. */
+  private def lshOracle: String = {
+    val bucketTerms = (0 until Bits).map { i =>
+      val coeffs = hyperplanes(i).map(v => if (v > 0) "1" else "-1").mkString(",")
+      s"(CASE WHEN list_dot_product(e, [$coeffs]::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val probes = "qbucket" +: (0 until Bits).map(b => s"xor(qbucket, ${1 << b})")
+    s"""WITH b AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), kb AS (
+       |  SELECT vec_id, e,
+       |    $bucketTerms AS bucket
+       |  FROM b
+       |), q AS (
+       |  SELECT vec_id AS qid, e AS qe, bucket AS qbucket FROM kb
+       |  WHERE vec_id < $NumQueries
+       |), probes AS (
+       |  SELECT qid, qe, unnest([${probes.mkString(", ")}]) AS bucket FROM q
+       |), scored AS (
+       |  SELECT p.qid, c.vec_id, list_cosine_similarity(c.e, p.qe) AS sim
+       |  FROM kb c JOIN probes p ON c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.qid
+       |)
+       |SELECT qid, vec_id, rn, round(sim, 4) AS sim
+       |FROM (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid
+       |                           ORDER BY sim DESC, vec_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+  }
+
   /** LSH-bucketed ANN: probe the query's bucket and its Hamming-1 neighbors,
     * then exact-rank only those candidates. */
-  val lsh = Q.noOracle("ann_lsh_topk") { (s, dir) =>
+  val lsh = Q("ann_lsh_topk", lshOracle) { (s, dir) =>
     val e = emb(s, dir)
     val corpus = e.withColumn("bucket", bucketOf(col("embedding")))
     val q = queries(e).withColumn("qbucket", bucketOf(col("qvec")))

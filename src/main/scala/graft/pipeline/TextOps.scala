@@ -234,6 +234,50 @@ object TextOps {
           x => x.cast("string")))).as("fp_set_hash"))
   }
 
+  /** Oracle-checked winnowing twin: same k=8/w=16 selection over a
+    * PORTABLE k-gram hash (md5 prefix, the dedup_simhash trick), built
+    * from plain HOFs so DuckDB replays kgram → window-min → distinct
+    * exactly. Integer-only output (count + order-insensitive xor fold of
+    * the selected set) hashes identically on both engines. The codegen'd
+    * [[winnowFingerprints]] above stays the scale kernel; this entry
+    * proves the winnowing OPERATOR cross-engine. */
+  val WinnowK = 8
+  val WinnowW = 16
+
+  private def kgramHash(text: Column, i: Column): Column =
+    conv(substring(md5(substring(text, i, lit(WinnowK))), 1, 15), 16, 10)
+      .cast("long")
+
+  private val winnowExactOracle =
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |h AS (SELECT doc_id,
+       |        list_transform(generate_series(1, greatest(1, n - ${WinnowK - 1})),
+       |          i -> (('0x' || substr(md5(substr(text, i, $WinnowK)), 1, 15))::BIGINT)) AS hs
+       |      FROM t),
+       |m AS (SELECT doc_id,
+       |        list_distinct(list_transform(
+       |          generate_series(1, greatest(1, len(hs) - ${WinnowW - 1})),
+       |          j -> list_min(hs[j:j+${WinnowW - 1}]))) AS fps
+       |      FROM h)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |  CAST(list_reduce(fps, (a, x) -> xor(a, x)) AS BIGINT) AS fp_xor
+       |FROM m""".stripMargin
+
+  val winnowExact = Q("text_winnow_exact", winnowExactOracle) { (s, dir) =>
+    val t = docs(s, dir).select(col("doc_id"), col("text"),
+      length(col("text")).as("n"))
+    val h = t.select(col("doc_id"),
+      transform(sequence(lit(1), greatest(lit(1), col("n") - (WinnowK - 1))),
+        i => kgramHash(col("text"), i)).as("hs"))
+    val m = h.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), size(col("hs")) - (WinnowW - 1))),
+        j => array_min(slice(col("hs"), j, lit(WinnowW))))).as("fps"))
+    m.select(col("doc_id"),
+      size(col("fps")).cast("long").as("n_fingerprints"),
+      aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+  }
+
   /** Adjacent word pairs (n-1 bigrams); callers guard `n >= 2`. */
   private def bigramsOf(words: Column, n: Column): Column =
     transform(sequence(lit(1), n - 1),
@@ -355,6 +399,6 @@ object TextOps {
   }
 
   def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint,
-    approxDistinct, kmvDistinct, kmvExact, heavyHitters, winnow, repetition,
-    topBigrams, gopherFilter)
+    approxDistinct, kmvDistinct, kmvExact, heavyHitters, winnow, winnowExact,
+    repetition, topBigrams, gopherFilter)
 }
