@@ -13,7 +13,21 @@ import org.apache.spark.sql.types._
   * EngineSpec. */
 object DdlQueries {
 
-  val roundTrip: Q = Q.noOracle("ddl_roundtrip") { (s, dir) =>
+  /** Every summary value is statically known (3 inserted rows, their price
+    * sum) or derivable from the source parquet (COPY FROM / COPY TO row
+    * counts equal `region`'s), so DuckDB states the expectation directly —
+    * the INSERT path, the engine's price aggregation, COPY FROM fidelity,
+    * and the CSV export round-trip are all value-checked, not just
+    * rows>0. 2.35 is CAST to DOUBLE: a bare literal would be DECIMAL,
+    * which the driver hashes asymmetrically (CORRECTNESS_r04). */
+  private val roundTripOracle =
+    """SELECT CAST(3 AS BIGINT) AS n_items,
+      |  CAST(2.35 AS DOUBLE) AS total_price,
+      |  (SELECT count(*) FROM region) AS n_copied,
+      |  (SELECT count(*) FROM region) AS n_region,
+      |  CAST(3 AS BIGINT) AS n_exported""".stripMargin
+
+  val roundTrip: Q = Q("ddl_roundtrip", roundTripOracle) { (s, dir) =>
     val id = UUID.randomUUID().toString.replace("-", "").take(10)
     val db = s"graft_$id"
     val loc = Files.createTempDirectory(s"graft-ddl-$id").toString

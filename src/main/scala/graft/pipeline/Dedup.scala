@@ -332,7 +332,11 @@ object Dedup {
   val ngram = Q("dedup_ngram_jaccard", ngramOracle) { (s, dir) =>
     val sh = docs(s, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"),
+    // join on the 64-bit shingle hash, not the shingle string: the
+    // inverted-index shuffle then moves fixed-width longs (the signature
+    // relation's `shh` trick); 2^-64 collisions are the accepted epsilon
+    val e = sh.select(col("doc_id"),
+      explode(transform(col("sh"), x => xxhash64(x))).as("g"),
       size(col("sh")).as("n"))
     val a = e.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
     val b = e.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))

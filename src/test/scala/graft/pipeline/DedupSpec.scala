@@ -42,6 +42,15 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("Cross"), s"cartesian product in dedup plan:\n$plan")
   }
 
+  test("ngram similarity join is an equi-join on hashed shingles") {
+    val df = Dedup.ngram.run(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"cartesian product in ngram plan:\n$plan")
+    // the join key must be the 64-bit shingle hash, not the shingle string
+    // (fixed-width shuffle volume — the signature relation's shh trick)
+    assert(plan.contains("xxhash64"), s"ngram join not on hashed shingles:\n$plan")
+  }
+
   test("simhash pairs have verified hamming distance and catch near-dups") {
     val rows = Dedup.simhash.run(spark, sf0001).collect()
     assert(rows.nonEmpty, "planted near-dups should fall into simhash bands")
