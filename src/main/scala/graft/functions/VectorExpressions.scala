@@ -204,6 +204,9 @@ object GraftFunctions {
     "bq_hamming" -> (es => BqHamming(es(0), es(1))),
     "cjk_tokens" -> (es => CjkTokens(es.head)),
     "freq_stats" -> (es => FreqStatsExpr(es.head)),
+    "simhash60" -> (es => Simhash60Expr(es.head)),
+    "winnow_portable" -> (es => WinnowPortable(es(0), es(1), es(2))),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
     "bigram_freq_stats" -> (es => BigramFreqStatsExpr(es.head)),
     "quantile_rank" -> (es => QuantileRank(es(0), es(1))),
     "z_value" -> (es => ZValueExpr(es.head)))

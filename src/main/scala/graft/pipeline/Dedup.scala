@@ -192,16 +192,11 @@ object Dedup {
     conv(substring(md5(x), 1, 15), 16, 10).cast("long")
 
   /** Portable simhash fingerprint of a token array (term-frequency
-    * weighted majority vote per bit). */
-  def simhashFp60(toks: Column): Column = {
-    val hs = transform(toks, x => tokenHash60(x))
-    aggregate(
-      sequence(lit(0), lit(SimBits - 1)), lit(0L),
-      (acc, j) => acc + when(
-        size(filter(hs, x => call_function("shiftright", x, j)
-          .bitwiseAND(lit(1L)) === lit(1L))) * 2 > size(toks),
-        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
-  }
+    * weighted majority vote per bit). Native codegen kernel: the
+    * higher-order-function form embedded the md5 `transform` inside the
+    * per-bit aggregate lambda, so Catalyst re-evaluated every token hash
+    * once per fingerprint bit — 60× the hashing work, interpreted. */
+  def simhashFp60(toks: Column): Column = call_function("simhash60", toks)
 
   private val simhashOracle =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -228,6 +223,7 @@ object Dedup {
        |WHERE bit_count((a.fp | b.fp) & ~(a.fp & b.fp)) <= 6""".stripMargin
 
   val simhash = Q("dedup_simhash", simhashOracle) { (s, dir) =>
+    GraftFunctions.register(s)
     val fp = docs(s, dir).select(col("doc_id"),
       simhashFp60(split(col("text"), " ")).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
@@ -330,13 +326,16 @@ object Dedup {
       |FROM p WHERE 2 * inter >= na + nb - inter""".stripMargin
 
   val ngram = Q("dedup_ngram_jaccard", ngramOracle) { (s, dir) =>
-    val sh = docs(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    // join on the 64-bit shingle hash, not the shingle string: the
-    // inverted-index shuffle then moves fixed-width longs (the signature
-    // relation's `shh` trick); 2^-64 collisions are the accepted epsilon
+    GraftFunctions.register(s)
+    // join on the 60-bit shingle hash, not the shingle string: the
+    // inverted-index shuffle then moves fixed-width longs, and the
+    // codegen'd shingle_hashes kernel builds+hashes each k-gram in one
+    // pass (the HOF chain cost ~0.6 ms/doc, re-run per join side);
+    // 2^-60 collisions are the accepted epsilon
+    val sh = docs(s, dir).select(col("doc_id"),
+      call_function("shingle_hashes", col("text"), lit(ShingleK)).as("sh"))
     val e = sh.select(col("doc_id"),
-      explode(transform(col("sh"), x => xxhash64(x))).as("g"),
+      explode(col("sh")).as("g"),
       size(col("sh")).as("n"))
     val a = e.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
     val b = e.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))

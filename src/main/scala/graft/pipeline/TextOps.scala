@@ -235,18 +235,15 @@ object TextOps {
   }
 
   /** Oracle-checked winnowing twin: same k=8/w=16 selection over a
-    * PORTABLE k-gram hash (md5 prefix, the dedup_simhash trick), built
-    * from plain HOFs so DuckDB replays kgram → window-min → distinct
-    * exactly. Integer-only output (count + order-insensitive xor fold of
-    * the selected set) hashes identically on both engines. The codegen'd
-    * [[winnowFingerprints]] above stays the scale kernel; this entry
-    * proves the winnowing OPERATOR cross-engine. */
+    * PORTABLE k-gram hash (md5 prefix, the dedup_simhash trick). The Spark
+    * side is the codegen'd `winnow_portable` kernel (one md5 per k-gram,
+    * monotonic-deque window min — the HOF slice/array_min form cost
+    * O(n·w) interpreted); DuckDB re-derives kgram → window-min → distinct
+    * from the definition, so the compare crosses two independent
+    * implementations. Integer-only output (count + order-insensitive xor
+    * fold) hashes identically on both engines. */
   val WinnowK = 8
   val WinnowW = 16
-
-  private def kgramHash(text: Column, i: Column): Column =
-    conv(substring(md5(substring(text, i, lit(WinnowK))), 1, 15), 16, 10)
-      .cast("long")
 
   private val winnowExactOracle =
     s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
@@ -264,18 +261,13 @@ object TextOps {
        |FROM m""".stripMargin
 
   val winnowExact = Q("text_winnow_exact", winnowExactOracle) { (s, dir) =>
-    val t = docs(s, dir).select(col("doc_id"), col("text"),
-      length(col("text")).as("n"))
-    val h = t.select(col("doc_id"),
-      transform(sequence(lit(1), greatest(lit(1), col("n") - (WinnowK - 1))),
-        i => kgramHash(col("text"), i)).as("hs"))
-    val m = h.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(lit(1), size(col("hs")) - (WinnowW - 1))),
-        j => array_min(slice(col("hs"), j, lit(WinnowW))))).as("fps"))
-    m.select(col("doc_id"),
-      size(col("fps")).cast("long").as("n_fingerprints"),
-      aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir).select(col("doc_id"),
+      call_function("winnow_portable", col("text"),
+        lit(WinnowK), lit(WinnowW)).as("wp"))
+      .select(col("doc_id"),
+        col("wp.n_fingerprints").as("n_fingerprints"),
+        col("wp.fp_xor").as("fp_xor"))
   }
 
   /** Adjacent word pairs (n-1 bigrams); callers guard `n >= 2`. */

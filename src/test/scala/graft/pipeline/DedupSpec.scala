@@ -46,9 +46,39 @@ class DedupSpec extends SparkTestBase {
     val df = Dedup.ngram.run(spark, sf0001)
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Cross"), s"cartesian product in ngram plan:\n$plan")
-    // the join key must be the 64-bit shingle hash, not the shingle string
-    // (fixed-width shuffle volume — the signature relation's shh trick)
-    assert(plan.contains("xxhash64"), s"ngram join not on hashed shingles:\n$plan")
+    // the join key must be the 60-bit shingle hash, not the shingle string
+    // (fixed-width shuffle volume), built by the codegen'd kernel — one
+    // pass per doc, not an interpreted HOF chain per join side
+    assert(plan.contains("shingle_hashes"),
+      s"ngram join not on kernel-hashed shingles:\n$plan")
+  }
+
+  test("simhash60 kernel matches the HOF majority-vote definition") {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = split(col("text"), " ")
+    val hs = transform(toks,
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+    val ref = aggregate(
+      sequence(lit(0), lit(59)), lit(0L),
+      (acc, j) => acc + when(
+        size(filter(hs, x => call_function("shiftright", x, j)
+          .bitwiseAND(lit(1L)) === lit(1L))) * 2 > size(toks),
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    val df = docs.limit(50).select(
+      call_function("simhash60", toks).as("k"), ref.as("r"))
+    assert(df.filter(col("k") =!= col("r")).count() == 0,
+      "native simhash60 diverges from the HOF definition")
+  }
+
+  test("shingle_hashes kernel matches hashing the HOF shingle set") {
+    graft.functions.GraftFunctions.register(spark)
+    val ref = array_sort(transform(Dedup.shingles(col("text")),
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    val df = docs.limit(50).select(
+      array_sort(call_function("shingle_hashes", col("text"),
+        lit(Dedup.ShingleK))).as("k"), ref.as("r"))
+    assert(df.filter(col("k") =!= col("r")).count() == 0,
+      "native shingle_hashes diverges from the HOF shingle set")
   }
 
   test("simhash pairs have verified hamming distance and catch near-dups") {

@@ -158,6 +158,29 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("winnow_portable kernel matches the HOF kgram/window-min definition") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.Column
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    def kgramHash(text: Column, i: Column): Column =
+      conv(substring(md5(substring(text, i, lit(k))), 1, 15), 16, 10)
+        .cast("long")
+    val n = length(col("text"))
+    val hs = transform(sequence(lit(1), greatest(lit(1), n - (k - 1))),
+      i => kgramHash(col("text"), i))
+    val fps = array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(hs) - (w - 1))),
+      j => array_min(slice(hs, j, lit(w)))))
+    val df = graft.Tables.load(spark, sf0001, "documents").limit(50).select(
+      call_function("winnow_portable", col("text"), lit(k), lit(w)).as("wp"),
+      size(fps).cast("long").as("rn"),
+      aggregate(fps, lit(0L), (a, x) => a.bitwiseXOR(x)).as("rx"))
+    assert(df.filter(col("wp.n_fingerprints") =!= col("rn") ||
+      col("wp.fp_xor") =!= col("rx")).count() == 0,
+      "native winnow_portable diverges from the HOF definition")
+  }
+
   test("gopher filter emits consistent flags and keep decision") {
     val rows = TextOps.gopherFilter.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
