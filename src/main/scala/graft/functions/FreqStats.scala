@@ -76,15 +76,15 @@ object FreqStats {
     * replacing the O(n·w) interpreted slice/array_min HOF pipeline. Window
     * semantics mirror the DuckDB oracle: all length-w windows when there
     * are ≥ w k-grams, else the single whole-list window. */
-  def winnowPortable(text: UTF8String, k: Int, w: Int): InternalRow = {
+  private def winnowSet(text: UTF8String, k: Int, w: Int)
+      : java.util.LinkedHashSet[java.lang.Long] = {
     val n = text.numChars()
     val m = Math.max(1, n - k + 1)
     val md = md5tl.get()
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) { hs(i) = tokenHash60(md, text.substringSQL(i + 1, k)); i += 1 }
-    val set = new java.util.HashSet[java.lang.Long]()
-    var xorAcc = 0L
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
     val deque = new Array[Int](m)
     var head = 0
     var tail = 0
@@ -95,13 +95,32 @@ object FreqStats {
       deque(tail) = j
       tail += 1
       while (deque(head) < j - w + 1) head += 1
-      if (j >= firstEmit) {
-        val v = hs(deque(head))
-        if (set.add(v)) xorAcc ^= v
-      }
+      if (j >= firstEmit) set.add(hs(deque(head))): Unit
       j += 1
     }
+    set
+  }
+
+  def winnowPortable(text: UTF8String, k: Int, w: Int): InternalRow = {
+    val set = winnowSet(text, k, w)
+    var xorAcc = 0L
+    val it = set.iterator()
+    while (it.hasNext) xorAcc ^= it.next()
     new GenericInternalRow(Array[Any](set.size.toLong, xorAcc))
+  }
+
+  /** The distinct portable winnowing fingerprints themselves (same
+    * selection as [[winnowPortable]]) — the join key set for
+    * substring-level dedup: docs sharing ≥T fingerprints share, with high
+    * probability, ≥T distinct ~(k+w)-char verbatim runs. */
+  def winnowHashes(text: UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val set = winnowSet(text, k, w)
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Distinct 60-bit hashes of the word k-grams of `text` (single-space
@@ -266,6 +285,38 @@ case class WinnowPortable(child: Expression, kExpr: Expression,
     nullSafeCodeGen(ctx, ev, (s, k, w) =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
         s" graft.functions.FreqStats.winnowPortable($s, $k, $w);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(child = f, kExpr = s, wExpr = t)
+}
+
+/** winnow_hashes(string, k, w) → array<bigint>: the distinct portable
+  * winnowing fingerprints (see [[FreqStats.winnowHashes]]). k, w fold. */
+case class WinnowHashes(child: Expression, kExpr: Expression,
+    wExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = wExpr
+  override def prettyName: String = "winnow_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, kExpr.dataType, kExpr.foldable,
+      wExpr.dataType, wExpr.foldable) match {
+      case (StringType, IntegerType, true, IntegerType, true) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnow_hashes expects (string, int lit, int lit), got $other")
+    }
+
+  override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    FreqStats.winnowHashes(s.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k, w) =>
+      s"${ev.value} = graft.functions.FreqStats.winnowHashes($s, $k, $w);")
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(child = f, kExpr = s, wExpr = t)

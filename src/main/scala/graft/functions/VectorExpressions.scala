@@ -207,6 +207,7 @@ object GraftFunctions {
     "simhash60" -> (es => Simhash60Expr(es.head)),
     "winnow_portable" -> (es => WinnowPortable(es(0), es(1), es(2))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
+    "winnow_hashes" -> (es => WinnowHashes(es(0), es(1), es(2))),
     "bigram_freq_stats" -> (es => BigramFreqStatsExpr(es.head)),
     "quantile_rank" -> (es => QuantileRank(es(0), es(1))),
     "z_value" -> (es => ZValueExpr(es.head)))

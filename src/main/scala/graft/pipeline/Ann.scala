@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
+import graft.Materialize.PinOps
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -204,7 +205,7 @@ object Ann {
       java.util.concurrent.ConcurrentHashMap[String,
         java.lang.ref.SoftReference[(DataFrame, DataFrame)]]]())
 
-  /** Drop this session's memoized IVF index (its localCheckpoint blocks are
+  /** Drop this session's memoized IVF index (its pinned blocks are
     * released by the caller's persistent-RDD sweep — see
     * [[graft.SessionHygiene.sweep]]). */
   def clearIvfCache(s: SparkSession): Unit = {
@@ -232,7 +233,7 @@ object Ann {
       pair = if (cached != null) cached
         else {
           val (a, c) = trainIvf(e)
-          (a.localCheckpoint(), c.localCheckpoint())
+          (a.pinned(), c.pinned())
         }
       new java.lang.ref.SoftReference(pair)
     })

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
+import graft.Materialize.PinOps
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -128,7 +129,7 @@ object Dedup {
     GraftFunctions.register(d.sparkSession)
     val sigs =
       if (corpusKey.nonEmpty) signatures(d, corpusKey)
-      else signatureFrame(d).localCheckpoint()
+      else signatureFrame(d).pinned()
     val buckets = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bucket"))
     // Skew guard: drop degenerate hot buckets (see scaladoc).
@@ -253,11 +254,11 @@ object Dedup {
     // and without this the full candidate pipeline re-executes per round.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+      .pinned()
     var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .pinned()
     var converged = false
     var i = 0
     while (i < iterations && !converged) {
@@ -276,7 +277,7 @@ object Dedup {
         .select(col("doc_id"), col("prev"),
           least(col("prev"), coalesce(col("nlabel"), col("prev")))
             .as("label"))
-        .localCheckpoint()
+        .pinned()
       // min-label propagation is converged exactly when no label moved —
       // near-dup clusters are shallow, so this usually exits after 2
       // rounds instead of burning the full iteration budget (and when it
@@ -350,6 +351,66 @@ object Dedup {
           .cast("long").as("jaccard_e4"))
   }
 
+  // Substring-level dedup parameters: 20-char k-grams winnowed over
+  // 32-wide windows — a shared fingerprint witnesses a ~(k+w)≈50-char
+  // verbatim run; ≥3 shared fingerprints ⇒ substantial copied spans even
+  // when whole-doc Jaccard is low (the failure mode MinHash misses, and
+  // the reason training pipelines run substring dedup separately — Lee et
+  // al. 2021, "Deduplicating Training Data Makes Language Models Better").
+  val SubstrK = 20
+  val SubstrW = 32
+  val SubstrMaxDf = 50
+  val SubstrMinShared = 3
+
+  private val substringOracle =
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |h AS (SELECT doc_id, list_transform(
+       |        generate_series(1, greatest(1, n - ${SubstrK - 1})),
+       |        i -> (('0x' || substr(md5(substr(text, i, $SubstrK)), 1, 15))::BIGINT)) AS hs
+       |      FROM t),
+       |m AS (SELECT doc_id, list_distinct(list_transform(
+       |        generate_series(1, greatest(1, len(hs) - ${SubstrW - 1})),
+       |        j -> list_min(hs[j:j+${SubstrW - 1}]))) AS fps
+       |      FROM h),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+       |freq AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $SubstrMaxDf),
+       |e2 AS (SELECT e.doc_id, e.fp FROM e JOIN freq USING (fp)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(count(*) AS BIGINT) AS n_shared
+       |      FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM p
+       |WHERE n_shared >= $SubstrMinShared""".stripMargin
+
+  /** Substring (near-verbatim span) dedup via winnowing-fingerprint
+    * overlap: one codegen pass selects each doc's portable fingerprints
+    * (`winnow_hashes` — md5-prefix k-gram hashes, window minima), then
+    * candidates come from the fingerprint equi-join, never an all-pairs
+    * product. Fingerprints present in more than [[SubstrMaxDf]] docs are
+    * dropped before the join (boilerplate guard — same discipline as
+    * [[MaxBucket]]), mirrored in the oracle so both engines prune
+    * identically. Shuffle volume is O(docs × fingerprints) fixed-width
+    * longs. */
+  val substringDedup = Q("dedup_substring", substringOracle) { (s, dir) =>
+    GraftFunctions.register(s)
+    val e = docs(s, dir).select(col("doc_id"),
+      explode(call_function("winnow_hashes", col("text"),
+        lit(SubstrK), lit(SubstrW))).as("fp"))
+    val capped = e
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= SubstrMaxDf)
+      .select("doc_id", "fp")
+    val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= SubstrMinShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+  }
+
   /** Cluster resolution with a PORTABLE edge rule, so the whole
     * pairs→clusters→keep/drop operator is oracle-checked end-to-end: edges
     * connect docs sharing a 40-char text prefix (an equivalence relation →
@@ -381,5 +442,6 @@ object Dedup {
     resolveClusters(pairs)
   }
 
-  def all: Seq[Q] = Seq(exact, minhash, simhash, ngram, resolve, resolveSql)
+  def all: Seq[Q] =
+    Seq(exact, minhash, simhash, ngram, substringDedup, resolve, resolveSql)
 }

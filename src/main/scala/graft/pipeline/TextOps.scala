@@ -390,7 +390,91 @@ object TextOps {
           col("ml") < 3.9 || col("ml") > 5.1)).as("keep_doc"))
   }
 
+  // Benchmark-decontamination parameters: standard n-gram overlap check
+  // (flag a training doc if it shares any 8-word-gram with the eval set —
+  // the GPT-3/PaLM-style contamination rule). The synthetic eval split is
+  // doc_id % 10 == 0; a real pipeline feeds the benchmark table instead.
+  val DecontamN = 8
+  val DecontamEvalMod = 10
+
+  private val decontamOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        generate_series(1, greatest(1, len(toks) - ${DecontamN - 1})),
+       |        i -> array_to_string(toks[i:i+${DecontamN - 1}], ' ')))) AS g
+       |      FROM t),
+       |ev AS (SELECT doc_id, g FROM s WHERE doc_id % $DecontamEvalMod = 0),
+       |tr AS (SELECT doc_id, g FROM s WHERE doc_id % $DecontamEvalMod != 0)
+       |SELECT tr.doc_id AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared_ngrams,
+       |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+       |FROM tr JOIN ev ON tr.g = ev.g
+       |GROUP BY 1""".stripMargin
+
+  /** Eval-set decontamination: flag training docs sharing ≥1 word-8-gram
+    * with the eval split. The Spark side joins on the codegen'd 60-bit
+    * shingle hash (fixed-width shuffle; 2^-60 collision epsilon); the
+    * oracle joins on the gram strings — two independent paths to the same
+    * contamination set. At 100 TB the eval side is a benchmark corpus
+    * (tiny), so its gram set broadcasts and the check is one narrow pass
+    * over training shards. */
+  val decontam = Q("text_decontam", decontamOracle) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val grams = docs(s, dir).select(col("doc_id"),
+      explode(call_function("shingle_hashes", col("text"),
+        lit(DecontamN))).as("g"))
+    val ev = grams.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val tr = grams.filter(col("doc_id") % DecontamEvalMod =!= 0)
+    tr.join(ev, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_ngrams"),
+        countDistinct("eval_id").as("n_eval_docs"))
+  }
+
+  // PII scrubbing. The synthetic corpus carries no addresses, so the query
+  // plants deterministic ones from doc_id (same expression in the oracle):
+  // the redaction machinery — leftmost non-overlapping global regex
+  // replace, email pass then IP pass — is what's being verified, pinned by
+  // md5(redacted). Patterns stay inside the RE2 ∩ java.util.regex common
+  // subset (char classes, bounded repeats, \b) so both engines match
+  // identical spans.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private val redactOracle =
+    s"""WITH t AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id || '@example.com from 10.' ||
+       |    (doc_id % 256) || '.0.' || (doc_id % 100) AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw,
+       |    '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw,
+       |    '$IpRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(raw,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$IpRe', '<IP>', 'g')) AS redacted_md5
+       |FROM t""".stripMargin
+
+  /** PII redaction over text: count and mask emails and IPv4 addresses.
+    * Narrow codegen'd regex projection — no shuffle, the per-doc scrubbing
+    * shape. Output pins the full redacted text via md5, so the oracle
+    * verifies byte-identical masking, not just counts. */
+  val redactPii = Q("text_redact_pii", redactOracle) { (s, dir) =>
+    val raw = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com from 10."), col("doc_id") % 256, lit(".0."),
+      col("doc_id") % 100)
+    docs(s, dir).select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(IpRe)).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("raw"),
+          EmailRe, "<EMAIL>"), IpRe, "<IP>")).as("redacted_md5"))
+  }
+
   def all: Seq[Q] = Seq(stats, quality, tokenEstimate, langId, fingerprint,
     approxDistinct, kmvDistinct, kmvExact, heavyHitters, winnow, winnowExact,
-    repetition, topBigrams, gopherFilter)
+    repetition, topBigrams, gopherFilter, decontam, redactPii)
 }
