@@ -141,6 +141,44 @@ case class WinnowFingerprint(child: Expression, kExpr: Expression,
       t: Expression): Expression = copy(child = f, kExpr = s, wExpr = t)
 }
 
+/** dedup_sig(string, k, perms) → struct<shh: array<bigint>, sig:
+  * array<bigint>>: one-pass shingle-hash set + minhash signature (see
+  * VectorOps.dedupSig). k, perms must be foldable. */
+case class DedupSig(child: Expression, kExpr: Expression,
+    pExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = pExpr
+  override def prettyName: String = "dedup_sig"
+  override def dataType: DataType = StructType(Seq(
+    StructField("shh", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, kExpr.dataType, kExpr.foldable,
+      pExpr.dataType, pExpr.foldable) match {
+      case (StringType, IntegerType, true, IntegerType, true) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dedup_sig expects (string, int lit, int lit), got $other")
+    }
+
+  override def nullSafeEval(s: Any, k: Any, p: Any): Any =
+    VectorOps.dedupSig(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int], p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k, p) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s" graft.functions.VectorOps.dedupSig($s, $k, $p);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(child = f, kExpr = s, pExpr = t)
+}
+
 /** minhash_sig(array<string>, k) → array<bigint>: k-permutation MinHash
   * signature in one pass (see VectorOps.minhashSig). `k` must be foldable. */
 case class MinHashSig(child: Expression, kExpr: Expression)
@@ -188,6 +226,7 @@ object GraftFunctions {
     "l2_distance" -> (es => L2Distance(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
+    "dedup_sig" -> (es => DedupSig(es(0), es(1), es(2))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
     "kmv_distinct" -> (es =>

@@ -102,6 +102,56 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** One-pass dedup signature: tokenize on single spaces, build word-k-gram
+    * shingles, hash each once (fnv64 — the same string hash [[minhashSig]]
+    * uses), and emit BOTH the sorted distinct shingle-hash set (`shh`, the
+    * exact-Jaccard verify side) and the minhash signature. Replaces the
+    * interpreted split → transform(slice+concat_ws) → array_distinct →
+    * [xxhash64 transform + minhash_sig] chain with one codegen call — one
+    * text scan per document. `shh` values move from xxhash64 to fnv64:
+    * Jaccard over hashed distinct sets is hash-invariant (same 2^-64
+    * collision epsilon), and the minhash values are bit-identical to
+    * `minhash_sig` over the same shingle strings. */
+  def dedupSig(text: org.apache.spark.unsafe.types.UTF8String, k: Int,
+      perms: Int): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    require(perms <= MaxPerms, s"at most $MaxPerms minhash permutations")
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val m = Math.max(1, n - k + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val mins = Array.fill(perms)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k && i + j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = fnv64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 0L)
+      if (set.add(h)) {
+        var p = 0
+        while (p < perms) {
+          val v = splitmix64(h ^ permSeed(p))
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val shh = new Array[Long](set.size)
+    val it = set.iterator()
+    var q = 0
+    while (it.hasNext) { shh(q) = it.next(); q += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(shh),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)))
+  }
+
   /** Exact Jaccard of two SORTED-ascending distinct long arrays via a
     * single merge walk — O(n+m), no per-row hash sets (the
     * array_intersect/array_union formulation builds two hash maps per

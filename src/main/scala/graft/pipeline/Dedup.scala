@@ -74,15 +74,18 @@ object Dedup {
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   /** The one signature pipeline both persistence modes share: drift here
-    * (shingle hashing, size filter) would silently make cached and
-    * uncached runs of the same query disagree. */
-  private def signatureFrame(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("shh",
-        sort_array(array_distinct(transform(col("sh"), x => xxhash64(x)))))
-      .withColumn("sig", minhashSignature(col("sh")))
-      .drop("sh")
+    * (shingle hashing) would silently make cached and uncached runs of the
+    * same query disagree. One codegen'd `dedup_sig` pass per document
+    * (tokenize → shingle → fnv64 once per shingle → sorted distinct set +
+    * minhash signature) — the former HOF chain re-scanned each text
+    * several interpreted times. */
+  private def signatureFrame(d: DataFrame): DataFrame = {
+    GraftFunctions.register(d.sparkSession)
+    d.select(col("doc_id"),
+      call_function("dedup_sig", col("text"),
+        lit(ShingleK), lit(NumHashes)).as("ds"))
+      .select(col("doc_id"), col("ds.shh").as("shh"), col("ds.sig").as("sig"))
+  }
 
   // Signature temp dirs live for the process; without cleanup a long-lived
   // harness leaks one parquet dir per (session, corpus) PAST process exit.
@@ -396,11 +399,14 @@ object Dedup {
     val e = docs(s, dir).select(col("doc_id"),
       explode(call_function("winnow_hashes", col("text"),
         lit(SubstrK), lit(SubstrW))).as("fp"))
+    // pinned: both self-join sides read the materialized fingerprint index
+    // (fixed-width longs) instead of re-running winnow + the df window
     val capped = e
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .filter(col("df") <= SubstrMaxDf)
       .select("doc_id", "fp")
+      .pinned()
     val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
     val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, Seq("fp"))
