@@ -109,6 +109,32 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** sorted_overlap(array<bigint>, array<bigint>) → int: exact intersection
+  * size of two sorted distinct long arrays (see VectorOps.sortedOverlap). */
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sorted_overlap"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_overlap expects two array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.sortedOverlap($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** winnow_fingerprint(string, k, w) → array<bigint>: winnowing document
   * fingerprints (see VectorOps.winnow). k and w must be foldable. */
 case class WinnowFingerprint(child: Expression, kExpr: Expression,
@@ -228,6 +254,7 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "dedup_sig" -> (es => DedupSig(es(0), es(1), es(2))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
+    "sorted_overlap" -> (es => SortedOverlap(es(0), es(1))),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
     "kmv_distinct" -> (es =>
       KmvDistinct(es.head).toAggregateExpression()),

@@ -169,6 +169,23 @@ object VectorOps {
     inter.toDouble / (n + m - inter)
   }
 
+  /** Exact intersection size of two SORTED-ascending distinct long arrays
+    * (same merge walk as [[sortedJaccard]], but returning the integer count
+    * so callers can reproduce an oracle's `inter * 10000.0 / union`
+    * double arithmetic bit-for-bit instead of re-deriving it from a
+    * pre-divided ratio). */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) in one
     * pass: rolling FNV over char k-grams, then an O(n) monotonic-deque
     * sliding-window minimum, distinct results. The higher-order-function

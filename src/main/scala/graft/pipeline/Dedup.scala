@@ -331,27 +331,80 @@ object Dedup {
 
   val ngram = Q("dedup_ngram_jaccard", ngramOracle) { (s, dir) =>
     GraftFunctions.register(s)
-    // join on the 60-bit shingle hash, not the shingle string: the
-    // inverted-index shuffle then moves fixed-width longs, and the
-    // codegen'd shingle_hashes kernel builds+hashes each k-gram in one
-    // pass (the HOF chain cost ~0.6 ms/doc, re-run per join side);
-    // 2^-60 collisions are the accepted epsilon
-    val sh = docs(s, dir).select(col("doc_id"),
-      call_function("shingle_hashes", col("text"), lit(ShingleK)).as("sh"))
-    val e = sh.select(col("doc_id"),
-      explode(col("sh")).as("g"),
-      size(col("sh")).as("n"))
-    val a = e.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
-    val b = e.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
-    a.join(b, Seq("g"))
+    // Prefix-filtered exact similarity join (Chaudhuri/Ganti/Kaushik ICDE
+    // 2006; Xiao et al., PPJoin, WWW 2008). The naive inverted index (every
+    // shingle indexed) is quadratic in shingle doc-frequency — on a corpus
+    // with heavy duplication (the point of dedup!) the candidate join blew
+    // up 100× under the 10× sf1 replication (62 s). Instead:
+    //  - canonical order = (doc-frequency asc, hash): rarest first;
+    //  - index only each doc's first ⌊n/2⌋+1 tokens in that order. For any
+    //    pair with Jaccard ≥ 1/2, the smallest common token under the
+    //    order provably sits in BOTH prefixes (if it didn't, all I common
+    //    tokens would sit in a ⌈n/2⌉−1-token suffix, but I ≥ n/2), so the
+    //    prefix equi-join finds every qualifying pair — exactness
+    //    preserved, hot-token posting lists never joined;
+    //  - verify candidates exactly on the full sorted hash sets with the
+    //    codegen'd sorted_overlap merge walk.
+    // Joins move 60-bit shingle hashes (fixed-width; 2^-60 collision
+    // epsilon as documented); the oracle remains the straightforward
+    // full-index SQL — same result, independently derived.
+    // Exact-duplicate collapse BEFORE the similarity join: docs with the
+    // identical shingle set are one group (Jaccard 1 among members by
+    // definition), the join runs once per distinct set, and member pairs
+    // are expanded afterwards. On a duplicated corpus this is the dominant
+    // saving — the sf1 replication left 41M prefix candidates over raw
+    // docs but only ~1/100 of that over distinct sets. (At 100 TB a
+    // mega-duplicated boilerplate text makes the expanded within-group
+    // output itself quadratic — that's the operator's contract; the
+    // summary-level dedup_exact pass is the cheap alternative.)
+    val grouped = docs(s, dir).select(col("doc_id"),
+      sort_array(call_function("shingle_hashes", col("text"),
+        lit(ShingleK))).as("hs"))
+      .groupBy("hs")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+      .withColumn("n", size(col("hs")))
+      .pinned()
+    val sh = grouped.select(col("rep").as("doc_id"), col("hs"), col("n"))
+    val e = sh.select(col("doc_id"), explode(col("hs")).as("g"), col("n"))
+    val dfreq = e.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = e.join(dfreq, "g")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("n") / 2 + 1)
+      .select("doc_id", "g")
+    val candidates = prefix.select(col("doc_id").as("doc_a"), col("g"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"),
-        first("na").as("na"), first("nb").as("nb"))
+      .select("doc_a", "doc_b").distinct()
+    val repPairs = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter",
+        call_function("sorted_overlap", col("hs_a"), col("hs_b")).cast("long"))
       .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
           .cast("long").as("jaccard_e4"))
+    // expand groups back to member pairs
+    val withinPairs = grouped.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        lit(10000L).as("jaccard_e4"))
+    val crossPairs = repPairs
+      .join(grouped.select(col("rep").as("doc_a"), col("ids").as("ids_a")),
+        "doc_a")
+      .join(grouped.select(col("rep").as("doc_b"), col("ids").as("ids_b")),
+        "doc_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard_e4"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard_e4"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jaccard_e4"))
+    crossPairs.unionByName(withinPairs)
   }
 
   // Substring-level dedup parameters: 20-char k-grams winnowed over

@@ -42,15 +42,23 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("Cross"), s"cartesian product in dedup plan:\n$plan")
   }
 
-  test("ngram similarity join is an equi-join on hashed shingles") {
+  test("ngram prefix-filtered join is exact and joins hashes, not strings") {
     val df = Dedup.ngram.run(spark, sf0001)
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Cross"), s"cartesian product in ngram plan:\n$plan")
-    // the join key must be the 60-bit shingle hash, not the shingle string
-    // (fixed-width shuffle volume), built by the codegen'd kernel — one
-    // pass per doc, not an interpreted HOF chain per join side
-    assert(plan.contains("shingle_hashes"),
-      s"ngram join not on kernel-hashed shingles:\n$plan")
+    // candidates are verified exactly on the full sorted hash sets by the
+    // codegen'd merge-walk kernel (the prefix filter only prunes pairs that
+    // provably cannot reach Jaccard 1/2 — see Dedup.ngram)
+    assert(plan.contains("sorted_overlap"),
+      s"ngram verify not on the sorted_overlap kernel:\n$plan")
+    // prefix filtering + duplicate-set collapse must not change the result:
+    // exactly the brute-force all-pairs set at the query's J >= 0.5 gate
+    val got = df.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = brutePairs(0.5)
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    assert(got == truth, s"got=${got.size} truth=${truth.size}, " +
+      s"missing=${(truth -- got).take(5)}, extra=${(got -- truth).take(5)}")
   }
 
   test("simhash60 kernel matches the HOF majority-vote definition") {
