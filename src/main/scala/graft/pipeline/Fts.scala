@@ -61,23 +61,36 @@ object Fts {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
   }
 
-  /** BM25 top-k scoring of `queryTerms` against the corpus. Tokenizes
-    * ONCE: doc length is sum(tf) over the postings and the corpus stats
-    * derive from the lengths — three separate tokenizer passes over the
-    * text (the expensive part, especially cjk) collapsed into one. */
+  /** BM25 top-k scoring of `queryTerms` against the corpus. The ad-hoc
+    * path never materializes full postings: doc length is `size(tokens)`
+    * (a narrow per-row projection — no corpus-wide (doc, term) shuffle),
+    * and only tokens matching the query terms are exploded, so shuffle
+    * volume is O(query-term hits), not O(total tokens). That is the same
+    * skipping contract as the persisted index's MaxScore path: a query
+    * touches only its own terms' postings. Doc length rides along the
+    * tf aggregation, eliminating the docLen re-join. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       tokenizer: String = "whitespace"): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val post = postings(docs, tokenizer)
-    val docLen = post.groupBy("doc_id")
-      .agg(sum("tf").cast("double").as("len"))
-    val corpus = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+    import graft.Materialize.PinOps
+    // one tokenizer pass feeds len + query-term hits; pinned so the corpus
+    // stats and the scoring branch don't re-tokenize (the pin is O(n_docs)
+    // narrow rows — query-term hits only, never full postings)
+    val per = docs
+      .select(col("doc_id"), tokens(col("text"), tokenizer).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("double").as("len"),
+        filter(col("tk"), t => t.isInCollection(queryTerms)).as("qtk"))
+      .filter(col("len") > 0)
+      .pinned()
+    val corpus = per.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("len").as("avglen"))
-    val qp = post.filter(col("term").isin(queryTerms: _*))
+    val qp = per.filter(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("len"), explode(col("qtk")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("len").as("len"))
     val df_ = qp.groupBy("term")
-      .agg(countDistinct("doc_id").cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("df"))
     qp.join(broadcast(df_), "term")
-      .join(docLen, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
