@@ -449,25 +449,55 @@ object Dedup {
     * longs. */
   val substringDedup = Q("dedup_substring", substringOracle) { (s, dir) =>
     GraftFunctions.register(s)
-    val e = docs(s, dir).select(col("doc_id"),
-      explode(call_function("winnow_hashes", col("text"),
-        lit(SubstrK), lit(SubstrW))).as("fp"))
-    // pinned: both self-join sides read the materialized fingerprint index
-    // (fixed-width longs) instead of re-running winnow + the df window
-    val capped = e
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("df") <= SubstrMaxDf)
-      .select("doc_id", "fp")
+    // Duplicate-set collapse (same discipline as [[ngram]]): docs with an
+    // identical fingerprint set join once via a representative; member
+    // pairs are expanded afterwards. On a duplicated corpus the self-join
+    // otherwise goes quadratic in the duplication factor — the exact
+    // workload substring dedup exists for. Doc-frequency is preserved
+    // under the collapse by weighting each representative's fingerprints
+    // with its group size, so the boilerplate cap prunes identically.
+    val grouped = docs(s, dir).select(col("doc_id"),
+      sort_array(call_function("winnow_hashes", col("text"),
+        lit(SubstrK), lit(SubstrW))).as("fps"))
+      .groupBy("fps")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+      .withColumn("gsz", size(col("ids")))
       .pinned()
-    val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
-    a.join(b, Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val e = grouped.select(col("rep"), explode(col("fps")).as("fp"),
+      col("gsz"))
+    val dfreq = e.groupBy("fp").agg(sum("gsz").as("df"))
+    // capped: representative fingerprint index, boilerplate pruned exactly
+    // as the raw-doc df window would (fixed-width longs, pinned for the
+    // self-join)
+    val capped = e.join(dfreq.filter(col("df") <= SubstrMaxDf), "fp")
+      .select("rep", "fp")
+      .pinned()
+    val a = capped.select(col("rep").as("rep_a"), col("fp"))
+    val b = capped.select(col("rep").as("rep_b"), col("fp"))
+    val repPairs = a.join(b, Seq("fp"))
+      .filter(col("rep_a") < col("rep_b"))
+      .groupBy("rep_a", "rep_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= SubstrMinShared)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+    val crossPairs = repPairs
+      .join(grouped.select(col("rep").as("rep_a"), col("ids").as("ids_a")),
+        "rep_a")
+      .join(grouped.select(col("rep").as("rep_b"), col("ids").as("ids_b")),
+        "rep_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("n_shared"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("n_shared"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("n_shared"))
+    // within-group pairs share every capped fingerprint of the group
+    val withinPairs = capped.groupBy("rep")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= SubstrMinShared)
+      .join(grouped.filter(col("gsz") > 1).select("rep", "ids"), "rep")
+      .select(explode(col("ids")).as("x"), col("ids"), col("n_shared"))
+      .select(col("x"), explode(col("ids")).as("y"), col("n_shared"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), col("n_shared"))
+    crossPairs.unionByName(withinPairs)
   }
 
   /** Cluster resolution with a PORTABLE edge rule, so the whole
