@@ -121,21 +121,33 @@ object Dedup {
     s.read.parquet(path)
   }
 
-  /** Candidate pairs via LSH banding, then exact shingle-Jaccard verify.
-    * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
-    * `shh` = sorted hashed shingles: verification shuffles fixed-width
-    * longs instead of shingle strings, and exact Jaccard is a codegen'd
-    * merge walk (sorted_jaccard) rather than per-pair hash sets. Hash
-    * collisions (~2^-64 per shingle pair) are the usual accepted epsilon. */
-  def minhashDedup(d: DataFrame, threshold: Double,
-      corpusKey: String = ""): DataFrame = {
+  /** Shared core of [[minhashDedup]]/[[minhashEdges]]: collapse docs with
+    * an identical shingle-hash set to one representative (identical `shh` ⇒
+    * identical minhash signature ⇒ identical band buckets, and exact
+    * Jaccard 1 among members), then run LSH banding + exact verify over
+    * representatives only. Corpus duplication no longer inflates the
+    * candidate join or the array-carrying verify join — on the
+    * 50×-replicated bench corpus this is the difference between 124 s and
+    * seconds, and on a real crawl it is the mirror/boilerplate guard.
+    * Returns (grouped = one row per distinct shingle set with its member
+    * ids, repPairs = verified representative pairs ≥ threshold). */
+  private def minhashCollapsed(d: DataFrame, threshold: Double,
+      corpusKey: String): (DataFrame, DataFrame) = {
     GraftFunctions.register(d.sparkSession)
     val sigs =
       if (corpusKey.nonEmpty) signatures(d, corpusKey)
       else signatureFrame(d).pinned()
-    val buckets = sigs
+    val grouped = sigs.groupBy("shh")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"),
+        first("sig").as("sig"))
+      .withColumn("gsz", size(col("ids")))
+      .pinned()
+    val reps = grouped.select(col("rep").as("doc_id"), col("sig"), col("shh"))
+    val buckets = reps
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bucket"))
-    // Skew guard: drop degenerate hot buckets (see scaladoc).
+    // Skew guard: drop degenerate hot buckets (see scaladoc). Post-collapse
+    // the cap counts DISTINCT shingle sets per bucket — duplicates no
+    // longer eat into it, so it prunes genuine near-collision skew only.
     val sized = buckets
       .withColumn("bkt_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -147,13 +159,58 @@ object Dedup {
     val candidates = a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val shA = sigs.select(col("doc_id").as("doc_a"), col("shh").as("shh_a"))
-    val shB = sigs.select(col("doc_id").as("doc_b"), col("shh").as("shh_b"))
-    candidates.join(shA, "doc_a").join(shB, "doc_b")
+    val shA = reps.select(col("doc_id").as("doc_a"), col("shh").as("shh_a"))
+    val shB = reps.select(col("doc_id").as("doc_b"), col("shh").as("shh_b"))
+    val repPairs = candidates.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard",
         call_function("sorted_jaccard", col("shh_a"), col("shh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    (grouped, repPairs)
+  }
+
+  /** Candidate pairs via LSH banding, then exact shingle-Jaccard verify.
+    * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+    * `shh` = sorted hashed shingles: verification shuffles fixed-width
+    * longs instead of shingle strings, and exact Jaccard is a codegen'd
+    * merge walk (sorted_jaccard) rather than per-pair hash sets. Hash
+    * collisions (~2^-64 per shingle pair) are the usual accepted epsilon. */
+  def minhashDedup(d: DataFrame, threshold: Double,
+      corpusKey: String = ""): DataFrame = {
+    val (grouped, repPairs) = minhashCollapsed(d, threshold, corpusKey)
+    val within = grouped.filter(col("gsz") > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(grouped.select(col("rep").as("doc_a"), col("ids").as("ids_a")),
+        "doc_a")
+      .join(grouped.select(col("rep").as("doc_b"), col("ids").as("ids_b")),
+        "doc_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** Edge set whose connected components are identical to those of
+    * [[minhashDedup]]'s pair list, at O(docs + rep pairs) size instead of
+    * quadratic-in-duplication: verified representative pairs plus a star
+    * edge from each representative to its other members (group members are
+    * mutually connected through their representative, and the
+    * representative is the group's minimum id, so min-label propagation
+    * yields the same labels). The right input for cluster resolution over
+    * a duplicated corpus. */
+  def minhashEdges(d: DataFrame, threshold: Double,
+      corpusKey: String = ""): DataFrame = {
+    val (grouped, repPairs) = minhashCollapsed(d, threshold, corpusKey)
+    val star = grouped.filter(col("gsz") > 1)
+      .select(col("rep").as("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    repPairs.select("doc_a", "doc_b").unionByName(star)
   }
 
   /** Exact duplicate groups. Hash-groupBy on md5(text), NOT on the text
@@ -228,23 +285,50 @@ object Dedup {
 
   val simhash = Q("dedup_simhash", simhashOracle) { (s, dir) =>
     GraftFunctions.register(s)
-    val fp = docs(s, dir).select(col("doc_id"),
+    // Duplicate-fingerprint collapse: docs sharing a fingerprint share all
+    // four band buckets and pair at Hamming 0, so the band self-join runs
+    // over distinct fingerprints only and member pairs expand afterwards
+    // (the quadratic-in-duplication guard — same discipline as [[ngram]]
+    // and [[minhashDedup]]; 47 s → seconds on the 50×-replicated corpus).
+    val grouped = docs(s, dir).select(col("doc_id"),
       simhashFp60(split(col("text"), " ")).as("fp"))
-    val banded = fp.select(col("doc_id"), col("fp"),
+      .groupBy("fp")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+      .withColumn("gsz", size(col("ids")))
+      .pinned()
+    val banded = grouped.select(col("rep"), col("fp"),
       explode(array((0 until SimBands).map { band =>
         // bucket key = band index ++ that 15-bit slice
         lit(band.toLong << SimBandBits).bitwiseOR(
           shiftrightunsigned(col("fp"), band * SimBandBits)
             .bitwiseAND(lit(0x7fffL)))
       }: _*)).as("bucket"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val a = banded.select(col("rep").as("rep_a"), col("fp").as("fp_a"),
+      col("bucket"))
+    val b = banded.select(col("rep").as("rep_b"), col("fp").as("fp_b"),
+      col("bucket"))
+    val repPairs = a.join(b, Seq("bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
+    val within = grouped.filter(col("gsz") > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        lit(0L).as("hamming"))
+    val cross = repPairs
+      .join(grouped.select(col("rep").as("rep_a"), col("ids").as("ids_a")),
+        "rep_a")
+      .join(grouped.select(col("rep").as("rep_b"), col("ids").as("ids_b")),
+        "rep_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
+    cross.unionByName(within)
   }
 
   /** Resolve near-dup PAIRS into duplicate clusters and a keep/drop
@@ -293,11 +377,12 @@ object Dedup {
     labels.withColumn("keep", col("doc_id") === col("label"))
   }
 
-  /** End-to-end dedup decision over the corpus: minhash pairs → clusters →
-    * per-doc keep/drop. */
+  /** End-to-end dedup decision over the corpus: minhash clusters →
+    * per-doc keep/drop. Propagates labels over [[minhashEdges]] (rep pairs
+    * + duplicate-group stars — components identical to the full pair list,
+    * edge count linear in duplication) rather than the expanded pairs. */
   val resolve = Q.noOracle("dedup_resolve") { (s, dir) =>
-    val pairs = minhashDedup(docs(s, dir), 0.8, corpusKey = dir)
-    resolveClusters(pairs)
+    resolveClusters(minhashEdges(docs(s, dir), 0.8, corpusKey = dir))
       .groupBy("keep").agg(count(lit(1)).as("n_docs"))
   }
 
