@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on the 128 GiB box: 8g starved 32 concurrent hash-agg tasks
+  // into spill storms at >10M-group cardinalities (q18 at the 50× bench
+  // scale); 48g leaves headroom for sbt + the DuckDB oracle process.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

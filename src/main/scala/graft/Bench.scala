@@ -15,6 +15,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // compact table layouts (16-file sf1/sf5 bench dirs) bin-pack into a
+      // handful of 128 MB read tasks, idling most cores through the scan +
+      // partial-agg stage; 16 MB splits keep every core fed
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -10,6 +10,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // see Bench: keep scans parallel over compact file layouts
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -245,8 +245,16 @@ object TpchMore {
       |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
       |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
 
-  /** Q18: IN-subquery with GROUP BY + HAVING (q18.sql). */
-  val q18 = Q.sql(
+  /** Q18: IN-subquery with GROUP BY + HAVING (q18.sql). DataFrame form
+    * rather than Q.sql: Catalyst's subquery rewrite propagates the IN
+    * semi-join to BOTH orders and lineitem (transitive over o_orderkey =
+    * l_orderkey), computing the whole-lineitem HAVING aggregate twice and
+    * sort-merge-joining lineitem twice — 97 s at the 50× bench scale. This
+    * shape aggregates lineitem once, semi-joins orders against the
+    * qualifying keys, and inner-joins lineitem last, so AQE broadcasts the
+    * (small) qualified orders side into a single un-shuffled lineitem
+    * pass. */
+  val q18 = Q(
     "q18_in_having",
     """SELECT c_name, c_custkey, o_orderkey,
       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
@@ -258,7 +266,24 @@ object TpchMore {
       |GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
       |  o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey
-      |LIMIT 100""".stripMargin)
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val qual = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300)
+      .select(col("l_orderkey").as("qk"))
+    val ord = Tables.load(s, dir, "orders")
+      .join(qual, col("o_orderkey") === col("qk"), "left_semi")
+    ord.join(Tables.load(s, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .agg(sum("l_quantity").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
 
   /** Q19: OR of multi-column conjunctions (q19.sql, trimmed to available
     * columns — exercises disjunctive filter pushdown/CNF handling). */
