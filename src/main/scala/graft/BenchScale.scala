@@ -57,8 +57,10 @@ object BenchScale {
       Map("o_orderkey" -> oStride)))
     write("lineitem", replicate(Tables.load(spark, src, "lineitem"),
       Map("l_orderkey" -> oStride)))
-    // events.ts is physically timestamp[ns]; replicate it RAW (nanos long)
-    // so Tables.load's ns→micros conversion applies to the copy unchanged
+    // events.ts physical encoding varies by driver generation (timestamp[ns]
+    // → nanos long under the legacy conf, or timestamp[us] → NTZ); replicate
+    // it RAW so Tables.load's type-branching conversion applies to the copy
+    // unchanged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write("events", replicate(spark.read.parquet(s"$src/events.parquet"),
       Map("event_id" -> 100000000L)))

@@ -53,21 +53,34 @@ object Tables {
 
   /** Load one table raw — filters on its columns remain pushable.
     *
-    * `events.ts` is physically timestamp[ns] (FIXTURES.md §B), which Spark's
-    * parquet reader rejects; it is read as a nanosecond long (legacy conf)
-    * and converted to a microsecond TimestampType column. The conf is set
-    * outside the memoization so its effect doesn't depend on cache state. */
+    * `events.ts` has shipped in two physical encodings across driver
+    * generations: timestamp[ns] (which Spark's parquet reader rejects —
+    * read as a nanosecond long via the legacy conf and converted to
+    * microsecond TimestampType) and timestamp[us] (read natively as
+    * TIMESTAMP_NTZ — cast to TimestampType under the session's UTC zone,
+    * same instants). Branch on the actual parquet schema so either
+    * generation loads to the identical TimestampType column. The conf is
+    * set outside the memoization so its effect doesn't depend on cache
+    * state. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sessionCache(spark).computeIfAbsent((dir, name), _ =>
       if (name == "events") {
-        // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
-        // 2^53 exact range, so float division is ±1 µs off — invisible to
-        // window membership, fatal to exact-microsecond outputs (the
-        // as-of join's gap_us exposed it against DuckDB's integer ns→µs)
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a
+            // double's 2^53 exact range, so float division is ±1 µs off —
+            // invisible to window membership, fatal to exact-microsecond
+            // outputs (the as-of join's gap_us exposed it against DuckDB's
+            // integer ns→µs)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => raw
+        }
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       })
