@@ -716,9 +716,9 @@ final class LakeDataset private (
     // SQL DELETE three-valued semantics: delete only where pred IS TRUE, so
     // keep rows where it is FALSE or NULL — a bare !pred would silently drop
     // NULL-evaluating rows (NOT(NULL) = NULL is filtered out).
-    val remaining = readFragments(m, touched.map(_._1), withRowId = true)
-      .filter(!coalesce(pred, lit(false)))
-    val (frags, _) = stageFragments(toPhysicalPreservingRowId(remaining, m), m)
+    val frags = stageRewriteGroups(touched.map(_._1), g =>
+      readFragments(m, g, withRowId = true)
+        .filter(!coalesce(pred, lit(false))))
     commitRewrite(OpKind.DeleteUpdate, touchedIds, frags, "delete")
     touched.map(_._2).sum
   }
@@ -734,12 +734,11 @@ final class LakeDataset private (
     val touched = matchedFragments(candidates, pred)
     if (touched.isEmpty) return 0L
     val touchedIds = touched.map(_._1.id).toSet
-    val rewritten = set.foldLeft(
-      readFragments(m, touched.map(_._1), withRowId = true)) {
-      case (df, (c, e)) =>
-        df.withColumn(c, when(pred, expr(e)).otherwise(col(c)))
-    }
-    val (frags, _) = stageFragments(toPhysicalPreservingRowId(rewritten, m), m)
+    val frags = stageRewriteGroups(touched.map(_._1), g =>
+      set.foldLeft(readFragments(m, g, withRowId = true)) {
+        case (df, (c, e)) =>
+          df.withColumn(c, when(pred, expr(e)).otherwise(col(c)))
+      })
     commitRewrite(OpKind.DeleteUpdate, touchedIds, frags, "update")
     touched.map(_._2).sum
   }
@@ -1975,6 +1974,57 @@ final class LakeDataset private (
       .sorted
       .map(stage.resolve)
     adoptStagedFiles(parts, man, Some(stage))
+  }
+
+  /** Copy-on-write rewrite with job-level chunking (SCALE.md "what breaks
+    * first" #1): a predicate that touches most of a 100 TB dataset must not
+    * rewrite it in ONE Spark job — staging temp space, shuffle state, and
+    * the failure blast radius all scale with the touched set. Touched
+    * fragments are greedily packed into groups of at most
+    * `spark.graft.dml.rewriteGroupRows` rows (default 2^28 ≈ 268M — tens of
+    * GB per group at typical row widths; tests shrink it to exercise the
+    * split); each group is read, rewritten by `rewrite`, and staged as its
+    * OWN Spark job (with one driver-level retry for transient job faults),
+    * and the results land in a SINGLE atomic commit, so readers never see a
+    * partial update. On abort, already-staged group files are deleted
+    * eagerly (they are unreferenced by any manifest, so vacuum would also
+    * collect them). Fragment ids are renumbered after all groups complete —
+    * per-group staging would otherwise hand out colliding ids since each
+    * group stages against the same base manifest. */
+  private def stageRewriteGroups(touched: Seq[Fragment],
+      rewrite: Seq[Fragment] => DataFrame): Seq[Fragment] = {
+    val maxRows = spark.conf.get("spark.graft.dml.rewriteGroupRows",
+      (1L << 28).toString).toLong
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Fragment])
+    var rows = 0L
+    touched.foreach { f =>
+      if (groups.last.nonEmpty && rows + f.rowCount > maxRows) {
+        groups += scala.collection.mutable.ArrayBuffer.empty[Fragment]
+        rows = 0L
+      }
+      groups.last += f
+      rows += f.rowCount
+    }
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Fragment]
+    try {
+      groups.filter(_.nonEmpty).foreach { g =>
+        val frags =
+          try stageFragments(toPhysicalPreservingRowId(rewrite(g.toSeq), m), m)._1
+          catch { case scala.util.control.NonFatal(_) =>
+            stageFragments(toPhysicalPreservingRowId(rewrite(g.toSeq), m), m)._1
+          }
+        staged ++= frags
+      }
+    } catch {
+      case e: Throwable =>
+        staged.foreach(f =>
+          try io.delete(rootPath.resolve(f.file))
+          catch { case scala.util.control.NonFatal(_) => () })
+        throw e
+    }
+    var nid = m.maxFragmentId
+    staged.toSeq.map { f => nid += 1; f.copy(id = nid) }
   }
 
   /** Adopt already-written physical-schema parquet files (from a staging

@@ -1,0 +1,80 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Job-level chunking of copy-on-write DELETE/UPDATE (SCALE.md "what breaks
+  * first" #1): touched fragments are rewritten in bounded-row groups — each
+  * its own Spark job — but all land in ONE atomic commit. */
+class ChunkedRewriteSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("lake-chunked-").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType)))
+
+  private def rows(r: (Long, Double)*) = {
+    val data = new java.util.ArrayList[Row]()
+    r.foreach { case (i, s) => data.add(Row(i, s)) }
+    spark.createDataFrame(data, schema)
+  }
+
+  private def withGroupRows[A](n: Long)(body: => A): A =
+    try {
+      spark.conf.set("spark.graft.dml.rewriteGroupRows", n.toString)
+      body
+    } finally spark.conf.unset("spark.graft.dml.rewriteGroupRows")
+
+  test("whole-table update splits into per-group jobs, commits once") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    (0 until 4).foreach { k =>
+      ds.append(rows((k * 10L, 1.0), (k * 10L + 1, 2.0), (k * 10L + 2, 3.0)))
+    }
+    val vBefore = ds.version
+    val ridsBefore = ds.scanner().withRowId.build()
+      .select("id", "_rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 fragments × 3 rows, groups capped at 3 rows → 4 groups, each
+    // staged by its own job; every group yields ≥1 fragment
+    val matched = withGroupRows(3) { ds.update("score < 10", Map("score" -> "score + 100")) }
+    assert(matched == 12)
+    assert(ds.version == vBefore + 1, "chunked rewrite must commit exactly once")
+    assert(ds.manifest.fragments.size >= 4)
+    assert(ds.manifest.fragments.map(_.id).distinct.size ==
+      ds.manifest.fragments.size, "fragment ids must stay unique across groups")
+    val after = ds.scanner().withRowId.build()
+      .select("id", "score", "_rowid").collect()
+    assert(after.length == 12)
+    assert(after.forall(_.getDouble(1) > 100))
+    // stable rowids survive the grouped rewrite
+    after.foreach(r => assert(ridsBefore(r.getLong(0)) == r.getLong(2)))
+  }
+
+  test("grouped delete keeps 3VL semantics and drops only matching rows") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    (0 until 3).foreach { k =>
+      ds.append(rows((k * 10L, k.toDouble), (k * 10L + 1, k + 0.5)))
+    }
+    // a NULL-evaluating row must survive (delete only where pred IS TRUE)
+    ds.append(spark.createDataFrame(
+      java.util.List.of(Row(99L, null)), schema))
+    val deleted = withGroupRows(2) { ds.delete("score < 1.0") }
+    assert(deleted == 2) // 0.0 and 0.5
+    val left = ds.read().select("id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(10L, 11L, 20L, 21L, 99L))
+  }
+
+  test("group sizing: single group when under the bound (fast path intact)") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    ds.append(rows((1, 1.0), (2, 2.0)))
+    val vBefore = ds.version
+    assert(ds.update("id = 1", Map("score" -> "0.0")) == 1)
+    assert(ds.version == vBefore + 1)
+    assert(ds.read().filter("id = 1").collect().head.getDouble(1) == 0.0)
+  }
+}
