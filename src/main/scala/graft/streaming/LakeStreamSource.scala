@@ -14,11 +14,22 @@ import org.apache.spark.sql.types.StructType
   *
   * Batch semantics:
   *  - The first batch is the full snapshot at the source's current version
-  *    (Delta's initial-snapshot behavior).
+  *    (Delta's initial-snapshot behavior) — unless `startingVersion` is set
+  *    (a version number, or `latest`), in which case the snapshot is
+  *    skipped and the stream tails commits after that version. At 100 TB
+  *    the snapshot is the whole table; `startingVersion=latest` is how a
+  *    new consumer attaches without reading it.
   *  - Every later batch is the NET inserted rows between two versions,
   *    computed by the manifest-diff change feed ([[LakeDataset.changes]]):
   *    only fragments added in the range are read, so a batch costs IO
   *    proportional to what was committed, never to the table.
+  *  - `maxVersionsPerTrigger=N` caps each micro-batch at N commits
+  *    (Delta's maxFilesPerTrigger analogue): a stream catching up on a
+  *    large backlog drains it in bounded batches instead of one giant one.
+  *    The cap binds from the second trigger of a fresh process onward
+  *    (the legacy Source API doesn't expose the checkpointed offset before
+  *    the first getBatch, so a restart's first catch-up batch is uncapped
+  *    unless the engine replays an incomplete batch first).
   *  - Commits that deleted or rewrote rows poison an append-only tail; the
   *    source refuses them (metadata-only check against the commit log)
   *    unless the reader opted in with `skipChangeCommits=true` — Delta's
@@ -29,39 +40,73 @@ import org.apache.spark.sql.types.StructType
   * `getBatch` is a pure function of (startVersion, endVersion] over
   * immutable manifests — replays reproduce the same rows. */
 final class LakeStreamSource(sqlContext: SQLContext, root: String,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    startingVersion: Option[String] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   private val spark = sqlContext.sparkSession
 
   override val schema: StructType =
     LakeDataset.open(spark, root).schema
 
-  override def getOffset: Option[LegacyOffset] =
-    Some(LongOffset(LakeDataset.open(spark, root).version))
+  /** Resolved snapshot-skip point: tail from (exclusive) this version. */
+  private val startV0: Option[Long] = startingVersion.map {
+    case s if s.equalsIgnoreCase("latest") =>
+      LakeDataset.open(spark, root).version
+    case s =>
+      val v = s.toLong
+      val cur = LakeDataset.open(spark, root).version
+      require(v >= 1 && v <= cur,
+        s"lake stream at $root: startingVersion=$v outside retained range 1..$cur")
+      v
+  }
+
+  /** Highest version handed to the engine (offset or batch end) by THIS
+    * process — the rate-limit base. Not checkpointed: after a restart the
+    * first getBatch (incomplete-batch replay) or first getOffset re-seeds
+    * it. */
+  @volatile private var lastEnd: Option[Long] = None
+
+  override def getOffset: Option[LegacyOffset] = {
+    val cur = LakeDataset.open(spark, root).version
+    val capped = (maxVersionsPerTrigger, lastEnd) match {
+      case (Some(n), Some(prev)) => math.min(cur, prev + n)
+      case _ => cur
+    }
+    lastEnd = Some(capped)
+    Some(LongOffset(capped))
+  }
 
   private def versionOf(o: LegacyOffset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong // SerializedOffset after restart
   }
 
+  private def tail(ds: LakeDataset, startV: Long, endV: Long): DataFrame = {
+    if (!skipChangeCommits) {
+      val changers = ds.changeCommitsBetween(startV, endV)
+      require(changers.isEmpty,
+        s"lake stream at $root: versions ${changers.map(_._1).mkString(",")} " +
+          s"contain non-append operations (${changers.map(_._2).distinct.mkString(", ")}); " +
+          "set skipChangeCommits=true to stream net inserts only")
+    }
+    ds.changes(startV, endV)
+      .filter(col("_change_type") === "insert")
+      .drop("_rowid", "_change_type")
+  }
+
   override def getBatch(start: Option[LegacyOffset],
       end: LegacyOffset): DataFrame = {
     val endV = versionOf(end)
+    lastEnd = Some(math.max(endV, lastEnd.getOrElse(endV)))
     val ds = LakeDataset.open(spark, root)
     val batch = start match {
-      case None => ds.readVersion(endV) // initial snapshot
-      case Some(s) =>
-        val startV = versionOf(s)
-        if (!skipChangeCommits) {
-          val changers = ds.changeCommitsBetween(startV, endV)
-          require(changers.isEmpty,
-            s"lake stream at $root: versions ${changers.map(_._1).mkString(",")} " +
-              s"contain non-append operations (${changers.map(_._2).distinct.mkString(", ")}); " +
-              "set skipChangeCommits=true to stream net inserts only")
+      case None =>
+        startV0 match {
+          case Some(v) => tail(ds, math.min(v, endV), endV) // snapshot skipped
+          case None => ds.readVersion(endV) // initial snapshot
         }
-        ds.changes(startV, endV)
-          .filter(col("_change_type") === "insert")
-          .drop("_rowid", "_change_type")
+      case Some(s) => tail(ds, versionOf(s), endV)
     }
     // Schema evolution mid-stream changes the output shape; fail with the
     // real reason instead of the engine's attribute-mismatch assertion.
@@ -102,8 +147,15 @@ object LakeStreamSource {
       parameters: Map[String, String]): LakeStreamSource = {
     val root = opt(parameters, "path").getOrElse(
       throw new IllegalArgumentException("lake stream: 'path' is required"))
+    val maxV = opt(parameters, "maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n >= 1, s"lake stream: maxVersionsPerTrigger=$n must be >= 1")
+      n
+    }
     new LakeStreamSource(sqlContext, root,
-      opt(parameters, "skipChangeCommits").exists(_.toBoolean))
+      opt(parameters, "skipChangeCommits").exists(_.toBoolean),
+      opt(parameters, "startingVersion"),
+      maxV)
   }
 
   def sourceSchema(sqlContext: SQLContext,

@@ -187,4 +187,88 @@ class LakeStreamSourceSpec extends SparkTestBase {
       assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
     } finally q.stop()
   }
+
+  test("startingVersion=latest skips the initial snapshot") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "old"), (2, "old")))
+
+    val q = spark.readStream.format("lake")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("lake_latest")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_latest").count() == 0) // no snapshot
+      ds.append(rows((3, "new")))
+      q.processAllAvailable()
+      val got = spark.table("lake_latest").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((3L, "new"))) // only post-attach commits
+    } finally q.stop()
+  }
+
+  test("numeric startingVersion tails from that commit, no snapshot") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema) // v1
+    ds.append(rows((1, "a"))) // v2
+    ds.append(rows((2, "b"))) // v3
+
+    // tail from (exclusive) v2: only v3's rows, never v2's
+    val q = spark.readStream.format("lake")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName("lake_from_v2")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lake_from_v2").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((2L, "b")))
+    } finally q.stop()
+
+    // out-of-range startingVersion fails fast with the retained range
+    val ex = intercept[Exception] {
+      val bad = spark.readStream.format("lake")
+        .option("startingVersion", "99").load(root)
+        .writeStream.format("memory").queryName("lake_bad_sv")
+        .option("checkpointLocation", tmpDir())
+        .start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(msgs.contains("startingVersion"), msgs)
+  }
+
+  test("maxVersionsPerTrigger drains a backlog in bounded batches") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "a")))
+
+    val q = spark.readStream.format("lake")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName("lake_rate")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable() // snapshot batch seeds the rate-limit base
+      // backlog of 3 commits while the source is idle
+      ds.append(rows((2, "b")))
+      ds.append(rows((3, "c")))
+      ds.append(rows((4, "d")))
+      q.processAllAvailable()
+      val got = spark.table("lake_rate").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      // one commit per micro-batch: the 3-commit backlog took 3 data
+      // batches after the snapshot (4 non-empty batches total)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4,
+        s"expected 4 rate-limited data batches, saw $dataBatches: " +
+          q.recentProgress.map(p => p.batchId -> p.numInputRows).mkString(", "))
+    } finally q.stop()
+  }
 }
