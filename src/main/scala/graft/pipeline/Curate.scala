@@ -220,5 +220,54 @@ object Curate {
       .orderBy("pack_id")
   }
 
-  def all: Seq[Q] = Seq(hashSample, split, tokenBudget, chunk, pack)
+  /** Target-proportion source mixing — the data-dependent half of a mixing
+    * recipe ([[hashSample]] is the fixed-rate half): derive each source's
+    * acceptance rate FROM observed counts so the kept corpus approaches
+    * EQUAL shares per source (the uniform recipe; any weight vector slots
+    * into the same shape), then keep each doc iff hash16(doc_id) < rate.
+    * Sources already at/below their target share keep everything
+    * (rate = 65536); over-represented sources are down-sampled toward
+    * total/n_sources docs.
+    *
+    * 100 TB shape: the rate table is one row per SOURCE (tiny) — computed
+    * with one count aggregation and windowed totals over that tiny table,
+    * then broadcast-joined onto the corpus for a narrow per-row filter. No
+    * shuffle touches full rows except the final per-source count. Integer
+    * arithmetic throughout (rate = 65536·total ÷ (n_sources·count_s),
+    * floor division) so Spark and DuckDB agree bit-for-bit. */
+  val mix = Q(
+    "curate_mix",
+    """WITH counts AS (
+      |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source, cnt,
+      |    CAST(least(65536,
+      |      (65536 * sum(cnt) OVER ()) // (count(*) OVER () * cnt))
+      |      AS BIGINT) AS rate16
+      |  FROM counts)
+      |SELECT d.source, r.rate16,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+      |FROM documents d JOIN rates r ON d.source = r.source
+      |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+      |    AS INT) < r.rate16
+      |GROUP BY d.source, r.rate16""".stripMargin) { (s, dir) =>
+    val counts = docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"), count(lit(1)).as("nsrc"))
+    // integer `div`, not `/`: long `/` is double division in Spark, and at
+    // corpus scale 65536·total can exceed a double's 2^53 exact range
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(65536L),
+          expr("(65536 * total) div (nsrc * cnt)")).as("rate16"))
+    docs(s, dir)
+      .join(broadcast(rates), "source")
+      .filter(hash16 < col("rate16"))
+      .groupBy("source", "rate16")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").cast("long").as("chars_kept"))
+  }
+
+  def all: Seq[Q] = Seq(hashSample, split, tokenBudget, chunk, pack, mix)
 }
