@@ -348,7 +348,15 @@ private[lake] final class LakeScanBuilder(root: String,
   private def batchScan(): Scan = new V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     private val spark = SparkSession.active
-    private val ds = LakeDataset.open(spark, root)
+    // Chunk-pruned open (skips whole manifest chunks the pushed predicate
+    // excludes, never reading them) for latest-version reads; time-travel
+    // pins a historical manifest and keeps the full open.
+    private val timeTravel = Option(options.get("versionAsOf"))
+      .orElse(Option(options.get("tag"))).isDefined
+    private val ds =
+      if (timeTravel || predicates.isEmpty) LakeDataset.open(spark, root)
+      else LakeDataset.openPruned(spark, root,
+        Some(predicates.mkString(" AND ")))
     private val man = new LakeDataSource().pinnedManifest(ds, options)
     private val outSchema = required.getOrElse(LakeDataset.logicalSchema(man))
 

@@ -56,7 +56,11 @@ object HardLinkCommitHandler extends CommitHandler {
 final class LakeDataset private (
     val spark: SparkSession,
     val root: String,
-    private var m: Manifest) {
+    private var m: Manifest,
+    /** True for handles from [[LakeDataset.openPruned]]: the manifest holds
+      * only the chunk-surviving fragment subset, so committing from it
+      * would silently drop every pruned fragment — commits are refused. */
+    private val partial: Boolean = false) {
 
   import LakeDataset._
 
@@ -1667,6 +1671,24 @@ final class LakeDataset private (
     }
   }
 
+  /** Chunk-granularity pruning over ChunkRef aggregate stats — the same
+    * probes as [[pruneFragments]], applied to a pseudo-fragment built from
+    * each chunk's min-of-mins/max-of-maxes. A ref without stats (legacy) is
+    * always kept. Used by [[LakeDataset.openPruned]] to decide which chunk
+    * files to read AT ALL. */
+  private[lake] def pruneChunks(man: Manifest, refs: Seq[ChunkRef],
+      predicate: String): Seq[ChunkRef] = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    val byName = man.fields.map(f => f.name -> f).toMap
+    val conjuncts = splitAnd(parsed).map(coerceLiterals(_, byName))
+    refs.filter { ref =>
+      ref.stats.isEmpty || {
+        val pseudo = Fragment(-1L, ref.file, ref.count, ref.stats)
+        conjuncts.forall(c => mayMatch(pseudo, byName, c))
+      }
+    }
+  }
+
   /** The parsed predicate is UNRESOLVED — no analyzer coercion ever runs —
     * so `ts >= '2026-01-01'` arrives with a STRING literal while the stat
     * is epoch micros, and a raw lexical compare would prune fragments that
@@ -2108,6 +2130,10 @@ final class LakeDataset private (
   }
 
   private def commit(next: Manifest): Unit = {
+    require(!partial,
+      "this handle was opened chunk-pruned (openPruned) and holds a partial " +
+        "fragment list; committing would drop the pruned fragments — " +
+        "use LakeDataset.open for writes")
     val (mat, content) = LakeDataset.encodeManifest(io, rootPath, next,
       parent = Some(m), chunkSize = manifestChunkSize,
       threshold = manifestChunkThreshold)
@@ -2305,15 +2331,49 @@ object LakeDataset {
   def open(spark: SparkSession, path: String): LakeDataset =
     new LakeDataset(spark, path, loadLatest(new Path(path)))
 
+  /** Read-only open that consults per-chunk aggregate stats BEFORE reading
+    * chunk files: chunks whose min/max range a conjunct of `predicate`
+    * excludes are never read or parsed, so open cost on a chunk-encoded
+    * table scales with the chunks a query can touch, not the table
+    * (SCALE.md "manifest-list split" tail gap; Iceberg's manifest-list
+    * partition summaries). The returned handle carries only the surviving
+    * fragments and REFUSES commits — writers must use [[open]]. Falls back
+    * to a plain full open when the table isn't chunk-encoded, no predicate
+    * is given, or nothing can be skipped. */
+  def openPruned(spark: SparkSession, path: String,
+      predicate: Option[String]): LakeDataset = {
+    val root = new Path(path)
+    val io = LakeIO.forRoot(root.toString,
+      spark.sparkContext.hadoopConfiguration)
+    val slim = latestSlim(io, root)
+    if (slim.chunkFiles.isEmpty || predicate.isEmpty)
+      new LakeDataset(spark, path, decodeManifest(io, root, slim))
+    else {
+      val probe = new LakeDataset(spark, path, slim.copy(fragments = Nil),
+        partial = true)
+      val keep = probe.pruneChunks(slim, slim.chunkFiles, predicate.get)
+      if (keep.size == slim.chunkFiles.size)
+        new LakeDataset(spark, path, decodeManifest(io, root, slim))
+      else new LakeDataset(spark, path,
+        decodeManifest(io, root, slim.copy(chunkFiles = keep)),
+        partial = true)
+    }
+  }
+
   private[lake] def loadLatest(root: Path): Manifest = {
     val io = LakeIO.forRoot(root.toString)
+    decodeManifest(io, root, latestSlim(io, root))
+  }
+
+  /** Latest version file, parsed but NOT chunk-decoded. */
+  private def latestSlim(io: LakeIO, root: Path): Manifest = {
     val dir = root.resolve("_manifests")
     require(io.exists(dir), s"no dataset at $root")
     val latest = io.listNames(dir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .maxOption
       .getOrElse(throw new IllegalArgumentException(s"no manifests in $dir"))
-    decodeManifest(io, root, Manifest.fromJson(io.readString(dir.resolve(latest))))
+    Manifest.fromJson(io.readString(dir.resolve(latest)))
   }
 
   private[lake] def loadVersion(root: Path, v: Long): Manifest = {
@@ -2360,9 +2420,67 @@ object LakeDataset {
     frags
   }
 
+  /** Bounded daemon pool for chunk-file decode: open latency on a
+    * chunk-encoded table divides by the pool width instead of paying one
+    * serial read+parse per chunk. */
+  private lazy val chunkDecodeEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, Runtime.getRuntime.availableProcessors()),
+        (r: Runnable) => {
+          val t = new Thread(r, "lake-chunk-decode")
+          t.setDaemon(true)
+          t
+        }))
+
   private def decodeManifest(io: LakeIO, root: Path, m: Manifest): Manifest =
     if (m.chunkFiles.isEmpty) m
-    else m.copy(fragments = m.chunkFiles.flatMap(readChunk(io, root, _)))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val futs = m.chunkFiles.map(ref =>
+        Future(readChunk(io, root, ref))(chunkDecodeEc))
+      m.copy(fragments =
+        futs.flatMap(f => Await.result(f, Duration.Inf)))
+    }
+
+  /** Aggregate a chunk's fragments' zonemap stats into one ColumnStats per
+    * field: min of mins, max of maxes, summed null counts. A field is
+    * DROPPED from the chunk stats (= unknown, never pruned on) when any
+    * fragment lacks stats for it, or when a numeric/timestamp stat string
+    * fails numeric parse (legacy session-timezone timestamp renders) —
+    * conservative by construction. Ordering matches [[mayMatch]]'s probes:
+    * numeric fields and epoch-micros timestamps compare as BigDecimal,
+    * everything else (ISO dates, strings, booleans) lexically. */
+  private[lake] def aggChunkStats(fields: Seq[FieldDef],
+      frags: Seq[Fragment]): Map[String, ColumnStats] = {
+    if (frags.isEmpty) return Map.empty
+    fields.flatMap { f =>
+      val key = f.id.toString
+      val per = frags.map(_.stats.get(key))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val ss = per.flatten
+        val numeric = DataType.fromJson(f.dataType) match {
+          case _: NumericType | TimestampType => true
+          case _ => false
+        }
+        // all-null fragments contribute no values: fold over defined ends
+        def agg(vals: Seq[String], takeMin: Boolean): Option[Option[String]] =
+          if (vals.isEmpty) Some(None)
+          else if (numeric) {
+            try {
+              val bd = vals.map(v => (BigDecimal(v), v))
+              Some(Some((if (takeMin) bd.minBy(_._1) else bd.maxBy(_._1))._2))
+            } catch { case _: NumberFormatException => None }
+          } else Some(Some(if (takeMin) vals.min else vals.max))
+        for {
+          mn <- agg(ss.flatMap(_.min), takeMin = true)
+          mx <- agg(ss.flatMap(_.max), takeMin = false)
+        } yield key -> ColumnStats(mn, mx, ss.map(_.nullCount).sum)
+      }
+    }.toMap
+  }
 
   /** Returns (the materialized manifest to keep in memory, the version-file
     * JSON to publish). Inline below `threshold`; chunked above, reusing
@@ -2382,6 +2500,11 @@ object LakeDataset {
         fs.size >= (chunkSize + 1) / 2 &&
           fs.forall(f => nextById.get(f.id).contains(f)) &&
           { used ++= fs.map(_.id); true }
+      }.map { case (ref, fs) =>
+        // legacy refs predate chunk stats: fill from the in-memory
+        // fragments so older tables gain chunk skipping on their next commit
+        (if (ref.stats.nonEmpty) ref
+         else ref.copy(stats = aggChunkStats(next.fields, fs))) -> fs
       }
       val rest = next.fragments.filterNot(f => used.contains(f.id))
       val dir = chunksDirOf(root)
@@ -2400,7 +2523,7 @@ object LakeDataset {
           try io.publishAtomic(p, content)
           catch { case _: CommitConflictException => () }
         }
-        ChunkRef(name, fs.size.toLong) -> fs
+        ChunkRef(name, fs.size.toLong, aggChunkStats(next.fields, fs)) -> fs
       }.toSeq
       val groups = reused ++ fresh
       val slim = next.copy(fragments = Nil, chunkFiles = groups.map(_._1))

@@ -44,8 +44,14 @@ final case class FieldDef(id: Int, name: String, dataType: String,
   * `file` under `_manifests/chunks/`, holding `count` fragments as JSON
   * lines. Content-addressed (name = hash of content), so an unchanged
   * chunk is re-listed by later versions at zero IO — commit cost is
-  * O(delta), not O(table). */
-final case class ChunkRef(file: String, count: Long)
+  * O(delta), not O(table). `stats` aggregates the chunk's fragments'
+  * zonemap stats (min of mins / max of maxes / summed null counts, keyed
+  * by field id) so a pruned open can skip a whole chunk — never reading
+  * or parsing it — when a predicate excludes its aggregate range (the
+  * Iceberg manifest-list partition-summary move). Empty map = unknown
+  * (legacy chunk refs): never skipped. */
+final case class ChunkRef(file: String, count: Long,
+    stats: Map[String, ColumnStats] = Map.empty)
 
 final case class Manifest(
     version: Long,

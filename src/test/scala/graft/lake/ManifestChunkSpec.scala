@@ -142,6 +142,75 @@ class ManifestChunkSpec extends SparkTestBase {
     }
   }
 
+  test("chunk refs carry aggregate stats; openPruned skips excluded chunks") {
+    withChunking(threshold = 2, size = 2) {
+      val ds = newDs()
+      // 6 fragments with disjoint ascending id ranges → 3 chunks with
+      // disjoint aggregate id ranges
+      (0 until 6).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val stored = storedManifest(ds, ds.version)
+      assert(stored.chunkFiles.nonEmpty &&
+        stored.chunkFiles.map(_.count).sum == 6)
+      val idField = ds.manifest.fields.find(_.name == "id").get.id.toString
+      assert(stored.chunkFiles.forall(_.stats.contains(idField)),
+        s"chunk refs missing id stats: ${stored.chunkFiles}")
+      // aggregate ranges are disjoint and ascending (min of mins / max of
+      // maxes over each chunk's fragments)
+      val ranges = stored.chunkFiles.map { c =>
+        val s = c.stats(idField)
+        (BigDecimal(s.min.get), BigDecimal(s.max.get))
+      }
+      assert(ranges.head._1 == BigDecimal(0) &&
+        ranges.last._2 == BigDecimal(59), ranges.toString)
+      assert(ranges.sliding(2).forall {
+        case Seq((_, hi), (lo, _)) => hi < lo
+        case _ => true
+      }, s"chunk ranges overlap: $ranges")
+
+      // a point predicate decodes ONLY the chunk containing it
+      val pruned = LakeDataset.openPruned(spark, ds.root, Some("id = 25"))
+      val expectFrags = stored.chunkFiles.find { c =>
+        val s = c.stats(idField)
+        BigDecimal(s.min.get) <= 25 && BigDecimal(s.max.get) >= 25
+      }.get.count
+      assert(pruned.manifest.fragments.size == expectFrags,
+        s"expected $expectFrags fragments from one chunk, got " +
+          s"${pruned.manifest.fragments.size}")
+      assert(pruned.manifest.fragments.size < 6)
+      // results through the pruned handle equal the full-scan answer
+      assert(pruned.scanner().withFilter("id = 25").build().count() == 1)
+
+      // the partial handle refuses commits
+      import spark.implicits._
+      val ex = intercept[IllegalArgumentException] {
+        pruned.append(Seq((999L, 0L)).toDF("id", "v"))
+      }
+      assert(ex.getMessage.contains("openPruned"), ex.getMessage)
+
+      // no predicate, or a predicate matching everything → full handle
+      assert(LakeDataset.openPruned(spark, ds.root, None)
+        .manifest.fragments.size == 6)
+      assert(LakeDataset.openPruned(spark, ds.root, Some("id >= 0"))
+        .manifest.fragments.size == 6)
+    }
+  }
+
+  test("DSv2 read over a chunked table prunes chunks and stays correct") {
+    withChunking(threshold = 2, size = 2) {
+      val ds = newDs()
+      (0 until 6).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val got = spark.read.format("lake").load(ds.root)
+        .filter("id >= 40 AND id < 45").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (40L until 45L).toSeq)
+      // the scan planned against the chunk-pruned subset: the denominator
+      // (decoded fragments) is smaller than the table's 6 fragments
+      val (scanned, total) = LakeDataSource.lastScan(ds.root).get
+      assert(total < 6 && scanned >= 1 && scanned <= total,
+        s"expected chunk-pruned scan, got ($scanned, $total) of 6")
+    }
+  }
+
   test("shallow clone of a chunked dataset encodes fresh chunks") {
     withChunking(threshold = 2, size = 2) {
       val ds = newDs()
