@@ -1666,8 +1666,125 @@ final class LakeDataset private (
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
     val byName = man.fields.map(f => f.name -> f).toMap
     val conjuncts = splitAnd(parsed).map(coerceLiterals(_, byName))
+    // Past ~10⁷ fragments (≥ distributedPruneChunks chunk files) the
+    // driver's probe loop is itself the wall: ship the probes to executors
+    // over the JSONL chunk files instead (SCALE.md manifest-list split).
+    val distThreshold =
+      spark.conf.get("spark.graft.distributedPruneChunks", "1024").toInt
+    if (man.chunkFiles.size >= distThreshold)
+      pruneFragmentsDistributed(man, byName, conjuncts)
+    else pruneFragmentsDriver(man, byName, conjuncts)
+  }
+
+  private def pruneFragmentsDriver(man: Manifest,
+      byName: Map[String, FieldDef], conjuncts: Seq[CExpr]): Seq[Fragment] =
     man.fragments.filter { frag =>
       conjuncts.forall(c => mayMatch(frag, byName, c))
+    }
+
+  /** Distributed fragment pruning: compile the predicate's zonemap /
+    * value-set probes into serializable descriptors ([[StatProbes]]),
+    * evaluate them on EXECUTORS over the raw JSONL chunk files, and bring
+    * only surviving fragment ids back to the driver. Survivors then pass
+    * the exact driver probe once more — restoring bloom-sidecar checks and
+    * the legacy-timestamp refinement the executor pass conservatively
+    * skips — so the result is identical to the driver loop while driver
+    * CPU and probe IO scale with survivors, not the table. */
+  private def pruneFragmentsDistributed(man: Manifest,
+      byName: Map[String, FieldDef], conjuncts: Seq[CExpr]): Seq[Fragment] = {
+    val probes = buildStatProbes(byName, conjuncts)
+    if (probes.isEmpty) return pruneFragmentsDriver(man, byName, conjuncts)
+    val files = man.chunkFiles.map(r =>
+      io.absolute(chunksDirOf(rootPath).resolve(r.file)).toString)
+    val bc = spark.sparkContext.broadcast(probes)
+    val survivorIds = {
+      import spark.implicits._
+      spark.read.textFile(files: _*)
+        .mapPartitions { it =>
+          import Manifest.formats
+          val ps = bc.value
+          it.flatMap { line =>
+            val f = org.json4s.jackson.Serialization.read[Fragment](line)
+            if (StatProbes.mayMatch(f, ps)) Iterator.single(f.id)
+            else Iterator.empty
+          }
+        }.collect().toSet
+    }
+    man.fragments.filter(f => survivorIds.contains(f.id))
+      .filter(frag => conjuncts.forall(c => mayMatch(frag, byName, c)))
+  }
+
+  /** Compile conjuncts into serializable executor-side probes. A conjunct
+    * shape (or literal rendering) with no exact mirror is simply OMITTED —
+    * executors then keep every fragment for it and the driver re-check on
+    * survivors applies the full arsenal, so omission can only lose
+    * pruning, never rows. Literal renderings mirror `mayMatch`'s `cmp`:
+    * epoch micros for timestamps, ISO dates, decimal strings for numbers,
+    * raw strings otherwise; value-set renderings mirror
+    * `valueSetMayContain`'s cast-to-string. */
+  private def buildStatProbes(byName: Map[String, FieldDef],
+      conjuncts: Seq[CExpr]): Seq[StatProbe] = {
+    def fieldOf(attr: CExpr): Option[FieldDef] = attr match {
+      case UnresolvedAttribute(parts) => byName.get(parts.mkString("."))
+      case _ => None
+    }
+    // rendered compare value + (numeric, ts) flags, mirroring cmp()'s cases
+    def render(l: Literal): Option[(String, Boolean, Boolean)] =
+      (l.value, l.dataType) match {
+        case (null, _) => None
+        case (micros: java.lang.Long, _: TimestampType) =>
+          Some((micros.toString, false, true))
+        case (days: java.lang.Integer, DateType) =>
+          Some((java.time.LocalDate.ofEpochDay(days.longValue()).toString,
+            false, false))
+        case (v: Number, _) => Some((v.toString, true, false))
+        case (v: org.apache.spark.unsafe.types.UTF8String, _) =>
+          Some((v.toString, false, false))
+        case _ => None
+      }
+    def vsRender(f: FieldDef, l: Literal): Option[String] = {
+      val dt = DataType.fromJson(f.dataType)
+      (l.value, dt) match {
+        case (micros: java.lang.Long, TimestampType) => Some(micros.toString)
+        case _ =>
+          val casted =
+            try org.apache.spark.sql.catalyst.expressions.Cast(
+              l, StringType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+            catch { case _: RuntimeException => null }
+          Option(casted).map(_.toString)
+      }
+    }
+    def eqProbe(attr: CExpr, lits: Seq[Literal]): Option[StatProbe] =
+      fieldOf(attr).flatMap { f =>
+        val rendered = lits.map(l => render(l).map { case (s, num, ts) =>
+          ((s, vsRender(f, l)), num, ts)
+        })
+        if (rendered.exists(_.isEmpty)) None // any unknown value → keep all
+        else {
+          val rs = rendered.flatten
+          Some(EqProbe(f.id.toString, rs.map(_._1),
+            rs.headOption.exists(_._2), rs.headOption.exists(_._3)))
+        }
+      }
+    def rangeProbe(attr: CExpr, l: Literal, op: String): Option[StatProbe] =
+      fieldOf(attr).flatMap(f => render(l).map { case (s, num, ts) =>
+        RangeProbe(f.id.toString, op, s, num, ts)
+      })
+    conjuncts.flatMap {
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a) =>
+        fieldOf(a).map(f => NullProbe(f.id.toString, wantNull = true))
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
+        fieldOf(a).map(f => NullProbe(f.id.toString, wantNull = false))
+      case EqualTo(a, l: Literal) => eqProbe(a, Seq(l))
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        eqProbe(a, vs.map(_.asInstanceOf[Literal]))
+      case GreaterThan(a, l: Literal) => rangeProbe(a, l, "gt")
+      case GreaterThanOrEqual(a, l: Literal) => rangeProbe(a, l, "ge")
+      case LessThan(a, l: Literal) => rangeProbe(a, l, "lt")
+      case LessThanOrEqual(a, l: Literal) => rangeProbe(a, l, "le")
+      case _ => None
     }
   }
 

@@ -211,6 +211,32 @@ class ManifestChunkSpec extends SparkTestBase {
     }
   }
 
+  test("distributed pruning matches the driver loop exactly") {
+    withChunking(threshold = 2, size = 2) {
+      val ds = newDs()
+      (0 until 6).foreach(i => appendBatch(ds, i * 10 until i * 10 + 10))
+      val preds = Seq(
+        "id = 25", "id >= 40 AND id < 45", "id < 0", "v >= 300",
+        "id IN (5, 35, 55)", "id IS NOT NULL", "v IS NULL",
+        "id >= 10 AND id <= 19 AND v = 150")
+      preds.foreach { p =>
+        val driver = ds.pruneFragments(ds.manifest, p).map(_.id)
+        val dist =
+          try {
+            spark.conf.set("spark.graft.distributedPruneChunks", "1")
+            ds.pruneFragments(ds.manifest, p).map(_.id)
+          } finally spark.conf.unset("spark.graft.distributedPruneChunks")
+        assert(dist == driver, s"predicate '$p': dist=$dist driver=$driver")
+      }
+      // and the data answer through the distributed path stays right
+      try {
+        spark.conf.set("spark.graft.distributedPruneChunks", "1")
+        assert(ds.scanner().withFilter("id IN (5, 35, 55)").build()
+          .collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 35L, 55L))
+      } finally spark.conf.unset("spark.graft.distributedPruneChunks")
+    }
+  }
+
   test("shallow clone of a chunked dataset encodes fresh chunks") {
     withChunking(threshold = 2, size = 2) {
       val ds = newDs()
