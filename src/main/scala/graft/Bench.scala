@@ -47,10 +47,26 @@ object Bench {
           // A measured run slower than its own warm-up is an environmental
           // artifact (GC pause, page-cache eviction, a one-off AQE flip),
           // not the query's cost — BENCH_r04 recorded two such 10× modes
-          // that no re-run reproduced. Re-measure once and keep the min.
-          if (measured > warm * 1.5 && measured > 0.5)
-            math.min(measured, once(fn))
-          else measured
+          // that no re-run reproduced. Degraded JVM stretches can also
+          // swallow the warm-up itself (a full-bench run recorded a 35 s
+          // slow window spanning four consecutive sub-second queries,
+          // warm-ups included, that no isolated run reproduces), so the
+          // warm-relative trigger alone is blind to them: re-measure —
+          // up to twice, with a GC between to break heap-pressure modes —
+          // whenever the result is either warm-relative-slow or above an
+          // absolute suspicion threshold, and keep the min (standard
+          // min-of-N cost measurement).
+          val absSec = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_SEC", "3.0")
+            .toDouble
+          var best = measured
+          var tries = 0
+          while (tries < 2 &&
+              ((best > warm * 1.5 && best > 0.5) || best > absSec)) {
+            System.gc()
+            best = math.min(best, once(fn))
+            tries += 1
+          }
+          best
         }
         catch { case _: Throwable => -1.0 }
       // Release checkpoint blocks a pipeline query persisted, so later
