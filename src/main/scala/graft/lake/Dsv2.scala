@@ -76,9 +76,10 @@ final class LakeDataSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // slim open: schema resolution must not pay a large table's chunk decode
     val spark = SparkSession.active
-    val ds = LakeDataset.open(spark, rootOf(options))
-    val base = LakeDataset.logicalSchema(pinnedManifest(ds, options))
+    val ds = LakeDataset.openSlim(spark, rootOf(options))
+    val base = LakeDataset.logicalSchema(pinnedManifestSlim(ds, options))
     if (options.containsKey("changesFrom")) LakeDataSource.changesSchema(base)
     else base
   }
@@ -91,12 +92,24 @@ final class LakeDataSource extends TableProvider with DataSourceRegister
 
   private[lake] def pinnedManifest(ds: LakeDataset,
       options: CaseInsensitiveStringMap): Manifest = {
-    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val v = pinnedVersion(ds, options)
+    v.map(ds.checkout(_).manifest).getOrElse(ds.manifest)
+  }
+
+  /** [[pinnedManifest]] without chunk decode — fields/version only. */
+  private[lake] def pinnedManifestSlim(ds: LakeDataset,
+      options: CaseInsensitiveStringMap): Manifest =
+    pinnedVersion(ds, options)
+      .map(LakeDataset.loadVersionSlim(
+        new org.apache.hadoop.fs.Path(ds.root), _))
+      .getOrElse(ds.manifest)
+
+  private def pinnedVersion(ds: LakeDataset,
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("tag")).map(t =>
         ds.tags.getOrElse(t,
           throw new IllegalArgumentException(s"lake: no tag '$t'"))))
-    v.map(ds.checkout(_).manifest).getOrElse(ds.manifest)
-  }
 }
 
 object LakeDataSource {
@@ -138,14 +151,17 @@ private[lake] final class LakeTable(root: String,
   // created on first insert.
   override lazy val schema: StructType =
     if (LakeDataset.exists(root)) {
-      val ds = LakeDataset.open(SparkSession.active, root)
+      // slim open: table resolution (every query) must not pay a large
+      // table's chunk decode — fields are version-file data
+      val ds = LakeDataset.openSlim(SparkSession.active, root)
       if (options.containsKey("changesFrom")) {
         val toV = Option(options.get("changesTo")).map(_.toLong)
           .getOrElse(ds.version)
         LakeDataSource.changesSchema(
-          LakeDataset.logicalSchema(ds.checkout(toV).manifest))
+          LakeDataset.logicalSchema(LakeDataset.loadVersionSlim(
+            new org.apache.hadoop.fs.Path(root), toV)))
       } else LakeDataset.logicalSchema(
-        new LakeDataSource().pinnedManifest(ds, options))
+        new LakeDataSource().pinnedManifestSlim(ds, options))
     } else providedSchema.getOrElse(
       throw new IllegalArgumentException(s"lake: no dataset at $root"))
 

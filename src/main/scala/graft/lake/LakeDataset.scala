@@ -2482,6 +2482,28 @@ object LakeDataset {
     decodeManifest(io, root, latestSlim(io, root))
   }
 
+  /** Read-only handle over the UNDECODED latest manifest: fields, version,
+    * tags, refs and properties are all version-file data, so schema/metadata
+    * resolution (the DSv2 table-construction path — every SQL query over a
+    * lake table resolves its schema before any scan is planned) never pays
+    * the chunk decode of a large table. The handle refuses commits, and on
+    * a chunk-encoded table its fragment list is EMPTY — callers must not
+    * read data through it. */
+  private[lake] def openSlim(spark: SparkSession, path: String): LakeDataset = {
+    val root = new Path(path)
+    val io = LakeIO.forRoot(root.toString,
+      spark.sparkContext.hadoopConfiguration)
+    new LakeDataset(spark, path, latestSlim(io, root), partial = true)
+  }
+
+  /** A pinned version's manifest, UNDECODED (schema resolution only). */
+  private[lake] def loadVersionSlim(root: Path, v: Long): Manifest = {
+    val io = LakeIO.forRoot(root.toString)
+    val p = root.resolve("_manifests").resolve(Manifest.versionFileName(v))
+    require(io.exists(p), s"no version $v")
+    Manifest.fromJson(io.readString(p))
+  }
+
   /** Latest version file, parsed but NOT chunk-decoded. */
   private def latestSlim(io: LakeIO, root: Path): Manifest = {
     val dir = root.resolve("_manifests")

@@ -101,6 +101,43 @@ class HadoopFsLakeSpec extends SparkTestBase {
     assert(hits.headOption.contains(1L))
   }
 
+  test("chunked manifest over a file:// root: skip, distribute, slim-resolve") {
+    spark.conf.set("spark.graft.manifestChunkThreshold", "2")
+    spark.conf.set("spark.graft.manifestChunkSize", "2")
+    try {
+      val root = tmpRoot()
+      val ds = LakeDataset.create(spark, root, schema)
+      (0 until 6).foreach { k =>
+        ds.append(rows((k * 10L, s"n$k", k.toDouble),
+          (k * 10L + 1, s"m$k", k + 0.5)))
+      }
+      assert(ds.manifest.chunkFiles.nonEmpty, "table must be chunk-encoded")
+
+      // chunk-skipping open through the Hadoop IO path
+      val pruned = LakeDataset.openPruned(spark, root, Some("id = 21"))
+      assert(pruned.manifest.fragments.size < 6)
+      assert(pruned.scanner().withFilter("id = 21").build().count() == 1)
+
+      // distributed pruning: executors read the chunk files by scheme'd URI
+      val driver = ds.pruneFragments(ds.manifest, "id >= 40").map(_.id)
+      val dist =
+        try {
+          spark.conf.set("spark.graft.distributedPruneChunks", "1")
+          ds.pruneFragments(ds.manifest, "id >= 40").map(_.id)
+        } finally spark.conf.unset("spark.graft.distributedPruneChunks")
+      assert(dist.nonEmpty && dist == driver, s"dist=$dist driver=$driver")
+
+      // DSv2 table resolution + filtered read over the scheme'd chunked root
+      val got = spark.read.format("lake").load(root)
+        .filter("id >= 40 AND id < 42").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(40L, 41L))
+    } finally {
+      spark.conf.unset("spark.graft.manifestChunkThreshold")
+      spark.conf.unset("spark.graft.manifestChunkSize")
+    }
+  }
+
   test("commit publish is conflict-safe under an injected race") {
     val root = tmpRoot()
     val ds = LakeDataset.create(spark, root, schema)
