@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ddl.DdlQueries
 import graft.lake.LakeQueries
-import graft.pipeline.{Ann, Curate, Dedup, Fts, Multimodal, TextOps}
+import graft.pipeline.{Ann, Assemble, Curate, Dedup, Fts, Multimodal, TextOps}
 import graft.queries.{Extra, Rel, Tpch, TpchMore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,7 +14,7 @@ object SparkEntry {
   lazy val registry: Seq[Q] =
     Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++
       TextOps.all ++ Curate.all ++ Dedup.all ++ Ann.all ++ Fts.all ++
-      Multimodal.all ++ LakeQueries.all ++ DdlQueries.all
+      Multimodal.all ++ LakeQueries.all ++ DdlQueries.all ++ Assemble.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -74,7 +74,7 @@ object TextOps {
 
   /** Marker tokens per language for the n-gram/stopword language-ID
     * heuristic. Deterministic; scored by marker-hit count. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[pipeline] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une"),
