@@ -100,4 +100,24 @@ class PlanSpec extends SparkTestBase {
     assert(cols == Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
       s"scan reads $cols")
   }
+
+  test("mixing-rate tables broadcast; the corpus never builds a hash side") {
+    // curate_mix / pipeline_assemble join a per-source rate table onto the
+    // corpus: the rate side (rows = #sources) must broadcast — a shuffled
+    // join here would re-shuffle the whole corpus at 100 TB.
+    Seq(graft.pipeline.Curate.mix, graft.pipeline.Assemble.assemble)
+      .foreach { q =>
+        val plan = q.run(spark, sf0001).queryExecution.sparkPlan
+        val bhj = plan.collect {
+          case j: BroadcastHashJoinExec => j
+        }
+        assert(bhj.nonEmpty, s"${q.name}: no broadcast join in plan")
+        val shuffledCorpusJoins = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+              if j.toString.contains("documents") => j
+        }
+        assert(shuffledCorpusJoins.isEmpty,
+          s"${q.name}: corpus joined via sort-merge")
+      }
+  }
 }
