@@ -2100,14 +2100,23 @@ final class LakeDataset private (
   private def stageFragments(physDf: DataFrame,
       man: Manifest): (Seq[Fragment], Long) = {
     val stage = dataDir.resolve(s"stage-${UUID.randomUUID()}")
-    physDf.write
-      // zstd: ~2× better ratio than snappy at comparable scan speed — at
-      // 100 TB the scan is IO-bound, so smaller files win twice (storage +
-      // read). Bounded rows/file keeps copy-on-write rewrite units and
-      // zonemap granularity predictable regardless of input partitioning.
-      .option("compression", "zstd")
-      .option("maxRecordsPerFile", 1 << 20)
-      .parquet(stage.toString)
+    try {
+      physDf.write
+        // zstd: ~2× better ratio than snappy at comparable scan speed — at
+        // 100 TB the scan is IO-bound, so smaller files win twice (storage +
+        // read). Bounded rows/file keeps copy-on-write rewrite units and
+        // zonemap granularity predictable regardless of input partitioning.
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", 1 << 20)
+        .parquet(stage.toString)
+    } catch {
+      case e: Throwable =>
+        // a failed write leaves a stage-*/_temporary tree; drop it so
+        // aborted operations don't accumulate dead staging dirs
+        try io.deleteRecursive(stage)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     val parts = io.listNames(stage)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted

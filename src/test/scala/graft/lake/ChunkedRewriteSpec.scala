@@ -69,6 +69,35 @@ class ChunkedRewriteSpec extends SparkTestBase {
     assert(left.toSeq == Seq(10L, 11L, 20L, 21L, 99L))
   }
 
+  test("a failing later group aborts cleanly: no commit, no orphan files") {
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    (0 until 4).foreach { k =>
+      ds.append(rows((k * 10L, 1.0), (k * 10L + 1, 2.0), (k * 10L + 2, 3.0)))
+    }
+    val vBefore = ds.version
+    val dataDir = java.nio.file.Paths.get(ds.root).resolve("data")
+    def dataFiles() = java.nio.file.Files.list(dataDir).count()
+    val filesBefore = dataFiles()
+    // rows in the LAST fragment blow up at rewrite time: earlier groups
+    // stage successfully first, then the abort must clean them up
+    val ex = intercept[Exception] {
+      withGroupRows(3) {
+        ds.update("score < 10", Map("score" ->
+          ("CASE WHEN id >= 30 THEN CAST(raise_error('boom') AS DOUBLE) " +
+            "ELSE score + 100 END")))
+      }
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(msgs.contains("boom"), msgs)
+    assert(ds.version == vBefore, "no commit may land on abort")
+    assert(ds.read().collect().forall(_.getDouble(1) < 10),
+      "no partial update may be visible")
+    assert(dataFiles() == filesBefore,
+      "staged group files must be deleted on abort")
+  }
+
   test("group sizing: single group when under the bound (fast path intact)") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     ds.append(rows((1, 1.0), (2, 2.0)))
