@@ -93,11 +93,15 @@ object Assemble {
        |  CAST(sum(n) AS BIGINT) AS toks_kept
        |FROM tagged GROUP BY source, split""".stripMargin
 
-  val assemble = Q("pipeline_assemble", oracleSql) { (s, dir) =>
-    graft.functions.GraftFunctions.register(s)
+  /** Stages 1-2 (quality gate + 'en' language gate) as a stateless
+    * DataFrame transform: narrow codegen projections + filters, usable
+    * identically in batch and Structured Streaming (the streaming corpus
+    * intake — [[graft.streaming.DocStream]] — reuses it verbatim).
+    * Requires [[graft.functions.GraftFunctions]] registered. Keeps
+    * doc_id, text, source, n_chars, l (tokens), n (token count). */
+  private[graft] def gates(in: DataFrame): DataFrame = {
     val l = split(col("text"), " ")
-    // stage 1: quality gate (text_gopher_filter's exact flags)
-    val g = docs(s, dir)
+    val g = in
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
         l.as("l"))
       .filter(size(col("l")) >= 2)
@@ -112,13 +116,20 @@ object Assemble {
           col("n").cast("double"))
       .filter(!(col("n") < 25 || col("topw") > 0.12 || col("dup") > 0.55 ||
         col("ml") < 3.9 || col("ml") > 5.1))
-    // stage 2: language gate (text_langid's marker argmax, keep 'en')
     val scores = TextOps.langMarkers.map { case (lang, markers) =>
       struct(size(filter(col("l"), w => w.isin(markers: _*))).as("hits"),
         lit(lang).as("lang"))
     }
-    val en = g.withColumn("best", greatest(scores: _*))
+    g.withColumn("best", greatest(scores: _*))
       .filter(col("best.hits") > 0 && col("best.lang") === "en")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+        col("l"), col("n"))
+  }
+
+  val assemble = Q("pipeline_assemble", oracleSql) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    // stages 1-2: quality + language gates (shared with the streaming twin)
+    val en = gates(docs(s, dir))
     // stage 3: exact dedup — one representative (min doc_id) per content
     // hash; the window shuffles fixed-width md5 keys, not the text
     val ddup = en
