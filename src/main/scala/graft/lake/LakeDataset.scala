@@ -781,18 +781,22 @@ final class LakeDataset private (
     if (touched.nonEmpty) {
       matched = readFragments(m, touched, withRowId = false)
         .join(src, keyCond, "left_semi").count()
-      val joined = readFragments(m, touched, withRowId = true)
-        .join(src, keyCond, "left_outer")
-      val isMatch = col(s"_src_${keys.head}").isNotNull
-      val merged0 = srcCols.filterNot(keys.contains).foldLeft(joined) {
-        case (df, c) =>
-          if (updateMatched)
-            df.withColumn(c, when(isMatch, col(s"_src_$c")).otherwise(col(c)))
-          else df
-      }
-      val merged = merged0.select(
-        (m.fields.map(f => col(f.name)) :+ col(RowIdCol)): _*)
-      val (fr, _) = stageFragments(toPhysicalPreservingRowId(merged, m), m)
+      // same job-level chunking as DELETE/UPDATE: a merge matching most of
+      // a huge table must not rewrite it in one Spark job (the source side
+      // re-joins per group — broadcast-sized by the usual merge shape)
+      val fr = stageRewriteGroups(touched, g => {
+        val joined = readFragments(m, g, withRowId = true)
+          .join(src, keyCond, "left_outer")
+        val isMatch = col(s"_src_${keys.head}").isNotNull
+        val merged0 = srcCols.filterNot(keys.contains).foldLeft(joined) {
+          case (df, c) =>
+            if (updateMatched)
+              df.withColumn(c, when(isMatch, col(s"_src_$c")).otherwise(col(c)))
+            else df
+        }
+        merged0.select(
+          (m.fields.map(f => col(f.name)) :+ col(RowIdCol)): _*)
+      })
       newFrags ++= fr
       maxFragId += fr.size
     }
@@ -820,6 +824,12 @@ final class LakeDataset private (
       }
     }
     if (newFrags.isEmpty && matched == 0) return (0L, 0L)
+    // The rewrite and insert stages each assigned ids from the SAME base
+    // manifest, so a merge doing both produced colliding fragment ids —
+    // silently collapsing entries in the chunk-reuse id map and breaking
+    // touched-id conflict refinement. Renumber the combined set once.
+    var nid = m.maxFragmentId
+    newFrags = newFrags.map { f => nid += 1; f.copy(id = nid) }
     commitRewrite(OpKind.Merge, touchedIds, newFrags, "merge",
       nextRowIdOpt = Some(nextRid))
     (matched, inserted)

@@ -98,6 +98,35 @@ class ChunkedRewriteSpec extends SparkTestBase {
       "staged group files must be deleted on abort")
   }
 
+  test("grouped mergeInsert: bounded jobs, one commit, unique fragment ids") {
+    import org.apache.spark.sql.functions.col
+    val ds = LakeDataset.create(spark, tmpDir(), schema)
+    (0 until 3).foreach { k =>
+      ds.append(rows((k * 10L, 1.0), (k * 10L + 1, 2.0)))
+    }
+    val vBefore = ds.version
+    // source updates one row in EVERY fragment and inserts two new keys —
+    // exercises rewrite groups AND the insert stage in one commit
+    val src = rows((0, 50.0), (10, 50.0), (20, 50.0), (99, 9.0), (98, 8.0))
+    val (matched, inserted) = withGroupRows(2) {
+      ds.mergeInsert(src, Seq("id"))
+    }
+    assert(matched == 3 && inserted == 2)
+    assert(ds.version == vBefore + 1, "merge must commit exactly once")
+    val ids = ds.manifest.fragments.map(_.id)
+    assert(ids.distinct.size == ids.size,
+      s"fragment ids must be unique after rewrite+insert merge: $ids")
+    val after = ds.read().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after.size == 8)
+    assert(after(0L) == 50.0 && after(10L) == 50.0 && after(20L) == 50.0)
+    assert(after(99L) == 9.0 && after(98L) == 8.0)
+    assert(after(1L) == 2.0, "unmatched rows unchanged")
+    // rowids still unique (stable-rowid invariant intact)
+    val rids = ds.scanner().withRowId.build()
+      .select(col("_rowid")).collect().map(_.getLong(0))
+    assert(rids.distinct.length == rids.length)
+  }
+
   test("group sizing: single group when under the bound (fast path intact)") {
     val ds = LakeDataset.create(spark, tmpDir(), schema)
     ds.append(rows((1, 1.0), (2, 2.0)))
