@@ -983,6 +983,50 @@ final class LakeDataset private (
       touchedFragmentIds = Nil))
   }
 
+  /** Drop a NESTED field inside a struct column (reference sdk DropPath,
+    * sdk/dataset.go:623-965). Unlike top-level [[dropColumns]] — metadata-
+    * only via field-id projection — a nested drop must rewrite data: the
+    * struct is one physical parquet column. The rewrite runs in bounded
+    * groups (the DELETE/UPDATE machinery) staged against the POST-change
+    * schema, and lands with the field-type update in ONE commit; rowids
+    * are preserved, and pending merge-on-read tombstones are folded in by
+    * the rewrite (the staged rows are the live set). `path` is
+    * dot-separated relative to the struct column (`Column.dropFields`
+    * semantics: `"a"` or `"a.b"`). Full-table rewrite → Overwrite conflict
+    * kind. */
+  def dropNestedField(column: String, path: String): Unit =
+      withOpRetry(OpKind.Overwrite, 5) {
+    val f = m.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column"))
+    val st = DataType.fromJson(f.dataType) match {
+      case s: StructType => s
+      case other =>
+        throw new IllegalArgumentException(s"$column is $other, not a struct")
+    }
+    val newDt = LakeDataset
+      .dropPathFromStruct(st, path.split('.').toList)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no nested path $path in $column"))
+    require(newDt.fields.nonEmpty,
+      s"dropping $path would empty $column; use dropColumns instead")
+    val man2 = m.copy(fields = m.fields.map(x =>
+      if (x.id == f.id) x.copy(dataType = newDt.json) else x))
+    val frags = stageRewriteGroups(m.fragments, g =>
+      readFragments(m, g, withRowId = true)
+        .withColumn(column, col(column).dropFields(path)),
+      stageMan = man2)
+    commit(man2.copy(
+      version = m.version + 1,
+      fragments = frags,
+      maxFragmentId = math.max(m.maxFragmentId, (0L +: frags.map(_.id)).max),
+      deletionFiles = Nil,
+      deletedRowCount = 0L,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"drop_nested_field($column.$path)",
+      touchedFragmentIds = m.fragments.map(_.id).sorted))
+  }
+
   /** Rename a column: metadata-only (physical name is the field id). */
   def renameColumn(from: String, to: String): Unit =
       withOpRetry(OpKind.Project, 5) {
@@ -2150,7 +2194,12 @@ final class LakeDataset private (
     * per-group staging would otherwise hand out colliding ids since each
     * group stages against the same base manifest. */
   private def stageRewriteGroups(touched: Seq[Fragment],
-      rewrite: Seq[Fragment] => DataFrame): Seq[Fragment] = {
+      rewrite: Seq[Fragment] => DataFrame,
+      // stage against a DIFFERENT manifest than the read side when the
+      // rewrite also changes the schema (e.g. dropNestedField): the staged
+      // physical projection must use the POST-change field types
+      stageMan: Manifest = null): Seq[Fragment] = {
+    val target = Option(stageMan).getOrElse(m)
     val maxRows = spark.conf.get("spark.graft.dml.rewriteGroupRows",
       (1L << 28).toString).toLong
     val groups = scala.collection.mutable.ArrayBuffer(
@@ -2168,9 +2217,11 @@ final class LakeDataset private (
     try {
       groups.filter(_.nonEmpty).foreach { g =>
         val frags =
-          try stageFragments(toPhysicalPreservingRowId(rewrite(g.toSeq), m), m)._1
+          try stageFragments(
+            toPhysicalPreservingRowId(rewrite(g.toSeq), target), target)._1
           catch { case scala.util.control.NonFatal(_) =>
-            stageFragments(toPhysicalPreservingRowId(rewrite(g.toSeq), m), m)._1
+            stageFragments(
+              toPhysicalPreservingRowId(rewrite(g.toSeq), target), target)._1
           }
         staged ++= frags
       }
@@ -2601,6 +2652,26 @@ object LakeDataset {
       m.copy(fragments =
         futs.flatMap(f => Await.result(f, Duration.Inf)))
     }
+
+  /** Remove a dot-path from a (possibly nested) struct type; None when the
+    * path doesn't resolve through struct fields. */
+  private[lake] def dropPathFromStruct(st: StructType,
+      path: List[String]): Option[StructType] = path match {
+    case name :: Nil =>
+      if (!st.fieldNames.contains(name)) None
+      else Some(StructType(st.fields.filterNot(_.name == name)))
+    case name :: rest =>
+      st.fields.find(_.name == name).flatMap { sf =>
+        sf.dataType match {
+          case inner: StructType =>
+            dropPathFromStruct(inner, rest).map(n2 =>
+              StructType(st.fields.map(x =>
+                if (x.name == name) x.copy(dataType = n2) else x)))
+          case _ => None
+        }
+      }
+    case Nil => None
+  }
 
   /** Aggregate a chunk's fragments' zonemap stats into one ColumnStats per
     * field: min of mins, max of maxes, summed null counts. A field is

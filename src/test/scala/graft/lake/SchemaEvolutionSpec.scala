@@ -272,4 +272,59 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 2.5)
   }
+
+  test("dropNestedField rewrites the struct, keeps rowids and history") {
+    val inner = StructType(Seq(
+      StructField("x", IntegerType), StructField("y", IntegerType)))
+    val meta = StructType(Seq(
+      StructField("tag", StringType),
+      StructField("score", IntegerType),
+      StructField("inner", inner)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", meta)))
+    val ds = LakeDataset.create(spark,
+      java.nio.file.Files.createTempDirectory("lake-droppath-").toString,
+      schema)
+    val d = new java.util.ArrayList[Row]()
+    d.add(Row(1L, Row("a", 10, Row(1, 2))))
+    d.add(Row(2L, Row("b", 20, Row(3, 4))))
+    ds.append(spark.createDataFrame(d, schema).coalesce(1))
+    val vBefore = ds.version
+    val ridsBefore = ds.scanner().withRowId.build()
+      .select("id", "_rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // drop a top-of-struct field
+    ds.dropNestedField("meta", "score")
+    assert(ds.version == vBefore + 1)
+    assert(ds.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("tag", "inner"))
+    // drop a nested-nested field by dotted path
+    ds.dropNestedField("meta", "inner.y")
+    val metaT = ds.schema("meta").dataType.asInstanceOf[StructType]
+    assert(metaT("inner").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x"))
+
+    val out = ds.read().orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getStruct(1).getString(0) == "a")
+    assert(out(0).getStruct(1).getStruct(1).getInt(0) == 1)
+    // rowids preserved through both rewrites
+    val ridsAfter = ds.scanner().withRowId.build()
+      .select("id", "_rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ridsAfter == ridsBefore)
+    // history: the pre-drop version still reads the dropped field
+    val old = ds.readVersion(vBefore).orderBy("id").collect()
+    assert(old(0).getStruct(1).getInt(1) == 10)
+
+    // bad paths fail fast
+    intercept[IllegalArgumentException] {
+      ds.dropNestedField("meta", "nope")
+    }
+    intercept[IllegalArgumentException] {
+      ds.dropNestedField("id", "x")
+    }
+  }
 }
