@@ -1027,6 +1027,44 @@ final class LakeDataset private (
       touchedFragmentIds = m.fragments.map(_.id).sorted))
   }
 
+  /** Add a NESTED field inside a struct column (the reference schema model
+    * is nested via parent ids — sdk AddColumns reaches sub-structs). The
+    * new field is appended to the struct at `path`'s parent with NULL for
+    * every existing row; same grouped schema-changing rewrite as
+    * [[dropNestedField]] (one physical column → data rewrite), one commit,
+    * rowids preserved. `path` is the dotted location of the NEW field. */
+  def addNestedField(column: String, path: String, dt: DataType): Unit =
+      withOpRetry(OpKind.Overwrite, 5) {
+    val f = m.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column"))
+    val st = DataType.fromJson(f.dataType) match {
+      case s: StructType => s
+      case other =>
+        throw new IllegalArgumentException(s"$column is $other, not a struct")
+    }
+    val newDt = LakeDataset
+      .addPathToStruct(st, path.split('.').toList, dt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot add $path to $column (missing parent or field exists)"))
+    val man2 = m.copy(fields = m.fields.map(x =>
+      if (x.id == f.id) x.copy(dataType = newDt.json) else x))
+    val frags = stageRewriteGroups(m.fragments, g =>
+      readFragments(m, g, withRowId = true)
+        .withColumn(column,
+          col(column).withField(path, lit(null).cast(dt))),
+      stageMan = man2)
+    commit(man2.copy(
+      version = m.version + 1,
+      fragments = frags,
+      maxFragmentId = math.max(m.maxFragmentId, (0L +: frags.map(_.id)).max),
+      deletionFiles = Nil,
+      deletedRowCount = 0L,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"add_nested_field($column.$path)",
+      touchedFragmentIds = m.fragments.map(_.id).sorted))
+  }
+
   /** Rename a column: metadata-only (physical name is the field id). */
   def renameColumn(from: String, to: String): Unit =
       withOpRetry(OpKind.Project, 5) {
@@ -2665,6 +2703,26 @@ object LakeDataset {
         sf.dataType match {
           case inner: StructType =>
             dropPathFromStruct(inner, rest).map(n2 =>
+              StructType(st.fields.map(x =>
+                if (x.name == name) x.copy(dataType = n2) else x)))
+          case _ => None
+        }
+      }
+    case Nil => None
+  }
+
+  /** Append a new field of type `dt` at a dot-path inside a struct; None
+    * when the parent path doesn't resolve or the leaf already exists. */
+  private[lake] def addPathToStruct(st: StructType, path: List[String],
+      dt: DataType): Option[StructType] = path match {
+    case name :: Nil =>
+      if (st.fieldNames.contains(name)) None
+      else Some(StructType(st.fields :+ StructField(name, dt)))
+    case name :: rest =>
+      st.fields.find(_.name == name).flatMap { sf =>
+        sf.dataType match {
+          case inner: StructType =>
+            addPathToStruct(inner, rest, dt).map(n2 =>
               StructType(st.fields.map(x =>
                 if (x.name == name) x.copy(dataType = n2) else x)))
           case _ => None

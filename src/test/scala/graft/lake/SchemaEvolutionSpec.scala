@@ -326,5 +326,22 @@ class SchemaEvolutionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ds.dropNestedField("id", "x")
     }
+
+    // symmetric add: new nested field arrives NULL for existing rows,
+    // writable by later appends
+    ds.addNestedField("meta", "inner.z", IntegerType)
+    val innerT = ds.schema("meta").dataType.asInstanceOf[StructType]
+      .apply("inner").dataType.asInstanceOf[StructType]
+    assert(innerT.fieldNames.toSeq == Seq("x", "z"))
+    val withZ = ds.read().orderBy("id").collect()
+    assert(withZ(0).getStruct(1).getStruct(1).isNullAt(1))
+    val d3 = new java.util.ArrayList[Row]()
+    d3.add(Row(3L, Row("c", Row(9, 99))))
+    ds.append(spark.createDataFrame(d3, ds.schema).coalesce(1))
+    val r3 = ds.read().filter("id = 3").collect().head
+    assert(r3.getStruct(1).getStruct(1).getInt(1) == 99)
+    intercept[IllegalArgumentException] {
+      ds.addNestedField("meta", "inner.z", IntegerType) // exists
+    }
   }
 }
