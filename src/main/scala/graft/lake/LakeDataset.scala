@@ -1065,6 +1065,49 @@ final class LakeDataset private (
       touchedFragmentIds = m.fragments.map(_.id).sorted))
   }
 
+  /** Rename a NESTED field inside a struct column: data-preserving —
+    * the value is copied to the new name and the old path dropped in the
+    * same grouped rewrite ([[dropNestedField]] machinery), one commit,
+    * rowids preserved. `path` is the dotted OLD location; `to` the new
+    * leaf name within the same parent. */
+  def renameNestedField(column: String, path: String, to: String): Unit =
+      withOpRetry(OpKind.Overwrite, 5) {
+    val f = m.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column"))
+    val st = DataType.fromJson(f.dataType) match {
+      case s: StructType => s
+      case other =>
+        throw new IllegalArgumentException(s"$column is $other, not a struct")
+    }
+    val parts = path.split('.').toList
+    val parent = parts.dropRight(1)
+    val leafDt = LakeDataset.nestedFieldType(st, parts).getOrElse(
+      throw new IllegalArgumentException(s"no nested path $path in $column"))
+    val toPath = (parent :+ to).mkString(".")
+    val newDt = LakeDataset.dropPathFromStruct(st, parts)
+      .flatMap(LakeDataset.addPathToStruct(_, parent :+ to, leafDt))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot rename $path to $to in $column (target exists?)"))
+    val man2 = m.copy(fields = m.fields.map(x =>
+      if (x.id == f.id) x.copy(dataType = newDt.json) else x))
+    val frags = stageRewriteGroups(m.fragments, g =>
+      readFragments(m, g, withRowId = true)
+        .withColumn(column, col(column)
+          .withField(toPath, col(s"$column.$path"))
+          .dropFields(path)),
+      stageMan = man2)
+    commit(man2.copy(
+      version = m.version + 1,
+      fragments = frags,
+      maxFragmentId = math.max(m.maxFragmentId, (0L +: frags.map(_.id)).max),
+      deletionFiles = Nil,
+      deletedRowCount = 0L,
+      parentVersion = Some(m.version),
+      createdMs = System.currentTimeMillis(),
+      operation = s"rename_nested_field($column.$path -> $to)",
+      touchedFragmentIds = m.fragments.map(_.id).sorted))
+  }
+
   /** Rename a column: metadata-only (physical name is the field id). */
   def renameColumn(from: String, to: String): Unit =
       withOpRetry(OpKind.Project, 5) {
@@ -2728,6 +2771,18 @@ object LakeDataset {
           case _ => None
         }
       }
+    case Nil => None
+  }
+
+  /** Type of the field at a dot-path inside a struct, if it resolves. */
+  private[lake] def nestedFieldType(st: StructType,
+      path: List[String]): Option[DataType] = path match {
+    case name :: Nil => st.fields.find(_.name == name).map(_.dataType)
+    case name :: rest =>
+      st.fields.find(_.name == name).flatMap(_.dataType match {
+        case inner: StructType => nestedFieldType(inner, rest)
+        case _ => None
+      })
     case Nil => None
   }
 

@@ -343,5 +343,22 @@ class SchemaEvolutionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ds.addNestedField("meta", "inner.z", IntegerType) // exists
     }
+
+    // data-preserving nested rename (copy + drop in one rewrite)
+    ds.renameNestedField("meta", "tag", "label")
+    val metaT2 = ds.schema("meta").dataType.asInstanceOf[StructType]
+    assert(metaT2.fieldNames.contains("label")
+      && !metaT2.fieldNames.contains("tag"))
+    val renamed = ds.read().orderBy("id").collect()
+    val labelIdx = metaT2.fieldIndex("label")
+    assert(renamed(0).getStruct(1).getString(labelIdx) == "a")
+    assert(renamed(2).getStruct(1).getString(labelIdx) == "c")
+    ds.renameNestedField("meta", "inner.x", "w")
+    val innerT2 = ds.schema("meta").dataType.asInstanceOf[StructType]
+      .apply("inner").dataType.asInstanceOf[StructType]
+    assert(innerT2.fieldNames.toSeq.sorted == Seq("w", "z"))
+    val r1 = ds.read().filter("id = 1").collect().head
+    assert(r1.getStruct(1).getStruct(metaT2.fieldIndex("inner"))
+      .getInt(innerT2.fieldIndex("w")) == 1)
   }
 }
