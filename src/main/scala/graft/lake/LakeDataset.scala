@@ -2476,7 +2476,12 @@ object LakeDataset {
       // schema-op + data-op in one commit: the schema-op row (appends and
       // data rewrites commute with it; overwrite/merge conflict)
       case "append_merge_schema" => OpKind.Project
-      case "overwrite" | "restore" | "shallow_clone" => OpKind.Overwrite
+      // nested-field ops rewrite EVERY fragment and change the struct
+      // type in one commit: Overwrite semantics, so a racing append
+      // (staged against the old struct shape) conflicts and re-stages
+      // under the new schema instead of landing mixed-shape fragments
+      case "overwrite" | "restore" | "shallow_clone" | "drop_nested_field" |
+          "add_nested_field" | "rename_nested_field" => OpKind.Overwrite
       case "add_columns" | "drop_columns" | "rename_column" |
           "alter_column_type" | "set_properties" | "unset_properties" =>
         OpKind.Project
