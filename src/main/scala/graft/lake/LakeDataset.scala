@@ -1935,7 +1935,11 @@ final class LakeDataset private (
     val conjuncts = splitAnd(parsed).map(coerceLiterals(_, byName))
     refs.filter { ref =>
       ref.stats.isEmpty || {
-        val pseudo = Fragment(-1L, ref.file, ref.count, ref.stats)
+        // rowCount = the chunk's TOTAL ROWS (ref.rows; 0 = legacy-unknown,
+        // which the IS NOT NULL probe treats as keep). ref.count is the
+        // FRAGMENT count — using it here made `nullCount < rowCount`
+        // compare nulls against fragments and wrongly skip chunks.
+        val pseudo = Fragment(-1L, ref.file, ref.rows, ref.stats)
         conjuncts.forall(c => mayMatch(pseudo, byName, c))
       }
     }
@@ -2848,10 +2852,13 @@ object LakeDataset {
           fs.forall(f => nextById.get(f.id).contains(f)) &&
           { used ++= fs.map(_.id); true }
       }.map { case (ref, fs) =>
-        // legacy refs predate chunk stats: fill from the in-memory
-        // fragments so older tables gain chunk skipping on their next commit
-        (if (ref.stats.nonEmpty) ref
-         else ref.copy(stats = aggChunkStats(next.fields, fs))) -> fs
+        // legacy refs predate chunk stats / row counts: fill from the
+        // in-memory fragments so older tables gain chunk skipping on
+        // their next commit
+        var r = ref
+        if (r.stats.isEmpty) r = r.copy(stats = aggChunkStats(next.fields, fs))
+        if (r.rows == 0L) r = r.copy(rows = fs.map(_.rowCount).sum)
+        r -> fs
       }
       val rest = next.fragments.filterNot(f => used.contains(f.id))
       val dir = chunksDirOf(root)
@@ -2870,7 +2877,8 @@ object LakeDataset {
           try io.publishAtomic(p, content)
           catch { case _: CommitConflictException => () }
         }
-        ChunkRef(name, fs.size.toLong, aggChunkStats(next.fields, fs)) -> fs
+        ChunkRef(name, fs.size.toLong, aggChunkStats(next.fields, fs),
+          rows = fs.map(_.rowCount).sum) -> fs
       }.toSeq
       val groups = reused ++ fresh
       val slim = next.copy(fragments = Nil, chunkFiles = groups.map(_._1))

@@ -51,7 +51,13 @@ final case class FieldDef(id: Int, name: String, dataType: String,
   * Iceberg manifest-list partition-summary move). Empty map = unknown
   * (legacy chunk refs): never skipped. */
 final case class ChunkRef(file: String, count: Long,
-    stats: Map[String, ColumnStats] = Map.empty)
+    stats: Map[String, ColumnStats] = Map.empty,
+    /** Total ROWS across the chunk's fragments (`count` is the FRAGMENT
+      * count). Needed by the IS NOT NULL chunk probe, which compares the
+      * aggregate null count against rows — comparing against the fragment
+      * count wrongly skipped chunks once nulls ≥ fragments. 0 = unknown
+      * (legacy ref): the probe keeps the chunk. */
+    rows: Long = 0L)
 
 final case class Manifest(
     version: Long,

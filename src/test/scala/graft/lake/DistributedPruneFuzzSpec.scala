@@ -70,6 +70,20 @@ class DistributedPruneFuzzSpec extends SparkTestBase {
           } finally spark.conf.unset("spark.graft.distributedPruneChunks")
         assert(dist == driver,
           s"predicate '$p': dist=$dist driver=$driver")
+        // chunk-skip conservativeness: openPruned must retain every
+        // fragment the driver's fragment-level pruning keeps (it may keep
+        // more — chunk aggregate stats are coarser), and the filtered
+        // answer through the pruned handle must match the full scan's
+        val pruned = LakeDataset.openPruned(spark, ds.root, Some(p))
+        val kept = pruned.manifest.fragments.map(_.id).toSet
+        assert(driver.forall(kept),
+          s"predicate '$p': chunk skip dropped kept fragments " +
+            s"${driver.filterNot(kept)}")
+        val full = ds.scanner().withFilter(p).build()
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq
+        val viaPruned = pruned.scanner().withFilter(p).build()
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(viaPruned == full, s"predicate '$p': answers diverge")
       }
     } finally {
       spark.conf.unset("spark.graft.manifestChunkThreshold")
