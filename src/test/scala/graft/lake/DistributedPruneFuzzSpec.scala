@@ -48,6 +48,12 @@ class DistributedPruneFuzzSpec extends SparkTestBase {
       }
       assert(ds.manifest.chunkFiles.nonEmpty)
 
+      // value-set + bloom indexes in play: the distributed path evaluates
+      // value sets from the fragment JSON and leaves blooms to the driver
+      // re-check — equality/IN predicates below exercise both
+      ds.enableValueSetIndex(Seq("s"))
+      ds.enableBloomIndex(Seq("id"))
+
       val preds = (0 until 30).flatMap { _ =>
         val v = rnd.nextInt(1200)
         val d = rnd.nextInt(1000) + rnd.nextDouble() * 50 - 25
