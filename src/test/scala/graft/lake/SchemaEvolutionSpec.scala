@@ -361,4 +361,33 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(r1.getStruct(1).getStruct(metaT2.fieldIndex("inner"))
       .getInt(innerT2.fieldIndex("w")) == 1)
   }
+
+  test("append racing a nested drop conflicts instead of mixing shapes") {
+    val meta = StructType(Seq(
+      StructField("tag", StringType), StructField("score", IntegerType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", meta)))
+    val root = java.nio.file.Files
+      .createTempDirectory("lake-droppath-race-").toString
+    val a = LakeDataset.create(spark, root, schema)
+    val d = new java.util.ArrayList[Row]()
+    d.add(Row(1L, Row("a", 10)))
+    a.append(spark.createDataFrame(d, schema).coalesce(1))
+
+    val b = LakeDataset.open(spark, root) // stale handle, old schema
+    a.dropNestedField("meta", "score")
+
+    // b stages rows in the OLD struct shape; its commit loses the race and
+    // the conflict matrix (append vs the nested op's Overwrite kind) must
+    // refuse the rebase — landing old-shape fragments into the new-schema
+    // manifest would read back wrong
+    val d2 = new java.util.ArrayList[Row]()
+    d2.add(Row(2L, Row("b", 20)))
+    intercept[CommitConflictException] {
+      b.append(spark.createDataFrame(d2, schema).coalesce(1))
+    }
+    // the dataset is untouched by the failed append
+    assert(a.refresh().read().count() == 1)
+  }
 }
