@@ -2656,6 +2656,23 @@ object LakeDataset {
     new LakeDataset(spark, path, latestSlim(io, root), partial = true)
   }
 
+  /** Latest committed version number alone — version-file listing, no
+    * manifest parse or chunk decode. The streaming source polls this every
+    * trigger; on a chunk-encoded table a full open per poll would decode
+    * the whole fragment list just to read one number. */
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val io = LakeIO.forRoot(root.toString,
+      spark.sparkContext.hadoopConfiguration)
+    val dir = root.resolve("_manifests")
+    require(io.exists(dir), s"no dataset at $root")
+    io.listNames(dir)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .maxOption
+      .map(n => Manifest.versionOfFileName(n))
+      .getOrElse(throw new IllegalArgumentException(s"no manifests in $dir"))
+  }
+
   /** A pinned version's manifest, UNDECODED (schema resolution only). */
   private[lake] def loadVersionSlim(root: Path, v: Long): Manifest = {
     val io = LakeIO.forRoot(root.toString)

@@ -111,4 +111,8 @@ object Manifest {
   def fromJson(s: String): Manifest = Serialization.read[Manifest](s)
 
   def versionFileName(v: Long): String = f"v$v%020d.json"
+
+  /** Inverse of [[versionFileName]]. */
+  def versionOfFileName(name: String): Long =
+    name.stripPrefix("v").stripSuffix(".json").toLong
 }

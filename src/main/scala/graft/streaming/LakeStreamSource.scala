@@ -68,7 +68,9 @@ final class LakeStreamSource(sqlContext: SQLContext, root: String,
   @volatile private var lastEnd: Option[Long] = None
 
   override def getOffset: Option[LegacyOffset] = {
-    val cur = LakeDataset.open(spark, root).version
+    // version number only — a full open would chunk-decode a large
+    // table's manifest on EVERY trigger poll, including idle ones
+    val cur = LakeDataset.latestVersion(spark, root)
     val capped = (maxVersionsPerTrigger, lastEnd) match {
       case (Some(n), Some(prev)) => math.min(cur, prev + n)
       case _ => cur
