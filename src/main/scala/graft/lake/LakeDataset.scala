@@ -2649,7 +2649,7 @@ object LakeDataset {
     * the chunk decode of a large table. The handle refuses commits, and on
     * a chunk-encoded table its fragment list is EMPTY — callers must not
     * read data through it. */
-  private[lake] def openSlim(spark: SparkSession, path: String): LakeDataset = {
+  private[graft] def openSlim(spark: SparkSession, path: String): LakeDataset = {
     val root = new Path(path)
     val io = LakeIO.forRoot(root.toString,
       spark.sparkContext.hadoopConfiguration)
@@ -2672,6 +2672,12 @@ object LakeDataset {
       .map(n => Manifest.versionOfFileName(n))
       .getOrElse(throw new IllegalArgumentException(s"no manifests in $dir"))
   }
+
+  /** A pinned version's logical schema without chunk decode — fields are
+    * version-file data (the streaming source's per-batch schema guard). */
+  def schemaAtVersion(spark: SparkSession, path: String,
+      v: Long): StructType =
+    logicalSchema(loadVersionSlim(new Path(path), v))
 
   /** A pinned version's manifest, UNDECODED (schema resolution only). */
   private[lake] def loadVersionSlim(root: Path, v: Long): Manifest = {

@@ -46,16 +46,18 @@ final class LakeStreamSource(sqlContext: SQLContext, root: String,
 
   private val spark = sqlContext.sparkSession
 
+  // slim open: schema is version-file data; a chunked table must not
+  // decode its fragment list at stream construction
   override val schema: StructType =
-    LakeDataset.open(spark, root).schema
+    LakeDataset.openSlim(spark, root).schema
 
   /** Resolved snapshot-skip point: tail from (exclusive) this version. */
   private val startV0: Option[Long] = startingVersion.map {
     case s if s.equalsIgnoreCase("latest") =>
-      LakeDataset.open(spark, root).version
+      LakeDataset.latestVersion(spark, root)
     case s =>
       val v = s.toLong
-      val cur = LakeDataset.open(spark, root).version
+      val cur = LakeDataset.latestVersion(spark, root)
       require(v >= 1 && v <= cur,
         s"lake stream at $root: startingVersion=$v outside retained range 1..$cur")
       v
@@ -120,7 +122,7 @@ final class LakeStreamSource(sqlContext: SQLContext, root: String,
     //  - a checkpointed batch replayed AFTER evolution (end version
     //    predates the current schema) → restarting cannot clear it; the
     //    stream must resume from a fresh checkpoint.
-    val endSchema = ds.checkout(endV).schema
+    val endSchema = LakeDataset.schemaAtVersion(spark, root, endV)
     if (endSchema != schema) {
       val remedy =
         if (ds.schema == schema)
@@ -164,7 +166,7 @@ object LakeStreamSource {
       parameters: Map[String, String]): StructType = {
     val root = opt(parameters, "path").getOrElse(
       throw new IllegalArgumentException("lake stream: 'path' is required"))
-    LakeDataset.open(
+    LakeDataset.openSlim(
       sqlContext.sparkSession.asInstanceOf[SparkSession], root).schema
   }
 }
