@@ -102,7 +102,8 @@ object LakeQueries {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
-  private def quantizedTopK(quantizer: String): (
+  private def quantizedTopK(quantizer: String, nprobe: Int = 4,
+      probeVia: String = "exact"): (
       org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, dir) => {
       // bounded deterministic corpus: the demo exercises the full persisted
@@ -131,12 +132,31 @@ object LakeQueries {
       val ds = LakeDataset.open(s, root)
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      VectorIndex.search(ds, "embedding", q, k = 10, nprobe = 4,
-        name = s"ivf$quantizer")
+      VectorIndex.search(ds, "embedding", q, k = 10, nprobe = nprobe,
+        name = s"ivf$quantizer", probeVia = probeVia)
         .select("vec_id", "label", "similarity")
     }
 
   val ivfPq: Q = Q.noOracle("ann_ivfpq_topk")(quantizedTopK("pq"))
+
+  /** IVF-HNSW hybrid (reference storage2/ivf_hnsw_index.go): cluster
+    * selection walks an HNSW graph over the centroids instead of scoring
+    * them all. With nprobe = NumClusters and ≤ M+1 centroids the graph is
+    * complete, so the probe is provably exhaustive and the result is the
+    * exact top-k — which makes plain SQL a valid oracle for the persisted
+    * index + graph-probe + rank pipeline (the [[graft.pipeline.Ann.ivfExhaustive]]
+    * pattern). The approximate regimes (graph probe over 10⁵+ centroids,
+    * beam recall) are HnswSpec/VectorIndexSpec's job. */
+  val ivfHnsw: Q = Q(
+    "ann_ivfhnsw_topk",
+    """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      |scored AS (SELECT e.vec_id, e.label,
+      |             list_cosine_similarity(e.embedding, q.qvec) AS sim
+      |           FROM embeddings e, q WHERE e.vec_id < 5000)
+      |SELECT vec_id, label, round(sim, 4) AS similarity
+      |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)(
+    quantizedTopK("flat", nprobe = VectorIndex.DefaultClusters,
+      probeVia = "hnsw"))
 
   /** IVF-SQ: per-dimension uint8 scalar quantization (4× smaller codes,
     * near-lossless ranking) + exact re-rank. */
@@ -430,7 +450,7 @@ object LakeQueries {
   }
 
   def all: Seq[Q] =
-    Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, catalogRead, sqlDml,
-      sqlDmlMor, zorderPrune, changeFeed, aggPushdown, spatialKnn,
+    Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, catalogRead,
+      sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown, spatialKnn,
       spatialRange)
 }

@@ -332,10 +332,19 @@ object VectorIndex {
     * brute force when no index exists. With a PQ index, candidates inside
     * the probed clusters are first ranked by asymmetric distance over the
     * byte codes and only the top refine·k join the full vectors for the
-    * exact re-rank. */
+    * exact re-rank.
+    *
+    * `probeVia = "hnsw"` is the reference's IVF-HNSW hybrid
+    * (storage2/ivf_hnsw_index.go): cluster selection walks an
+    * [[graft.operators.HnswGraph]] over the centroids (L2 metric — the
+    * same ranking the exact probe uses) instead of scoring every centroid.
+    * Irrelevant at 16 centroids; decisive when the coarse quantizer has
+    * 10⁵−10⁶ of them (centroid count scales ~√N), where exact probing is
+    * itself a linear scan per query. */
   def search(ds: LakeDataset, vecCol: String, query: Seq[Float], k: Int,
       nprobe: Int = 4, name: String = "ivf",
-      prefilter: Option[String] = None): DataFrame = {
+      prefilter: Option[String] = None,
+      probeVia: String = "exact"): DataFrame = {
     val spark = ds.spark
     GraftFunctions.register(spark)
     val qvec = typedlit(query)
@@ -349,10 +358,25 @@ object VectorIndex {
         val segs = segmentDirs(ds, name, v)
         val dir = segs.last
         val centroids = spark.read.parquet(s"$dir/centroids")
-        val probed = centroids
-          .withColumn("d", call_function("l2_distance", qvec, col("centroid")))
-          .orderBy(col("d"), col("cluster")).limit(nprobe)
-          .select("cluster")
+        val probed =
+          if (probeVia == "hnsw") {
+            // centroids are coarse-quantizer state (driver-resident here,
+            // like the PQ LUT); the graph walk replaces the linear scan
+            val cRows = centroids.collect().map(r =>
+              (r.getInt(r.fieldIndex("cluster")).toLong,
+                r.getSeq[Float](r.fieldIndex("centroid")).toArray))
+            val g = graft.operators.HnswGraph.build(
+              cRows.iterator, metric = "l2")
+            val picked = g.search(query.toArray, nprobe,
+              math.max(graft.operators.HnswGraph.DefaultEfSearch, nprobe))
+              .map(_._1.toInt)
+            import spark.implicits._
+            picked.toDF("cluster")
+          } else centroids
+            .withColumn("d",
+              call_function("l2_distance", qvec, col("centroid")))
+            .orderBy(col("d"), col("cluster")).limit(nprobe)
+            .select("cluster")
         // pushdown: only the probed clusters' row groups are read
         val probedAssign = spark.read
           .parquet(segs.map(sd => s"$sd/assignments"): _*)

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *    (multi-probe), so per-query work is a fraction of the corpus.
   *
   * Distance kernels are the codegen'd Catalyst expressions in
-  * [[graft.functions]] (reference: pkg/storage2/knn.go FLAT/IVF index —
-  * capability parity is "top-k by metric", not algorithm parity; HNSW graph
-  * walks don't map to Spark's execution model, SURVEY §7.1).
+  * [[graft.functions]] (reference: pkg/storage2/knn.go FLAT/IVF index).
+  * The reference's graph index (hnsw_index.go) maps to Spark as
+  * shard-and-merge: [[hnsw]] builds one [[graft.operators.HnswGraph]] per
+  * partition inside `mapPartitions` and merges per-shard top-k — a graph
+  * walk is sequential per query, so shards × queries is the parallelism
+  * axis and no executor holds the whole corpus.
   */
 object Ann {
 
@@ -314,6 +317,40 @@ object Ann {
       .limit(20)
   }
 
+  /** Graph-ANN shards: few enough that every shard's graph is a bounded
+    * in-task build, many enough to exercise the merge. At 100 TB this knob
+    * is corpus/executor-memory; each task builds/holds ONE shard. */
+  val HnswShards = 4
+
+  /** HNSW top-k (reference hnsw_index.go; Malkov & Yashunin, TPAMI 2018),
+    * sharded: per-partition graphs built in `mapPartitions`, every shard
+    * searched per query, global top-k from the per-shard candidates. The
+    * union of per-shard exact top-k ⊇ global exact top-k when each shard
+    * search were exact — HNSW's beam (efSearch) is the recall knob, pinned
+    * vs [[brute]] in AnnSpec. */
+  val hnsw = Q.noOracle("ann_hnsw_topk") { (s, dir) =>
+    import graft.operators.HnswGraph
+    val e = emb(s, dir)
+    val qRows = queries(e).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qB = s.sparkContext.broadcast(qRows)
+    import s.implicits._
+    val hits = e.select(col("vec_id"), col("embedding"))
+      .repartition(HnswShards, col("vec_id"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val g = HnswGraph.build(it)
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, TopK + 1).collect {
+            case (id, sim) if id != qid => (qid, id, sim)
+          }.take(TopK)
+        }
+      }
+      .toDF("qid", "vec_id", "sim")
+    topKPerQuery(hits)
+  }
+
   /** KNN with a metadata prefilter (reference prefilter.go:32-90 — the
     * bitmap prefilter composed with index search): restrict the corpus by a
     * predicate BEFORE ranking, so top-k comes from the filtered set. */
@@ -340,5 +377,6 @@ object Ann {
     topKPerQuery(scored)
   }
 
-  def all: Seq[Q] = Seq(brute, lsh, ivf, ivfExhaustive, prefiltered, nearDupPairs)
+  def all: Seq[Q] =
+    Seq(brute, lsh, ivf, ivfExhaustive, hnsw, prefiltered, nearDupPairs)
 }
