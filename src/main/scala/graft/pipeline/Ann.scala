@@ -317,6 +317,83 @@ object Ann {
       .limit(20)
   }
 
+  /** Semantic dedup threshold (fixed-point ×1e4 cosine): this synthetic
+    * corpus tops out near cos 0.51, so 0.40 yields real clusters at every
+    * SF; a web corpus would run ~0.95+ (SemDeDup's ε). */
+  val SemDedupE4 = 4000
+  /** Bucket bits for the semantic-dedup demo: coarser than
+    * [[NearDupBits]] so same-cluster recall at the demo threshold is
+    * non-degenerate on direction-uniform vectors. */
+  val SemDedupBits = 4
+
+  /** DuckDB oracle for [[semantic]]: same seeded hyperplane buckets
+    * (the [[nearDupOracle]] pattern), integer fixed-point threshold, and
+    * the transitive closure as a recursive CTE (the `dedup_resolve_sql`
+    * pattern) — the full cluster → near-dup → resolve → keep/drop chain
+    * replayed independently. */
+  private def semanticOracle: String = {
+    val bucketTerms = (0 until SemDedupBits).map { i =>
+      val coeffs = hyperplanes(i).map(v => if (v > 0) "1" else "-1").mkString(",")
+      s"(CASE WHEN list_dot_product(e, [$coeffs]::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH RECURSIVE
+       |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |kb AS (SELECT vec_id, e,
+       |    $bucketTerms AS bucket
+       |  FROM b),
+       |edges AS (
+       |  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+       |  FROM kb a JOIN kb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |  WHERE CAST(round(list_cosine_similarity(a.e, c.e) * 10000) AS BIGINT)
+       |          >= $SemDedupE4),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT reach.doc_id, e.doc_b FROM reach
+       |  JOIN edges e ON reach.r = e.doc_a
+       |  WHERE e.doc_b <> reach.doc_id),
+       |lab AS (SELECT doc_id, least(doc_id, min(r)) AS label
+       |        FROM reach GROUP BY doc_id)
+       |SELECT v.vec_id, coalesce(l.label, v.vec_id) AS label,
+       |  coalesce(l.label, v.vec_id) = v.vec_id AS keep
+       |FROM (SELECT vec_id FROM b) v
+       |LEFT JOIN lab l ON l.doc_id = v.vec_id""".stripMargin
+  }
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the embedding space, find near-duplicate
+    * pairs ONLY within a cluster, resolve transitively, keep one
+    * representative (min id) per group. Clusters here are LSH buckets
+    * (portable + bucket count scales with corpus — the within-cluster
+    * pair join is quadratic per bucket, exactly SemDeDup's per-cluster
+    * cost model); the threshold compares BIGINT fixed-point sims so both
+    * engines make identical keep/drop calls. Output: every vector with
+    * its cluster label and the keep verdict. */
+  val semantic = Q("dedup_semantic", semanticOracle) { (s, dir) =>
+    val e = emb(s, dir)
+    val bucketed = e
+      .withColumn("bucket", bucketOf(col("embedding"), SemDedupBits))
+    val a = bucketed.select(col("vec_id").as("doc_a"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("doc_b"),
+      col("embedding").as("emb_b"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("sim_e4",
+        round(call_function("cosine_sim", col("emb_a"), col("emb_b")) * 10000)
+          .cast("long"))
+      .filter(col("sim_e4") >= SemDedupE4)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(pairs)
+      .select(col("doc_id"), col("label"))
+    e.select("vec_id")
+      .join(labels, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("label"),
+        (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
   /** Graph-ANN shards: few enough that every shard's graph is a bounded
     * in-task build, many enough to exercise the merge. At 100 TB this knob
     * is corpus/executor-memory; each task builds/holds ONE shard. */
@@ -378,5 +455,6 @@ object Ann {
   }
 
   def all: Seq[Q] =
-    Seq(brute, lsh, ivf, ivfExhaustive, hnsw, prefiltered, nearDupPairs)
+    Seq(brute, lsh, ivf, ivfExhaustive, hnsw, prefiltered, nearDupPairs,
+      semantic)
 }

@@ -81,6 +81,23 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.15, s"ivf recall $recall")
   }
 
+  test("semantic dedup: one keep per cluster, labels are cluster minima") {
+    val rows = Ann.semantic.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // covers every vector exactly once
+    assert(rows.length == 500)
+    assert(rows.map(_._1).distinct.length == 500)
+    val byLabel = rows.groupBy(_._2)
+    byLabel.foreach { case (label, members) =>
+      // the representative is the cluster's min id and the only keep
+      assert(members.map(_._1).min == label)
+      assert(members.count(_._3) == 1)
+      assert(members.find(_._3).get._1 == label)
+    }
+    // non-degenerate on this corpus: some cluster has >1 member
+    assert(byLabel.exists(_._2.length > 1))
+  }
+
   test("LSH bucket assignment is deterministic") {
     val b1 = Ann.lsh.run(spark, sf0001).collect().map(_.toSeq)
     val b2 = Ann.lsh.run(spark, sf0001).collect().map(_.toSeq)
