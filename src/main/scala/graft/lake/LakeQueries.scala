@@ -158,6 +158,38 @@ object LakeQueries {
     quantizedTopK("flat", nprobe = VectorIndex.DefaultClusters,
       probeVia = "hnsw"))
 
+  /** Persisted sharded-HNSW search (reference hnsw_index.go through the
+    * KNNIndexManager persistence surface): create → build shard graphs →
+    * search through the stored adjacency. Approximate by nature (beam
+    * recall), so no SQL oracle — HnswIndexSpec pins recall, refresh, and
+    * delete-safety. */
+  val hnswIdx: Q = Q.noOracle("ann_hnswidx_topk") { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+      .select("vec_id", "label", "embedding")
+      .filter(col("vec_id") < 5000)
+    val perSession = {
+      var m = pqRoots.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]
+        pqRoots.put(s, m)
+      }
+      m
+    }
+    val root = perSession.computeIfAbsent(s"hnsw:$dir", _ => {
+      val r = Files.createTempDirectory(s"lake-hnsw-${UUID.randomUUID()}")
+        .toString
+      val ds = LakeDataset.create(s, r, emb.schema)
+      ds.append(emb.coalesce(1))
+      HnswIndex.build(ds, "embedding")
+      r
+    })
+    val ds = LakeDataset.open(s, root)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    HnswIndex.search(ds, "embedding", q, k = 10)
+      .select("vec_id", "label", "similarity")
+  }
+
   /** IVF-SQ: per-dimension uint8 scalar quantization (4× smaller codes,
     * near-lossless ranking) + exact re-rank. */
   val ivfSq: Q = Q.noOracle("ann_sq_topk")(quantizedTopK("sq"))
@@ -450,7 +482,7 @@ object LakeQueries {
   }
 
   def all: Seq[Q] =
-    Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, catalogRead,
-      sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown, spatialKnn,
-      spatialRange)
+    Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
+      catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
+      spatialKnn, spatialRange)
 }

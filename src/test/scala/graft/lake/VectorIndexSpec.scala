@@ -260,4 +260,21 @@ class VectorIndexSpec extends SparkTestBase {
       .collect().map(_.getLong(0))
     assert(again.contains(800010L))
   }
+
+  test("HNSW centroid probe ranks clusters like the exact probe") {
+    // At <= M+1 centroids the probe graph is complete, so the walk is
+    // exhaustive: probeVia=hnsw must return EXACTLY the exact probe's
+    // results at every nprobe, not just overlap them.
+    val ds = makeDs()
+    val q = queryVec(ds)
+    VectorIndex.build(ds, "embedding")
+    for (np <- Seq(1, 4, VectorIndex.DefaultClusters)) {
+      val exact = VectorIndex.search(ds, "embedding", q, k = 10, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      val viaHnsw = VectorIndex.search(ds, "embedding", q, k = 10,
+        nprobe = np, probeVia = "hnsw")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      assert(viaHnsw == exact, s"nprobe=$np")
+    }
+  }
 }
