@@ -5,6 +5,7 @@ import graft.ddl.DdlQueries
 import graft.lake.LakeQueries
 import graft.pipeline.{Ann, Assemble, Curate, Dedup, Fts, Multimodal, TextOps}
 import graft.queries.{Extra, Rel, Tpch, TpchMore}
+import graft.server.WireQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +15,8 @@ object SparkEntry {
   lazy val registry: Seq[Q] =
     Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++
       TextOps.all ++ Curate.all ++ Dedup.all ++ Ann.all ++ Fts.all ++
-      Multimodal.all ++ LakeQueries.all ++ DdlQueries.all ++ Assemble.all
+      Multimodal.all ++ LakeQueries.all ++ DdlQueries.all ++ Assemble.all ++
+      WireQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

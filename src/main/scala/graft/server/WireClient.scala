@@ -1,0 +1,183 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+/** Minimal PostgreSQL-protocol client — the test/round-trip counterpart of
+  * [[WireServer]], speaking the same public v3 framing from the frontend
+  * side (startup → simple query → terminate). Kept deliberately dumb: raw
+  * message framing, text-format results only, no TLS/auth/extended-protocol
+  * features, so a server bug cannot hide behind a lenient client library.
+  */
+object WireClient {
+
+  /** One result set: field (name, typeOid) pairs, text rows (None = NULL),
+    * and the CommandComplete tag. */
+  final case class Result(
+      fields: Vector[(String, Int)],
+      rows: Vector[Vector[Option[String]]],
+      tag: String)
+
+  final case class ServerError(sqlState: String, message: String)
+      extends RuntimeException(s"$sqlState: $message")
+
+  final class Conn(host: String, port: Int, user: String = "graft",
+      database: String = "graft") extends AutoCloseable {
+    private val socket = new Socket(host, port)
+    socket.setTcpNoDelay(true)
+    private val in = new DataInputStream(
+      new BufferedInputStream(socket.getInputStream))
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(socket.getOutputStream))
+
+    /** Startup parameters visible after connect (ParameterStatus). */
+    val parameters: mutable.Map[String, String] = mutable.Map.empty
+
+    // StartupMessage: int32 len, int32 protocol, k\0v\0... \0
+    locally {
+      val body = new java.io.ByteArrayOutputStream()
+      val b = new DataOutputStream(body)
+      b.writeInt(196608)
+      Seq("user" -> user, "database" -> database).foreach { case (k, v) =>
+        b.write(k.getBytes(UTF_8)); b.writeByte(0)
+        b.write(v.getBytes(UTF_8)); b.writeByte(0)
+      }
+      b.writeByte(0)
+      out.writeInt(4 + body.size())
+      body.writeTo(out)
+      out.flush()
+      drainUntilReady() // auth + parameter status + backend key
+    }
+
+    /** Run one simple query; returns results per statement in the string. */
+    def query(sql: String): Vector[Result] = {
+      out.writeByte('Q')
+      val bytes = sql.getBytes(UTF_8)
+      out.writeInt(4 + bytes.length + 1)
+      out.write(bytes); out.writeByte(0)
+      out.flush()
+
+      val results = Vector.newBuilder[Result]
+      var fields = Vector.empty[(String, Int)]
+      var rows = Vector.newBuilder[Vector[Option[String]]]
+      var err: Option[ServerError] = None
+      var done = false
+      while (!done) {
+        val (typ, body) = readMessage()
+        typ match {
+          case 'T' =>
+            fields = parseRowDescription(body)
+            rows = Vector.newBuilder
+          case 'D' => rows += parseDataRow(body)
+          case 'C' =>
+            results += Result(fields, rows.result(), cString(body, 0)._1)
+            fields = Vector.empty; rows = Vector.newBuilder
+          case 'I' => () // EmptyQueryResponse
+          case 'E' => err = Some(parseError(body))
+          case 'Z' => done = true
+          case 'N' | 'S' | 'A' => () // notices/params — ignore
+          case other =>
+            throw new IOException(s"unexpected message '$other' in query cycle")
+        }
+      }
+      err.foreach(throw _)
+      results.result()
+    }
+
+    override def close(): Unit = {
+      try { out.writeByte('X'); out.writeInt(4); out.flush() }
+      catch { case _: IOException => () }
+      socket.close()
+    }
+
+    // ------------------------------------------------------------ plumbing
+
+    private def drainUntilReady(): Unit = {
+      var ready = false
+      while (!ready) {
+        val (typ, body) = readMessage()
+        typ match {
+          case 'R' =>
+            val code = readInt(body, 0)
+            if (code != 0)
+              throw new IOException(s"unsupported auth request $code")
+          case 'S' =>
+            val (k, p) = cString(body, 0); val (v, _) = cString(body, p)
+            parameters(k) = v
+          case 'K' => () // BackendKeyData
+          case 'E' => throw parseError(body)
+          case 'Z' => ready = true
+          case 'N' => () // NoticeResponse
+          case other => throw new IOException(s"unexpected startup msg '$other'")
+        }
+      }
+    }
+
+    private def readMessage(): (Char, Array[Byte]) = {
+      val typ = in.readByte().toChar
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      (typ, body)
+    }
+  }
+
+  private type IOException = java.io.IOException
+
+  private def parseRowDescription(b: Array[Byte]): Vector[(String, Int)] = {
+    val n = readShort(b, 0)
+    var pos = 2
+    val out = Vector.newBuilder[(String, Int)]
+    (0 until n).foreach { _ =>
+      val (name, p) = cString(b, pos)
+      val oid = readInt(b, p + 6)
+      out += ((name, oid))
+      pos = p + 18 // tableOID(4) attnum(2) typeOID(4) typlen(2) typmod(4) fmt(2)
+    }
+    out.result()
+  }
+
+  private def parseDataRow(b: Array[Byte]): Vector[Option[String]] = {
+    val n = readShort(b, 0)
+    var pos = 2
+    val out = Vector.newBuilder[Option[String]]
+    (0 until n).foreach { _ =>
+      val len = readInt(b, pos); pos += 4
+      if (len < 0) out += None
+      else { out += Some(new String(b, pos, len, UTF_8)); pos += len }
+    }
+    out.result()
+  }
+
+  private def parseError(b: Array[Byte]): ServerError = {
+    var pos = 0
+    var state = ""; var message = ""
+    while (pos < b.length && b(pos) != 0) {
+      val code = b(pos).toChar
+      val (v, p) = cString(b, pos + 1)
+      code match {
+        case 'C' => state = v
+        case 'M' => message = v
+        case _ => ()
+      }
+      pos = p
+    }
+    ServerError(state, message)
+  }
+
+  private def cString(b: Array[Byte], from: Int): (String, Int) = {
+    var end = from
+    while (end < b.length && b(end) != 0) end += 1
+    (new String(b, from, end - from, UTF_8), math.min(end + 1, b.length))
+  }
+
+  private def readShort(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+
+  private def readInt(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+      ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+}

@@ -1,0 +1,65 @@
+package graft.server
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Registry coverage for the wire-protocol server: the round-trip entry
+  * starts a [[WireServer]] on an ephemeral loopback port, executes the
+  * shared SQL through a raw-socket [[WireClient]], and rebuilds a typed
+  * DataFrame from the text-format wire results — so the driver's DuckDB
+  * hash gate certifies the full path: Spark plan → toLocalIterator →
+  * protocol framing → text encoding → client parse → typed values.
+  * (Reference surface: the plandb psql-wire binary, cmd/main/main.go:68.)
+  */
+object WireQueries {
+
+  private val roundtripSql =
+    """SELECT n_regionkey,
+      |       count(*) AS nations,
+      |       min(n_name) AS first_name,
+      |       CAST(round(avg(n_nationkey) * 100) AS BIGINT) AS avg_key_c
+      |FROM nation
+      |GROUP BY n_regionkey""".stripMargin
+
+  /** Text-format decode per type OID (the inverse of WireServer.textValue
+    * for the types the round-trip exercises). */
+  private def decoder(oid: Int): (DataType, String => Any) = oid match {
+    case 16 => (BooleanType, s => s == "t")
+    case 21 => (ShortType, s => s.toShort)
+    case 23 => (IntegerType, s => s.toInt)
+    case 20 => (LongType, s => s.toLong)
+    case 700 => (FloatType, s => s.toFloat)
+    case 701 => (DoubleType, s => s.toDouble)
+    case _ => (StringType, identity[String])
+  }
+
+  /** Run `sql` through a live wire server over `sfDir`'s views and decode
+    * the text results into a typed DataFrame. */
+  def roundtrip(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
+    val server = new WireServer(spark, port = 0, Tables.register(_, sfDir))
+    try {
+      val conn = new WireClient.Conn("127.0.0.1", server.boundPort)
+      try {
+        val res = conn.query(sql).head
+        val decoders = res.fields.map { case (_, oid) => decoder(oid) }
+        val schema = StructType(res.fields.zip(decoders).map {
+          case ((name, _), (dt, _)) => StructField(name, dt)
+        })
+        val rows = res.rows.map { r =>
+          Row.fromSeq(r.zip(decoders).map {
+            case (cell, (_, dec)) => cell.map(dec).orNull
+          })
+        }
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("wire_roundtrip", roundtripSql)((s, dir) => roundtrip(s, dir, roundtripSql))
+  )
+}

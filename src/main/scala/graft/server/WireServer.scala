@@ -1,0 +1,418 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PostgreSQL wire-protocol (v3) server over Spark SQL.
+  *
+  * Capability parity with the reference's `plandb` binary, which serves
+  * interactive SQL on the psql wire protocol (cmd/main/main.go:68 via
+  * jeroenrinzema/psql-wire; one goroutine per connection, each query string
+  * routed through InitRunner). Here each accepted connection gets a daemon
+  * thread and every statement is executed by `spark.sql` on the shared
+  * session — parsing/planning/execution are Catalyst's, and the server is
+  * only framing. The message formats implemented below are the public
+  * protocol spec (PostgreSQL docs, "Frontend/Backend Protocol"): startup +
+  * SSL/GSS negotiation (refused with 'N'), trust auth, the simple query
+  * cycle ('Q' → RowDescription, DataRows, CommandComplete, ReadyForQuery),
+  * and the extended cycle (Parse/Bind/Describe/Execute/Close/Flush/Sync)
+  * without parameter binding — enough for psql and simple drivers.
+  *
+  * Results stream through `toLocalIterator` — the server never
+  * materializes a result set on the driver, so a huge SELECT is bounded by
+  * one partition's rows in memory, not the result (the 100 TB posture for
+  * a wire interface: the client is the sink, partitions arrive in order).
+  *
+  * Binds 127.0.0.1 only; auth is trust (the reference's dev posture).
+  */
+final class WireServer(
+    spark: SparkSession,
+    port: Int = 0,
+    prepare: SparkSession => Unit = _ => ()) extends AutoCloseable {
+
+  prepare(spark)
+
+  private val socket = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+  private val running = new AtomicBoolean(true)
+  private val conns = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[Socket]())
+
+  /** Ephemeral-port lookup for tests/clients. */
+  def boundPort: Int = socket.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val s = socket.accept()
+        conns.add(s)
+        val t = new Thread(() => {
+          try handleConnection(s)
+          catch { case NonFatal(_) | (_: IOException) => () }
+          finally { conns.remove(s); try s.close() catch { case _: IOException => () } }
+        }, s"graft-wire-conn-${s.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => () // closed during accept — shutting down
+        case NonFatal(_) => ()
+      }
+    }
+  }, "graft-wire-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = {
+    running.set(false)
+    try socket.close() catch { case _: IOException => () }
+    conns.forEach(s => try s.close() catch { case _: IOException => () })
+    conns.clear()
+  }
+
+  // ---------------------------------------------------------------- protocol
+
+  private val PROTOCOL_V3 = 196608      // 3 << 16
+  private val SSL_REQUEST = 80877103
+  private val GSS_REQUEST = 80877104
+  private val CANCEL_REQUEST = 80877102
+
+  private def handleConnection(s: Socket): Unit = {
+    s.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+
+    // Startup phase: loop so an SSLRequest/GSSENCRequest (refused) can be
+    // followed by the real StartupMessage on the same connection.
+    var params = Map.empty[String, String]
+    var started = false
+    while (!started) {
+      val len = in.readInt()
+      val code = in.readInt()
+      code match {
+        case SSL_REQUEST | GSS_REQUEST =>
+          out.write('N'); out.flush()
+        case CANCEL_REQUEST =>
+          in.skipBytes(len - 8); return // cancel keys unsupported — drop
+        case PROTOCOL_V3 =>
+          val body = new Array[Byte](len - 8)
+          in.readFully(body)
+          params = parseStartupParams(body)
+          started = true
+        case v =>
+          sendError(out, "08P01", s"unsupported protocol version $v")
+          out.flush(); return
+      }
+    }
+
+    // Trust auth + session preamble.
+    msg(out, 'R') { b => b.writeInt(0) }                       // AuthenticationOk
+    paramStatus(out, "server_version", "16.0 (graft)")
+    paramStatus(out, "server_encoding", "UTF8")
+    paramStatus(out, "client_encoding",
+      params.getOrElse("client_encoding", "UTF8"))
+    paramStatus(out, "DateStyle", "ISO, YMD")
+    paramStatus(out, "TimeZone",
+      spark.sessionState.conf.sessionLocalTimeZone)
+    paramStatus(out, "integer_datetimes", "on")
+    msg(out, 'K') { b => b.writeInt(0); b.writeInt(0) }        // BackendKeyData
+    readyForQuery(out)
+    out.flush()
+
+    // Extended-protocol state: prepared statements and bound portals.
+    val statements = mutable.Map.empty[String, String]   // name -> SQL
+    val portals = mutable.Map.empty[String, String]      // name -> SQL
+
+    var open = true
+    while (open) {
+      val typ =
+        try in.readByte().toChar
+        catch { case _: EOFException => return }
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      typ match {
+        case 'Q' =>
+          val sql = cString(body, 0)._1
+          simpleQuery(out, sql)
+          readyForQuery(out); out.flush()
+
+        case 'P' => // Parse: name, query, param type oids (ignored; 0 expected)
+          val (name, p1) = cString(body, 0)
+          val (query, _) = cString(body, p1)
+          statements(name) = query
+          msg(out, '1') { _ => () }                            // ParseComplete
+
+        case 'B' => // Bind: portal, statement, formats+params (no params supported)
+          val (portal, p1) = cString(body, 0)
+          val (stmt, p2) = cString(body, p1)
+          val nFmts = readShort(body, p2)
+          val pParams = p2 + 2 + nFmts * 2
+          val nParams = readShort(body, pParams)
+          if (nParams > 0) {
+            sendError(out, "0A000", "parameter binding not supported")
+          } else {
+            portals(portal) = statements.getOrElse(stmt, "")
+            msg(out, '2') { _ => () }                          // BindComplete
+          }
+
+        case 'D' => // Describe 'S' statement | 'P' portal
+          val kind = body(0).toChar
+          val (name, _) = cString(body, 1)
+          val sqlOpt =
+            if (kind == 'S') statements.get(name) else portals.get(name)
+          sqlOpt.map(_.trim).filter(_.nonEmpty) match {
+            case None => msg(out, 'n') { _ => () }             // NoData
+            case Some(sql) =>
+              try {
+                val df = spark.sql(sql)
+                if (kind == 'S')
+                  msg(out, 't') { b => b.writeShort(0) }       // ParameterDescription
+                if (df.schema.isEmpty) msg(out, 'n') { _ => () }
+                else rowDescription(out, df.schema)
+              } catch {
+                case NonFatal(e) => sendError(out, "42601", exMessage(e))
+              }
+          }
+
+        case 'E' => // Execute: portal name, max rows (streams all; no suspend)
+          val (portal, _) = cString(body, 0)
+          portals.get(portal).map(_.trim).filter(_.nonEmpty) match {
+            case None => msg(out, 'I') { _ => () }             // EmptyQueryResponse
+            case Some(sql) => runStatement(out, sql, describe = false)
+          }
+
+        case 'C' => // Close statement/portal
+          val kind = body(0).toChar
+          val (name, _) = cString(body, 1)
+          if (kind == 'S') statements.remove(name) else portals.remove(name)
+          msg(out, '3') { _ => () }                            // CloseComplete
+
+        case 'S' => readyForQuery(out); out.flush()            // Sync
+        case 'H' => out.flush()                                // Flush
+        case 'X' => open = false                               // Terminate
+        case 'F' | 'd' | 'c' | 'f' =>
+          sendError(out, "0A000", s"message '$typ' not supported")
+          readyForQuery(out); out.flush()
+        case other =>
+          sendError(out, "08P01", s"unknown message type '$other'")
+          readyForQuery(out); out.flush()
+      }
+    }
+  }
+
+  /** Simple-query cycle: statements split on top-level ';', each with its
+    * own RowDescription + DataRows + CommandComplete. */
+  private def simpleQuery(out: DataOutputStream, sql: String): Unit = {
+    val stmts = splitStatements(sql)
+    if (stmts.isEmpty) { msg(out, 'I') { _ => () }; return }   // EmptyQueryResponse
+    stmts.foreach { stmt => runStatement(out, stmt, describe = true) }
+  }
+
+  /** Execute one statement; on success emit (RowDescription +) DataRows +
+    * CommandComplete, on failure one ErrorResponse. */
+  private def runStatement(
+      out: DataOutputStream, stmt: String, describe: Boolean): Unit = {
+    try {
+      val df = spark.sql(stmt)
+      val schema = df.schema
+      if (schema.isEmpty) {
+        // Command (DDL/SET/...): force execution, then tag.
+        df.collect()
+        commandComplete(out, commandTag(stmt, -1))
+      } else {
+        if (describe) rowDescription(out, schema)
+        var n = 0L
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          dataRow(out, row, schema)
+          n += 1
+        }
+        commandComplete(out, commandTag(stmt, n))
+      }
+    } catch {
+      case NonFatal(e) => sendError(out, "42601", exMessage(e))
+    }
+  }
+
+  // ------------------------------------------------------------- encoding
+
+  private def msg(out: DataOutputStream, typ: Char)(
+      write: DataOutputStream => Unit): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(buf)
+    write(b)
+    out.writeByte(typ)
+    out.writeInt(4 + buf.size())
+    buf.writeTo(out)
+  }
+
+  private def paramStatus(out: DataOutputStream, k: String, v: String): Unit =
+    msg(out, 'S') { b => writeCString(b, k); writeCString(b, v) }
+
+  private def readyForQuery(out: DataOutputStream): Unit =
+    msg(out, 'Z') { b => b.writeByte('I') }
+
+  private def commandComplete(out: DataOutputStream, tag: String): Unit =
+    msg(out, 'C') { b => writeCString(b, tag) }
+
+  private def sendError(out: DataOutputStream, sqlState: String,
+      message: String): Unit = {
+    msg(out, 'E') { b =>
+      b.writeByte('S'); writeCString(b, "ERROR")
+      b.writeByte('V'); writeCString(b, "ERROR")
+      b.writeByte('C'); writeCString(b, sqlState)
+      b.writeByte('M'); writeCString(b, message)
+      b.writeByte(0)
+    }
+    out.flush()
+  }
+
+  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+    msg(out, 'T') { b =>
+      b.writeShort(schema.length)
+      schema.fields.foreach { f =>
+        writeCString(b, f.name)
+        b.writeInt(0)                       // table OID (none)
+        b.writeShort(0)                     // attnum
+        val (oid, typlen) = pgType(f.dataType)
+        b.writeInt(oid)
+        b.writeShort(typlen)
+        b.writeInt(-1)                      // typmod
+        b.writeShort(0)                     // text format
+      }
+    }
+
+  private def dataRow(out: DataOutputStream, row: org.apache.spark.sql.Row,
+      schema: StructType): Unit =
+    msg(out, 'D') { b =>
+      b.writeShort(schema.length)
+      var i = 0
+      while (i < schema.length) {
+        if (row.isNullAt(i)) b.writeInt(-1)
+        else {
+          val bytes = textValue(row.get(i), schema(i).dataType).getBytes(UTF_8)
+          b.writeInt(bytes.length)
+          b.write(bytes)
+        }
+        i += 1
+      }
+    }
+
+  /** (type OID, typlen) per the public pg_type catalog values. */
+  private def pgType(dt: DataType): (Int, Int) = dt match {
+    case BooleanType => (16, 1)
+    case ByteType | ShortType => (21, 2)    // int2
+    case IntegerType => (23, 4)             // int4
+    case LongType => (20, 8)                // int8
+    case FloatType => (700, 4)              // float4
+    case DoubleType => (701, 8)             // float8
+    case _: DecimalType => (1700, -1)       // numeric
+    case DateType => (1082, 4)
+    case TimestampType | TimestampNTZType => (1114, 8)
+    case BinaryType => (17, -1)             // bytea
+    case _ => (25, -1)                      // text
+  }
+
+  /** Text-format encoding per the public protocol conventions. */
+  private def textValue(v: Any, dt: DataType): String = (v, dt) match {
+    case (b: Boolean, _) => if (b) "t" else "f"
+    case (b: Array[Byte], _) =>
+      "\\x" + b.map(x => f"$x%02x").mkString          // bytea hex format
+    case (s: scala.collection.Seq[_], _) =>
+      s.map(e => if (e == null) "NULL" else e.toString).mkString("{", ",", "}")
+    case (m: scala.collection.Map[_, _], _) =>
+      m.map { case (k, x) => s"$k=>$x" }.mkString("{", ",", "}")
+    case (x, _) => x.toString
+  }
+
+  /** Pg-style command tags ("SELECT 3", "INSERT 0 5", "CREATE TABLE"). */
+  private def commandTag(stmt: String, rows: Long): String = {
+    val words = stmt.trim.split("\\s+").take(2).map(_.toUpperCase)
+    val head = words.headOption.getOrElse("")
+    head match {
+      case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" |
+           "EXPLAIN" => s"SELECT ${math.max(rows, 0)}"
+      case "INSERT" => s"INSERT 0 ${math.max(rows, 0)}"
+      case "UPDATE" => s"UPDATE ${math.max(rows, 0)}"
+      case "DELETE" => s"DELETE ${math.max(rows, 0)}"
+      case "CREATE" | "DROP" | "ALTER" =>
+        (words.toSeq match {
+          case Seq(a, b) => s"$a $b"
+          case _ => head
+        })
+      case "" => "OK"
+      case other => other
+    }
+  }
+
+  // ---------------------------------------------------------------- parsing
+
+  private def parseStartupParams(body: Array[Byte]): Map[String, String] = {
+    var pos = 0
+    val m = mutable.Map.empty[String, String]
+    while (pos < body.length && body(pos) != 0) {
+      val (k, p1) = cString(body, pos)
+      if (p1 < body.length) {
+        val (v, p2) = cString(body, p1)
+        m(k) = v
+        pos = p2
+      } else pos = p1
+    }
+    m.toMap
+  }
+
+  private def cString(b: Array[Byte], from: Int): (String, Int) = {
+    var end = from
+    while (end < b.length && b(end) != 0) end += 1
+    (new String(b, from, end - from, UTF_8), math.min(end + 1, b.length))
+  }
+
+  private def readShort(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+
+  private def writeCString(b: DataOutputStream, s: String): Unit = {
+    b.write(s.getBytes(UTF_8)); b.writeByte(0)
+  }
+
+  /** Split on top-level ';' (quote/dollar-free split is enough: quoted ';'
+    * inside string literals is respected; comments are not parsed). */
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' if !inDouble =>
+          // doubled '' inside a literal stays inside the literal
+          if (inSingle && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            cur.append("''"); i += 1
+          } else { inSingle = !inSingle; cur.append(c) }
+        case '"' if !inSingle =>
+          inDouble = !inDouble; cur.append(c)
+        case ';' if !inSingle && !inDouble =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+          cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  private def exMessage(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    if (m.length > 2000) m.take(2000) + "…" else m
+  }
+}

@@ -1,0 +1,115 @@
+package graft.server
+
+import graft.{SparkTestBase, Tables}
+
+/** Wire-protocol server oracle: a raw-socket client (no pg library — the
+  * framing itself is under test) drives the simple-query cycle and pins
+  * message-level behavior against the public protocol spec. */
+class WireServerSpec extends SparkTestBase {
+
+  private def withServer[A](f: WireClient.Conn => A): A = {
+    val server = new WireServer(spark, 0, Tables.register(_, sf0001))
+    try {
+      val conn = new WireClient.Conn("127.0.0.1", server.boundPort)
+      try f(conn) finally conn.close()
+    } finally server.close()
+  }
+
+  test("startup handshake reports server parameters and reaches ready") {
+    withServer { conn =>
+      assert(conn.parameters("server_encoding") == "UTF8")
+      assert(conn.parameters.contains("server_version"))
+      assert(conn.parameters("TimeZone") == "UTC")
+    }
+  }
+
+  test("simple query returns typed row description and text rows") {
+    withServer { conn =>
+      val res = conn.query(
+        "SELECT 1 AS i, CAST(2 AS BIGINT) AS l, 'x' AS s, " +
+          "CAST(1.5 AS DOUBLE) AS d, true AS b, CAST(NULL AS INT) AS n").head
+      assert(res.fields.map(_._1) == Vector("i", "l", "s", "d", "b", "n"))
+      assert(res.fields.map(_._2) == Vector(23, 20, 25, 701, 16, 23))
+      assert(res.rows == Vector(Vector(
+        Some("1"), Some("2"), Some("x"), Some("1.5"), Some("t"), None)))
+      assert(res.tag == "SELECT 1")
+    }
+  }
+
+  test("queries run against the registered testdata views") {
+    withServer { conn =>
+      val res = conn.query(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey").head
+      assert(res.rows.size == 5)
+      assert(res.rows.head(1).get == "AFRICA")
+      assert(res.tag == "SELECT 5")
+    }
+  }
+
+  test("multiple statements in one Query message get one result each") {
+    withServer { conn =>
+      val res = conn.query(
+        "SELECT count(*) AS c FROM region; SELECT count(*) AS c FROM nation")
+      assert(res.size == 2)
+      assert(res(0).rows.head.head.get == "5")
+      assert(res(1).rows.head.head.get == "25")
+    }
+  }
+
+  test("a quoted semicolon does not split the statement") {
+    withServer { conn =>
+      val res = conn.query("SELECT 'a;b' AS s")
+      assert(res.size == 1)
+      assert(res.head.rows.head.head.get == "a;b")
+    }
+  }
+
+  test("errors surface as ErrorResponse and the connection stays usable") {
+    withServer { conn =>
+      val e = intercept[WireClient.ServerError] {
+        conn.query("SELECT * FROM no_such_table_xyz")
+      }
+      assert(e.message.nonEmpty)
+      // connection survives the error and serves the next query
+      val res = conn.query("SELECT 42 AS v").head
+      assert(res.rows.head.head.get == "42")
+    }
+  }
+
+  test("empty query yields no results and stays ready") {
+    withServer { conn =>
+      assert(conn.query("   ").isEmpty)
+      assert(conn.query("SELECT 7 AS v").head.rows.head.head.get == "7")
+    }
+  }
+
+  test("concurrent connections are served independently") {
+    val server = new WireServer(spark, 0, Tables.register(_, sf0001))
+    try {
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          val c = new WireClient.Conn("127.0.0.1", server.boundPort)
+          try results.put(i,
+            c.query(s"SELECT $i + count(*) AS v FROM region").head
+              .rows.head.head.get)
+          finally c.close()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert((0 until 4).forall(i => results.get(i) == (i + 5).toString))
+    } finally server.close()
+  }
+
+  test("wire round-trip DataFrame matches direct execution") {
+    Tables.register(spark, sf0001)
+    val sql = "SELECT n_regionkey, count(*) AS nations FROM nation " +
+      "GROUP BY n_regionkey"
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .sorted
+    val viaWire = pairs(WireQueries.roundtrip(spark, sf0001, sql))
+    val direct = pairs(spark.sql(sql))
+    assert(viaWire.sameElements(direct))
+  }
+}
