@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ddl.DdlQueries
 import graft.lake.LakeQueries
-import graft.pipeline.{Ann, Assemble, Curate, Dedup, Fts, Multimodal, TextOps}
+import graft.pipeline.{Ann, Assemble, Cluster, Curate, Dedup, Fts, Multimodal, TextOps}
 import graft.queries.{Extra, Rel, Tpch, TpchMore}
 import graft.server.WireQueries
 
@@ -15,6 +15,7 @@ object SparkEntry {
   lazy val registry: Seq[Q] =
     Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++
       TextOps.all ++ Curate.all ++ Dedup.all ++ Ann.all ++ Fts.all ++
+      Cluster.all ++
       Multimodal.all ++ LakeQueries.all ++ DdlQueries.all ++ Assemble.all ++
       WireQueries.all
 

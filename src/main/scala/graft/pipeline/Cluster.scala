@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+
+/** K-means document/embedding clustering — the corpus-organization
+  * operator an LLM data pipeline runs between dedup and mixing (topic
+  * buckets, domain balancing, cluster-based decontamination). Built the
+  * Spark-native way: centroids are tiny and broadcast; every pass over the
+  * corpus is a narrow map (codegen'd [[graft.functions.VectorExpressions]]
+  * kernels) plus one partial-aggregated groupBy — no corpus shuffle wider
+  * than (k × dim) rows, so the plan is identical at 2k vectors and at
+  * 100 TB (the per-iteration reduce state is k·dim doubles regardless of
+  * corpus size; iterations are driver-looped over broadcast state like the
+  * IVF trainer in [[graft.lake.VectorIndex]]).
+  *
+  * Oracle strategy: Lloyd's algorithm is iterative, but each piece is
+  * portable SQL — `cluster_assign` (nearest-centroid over seed centroids)
+  * and `cluster_kmeans_step` (one full Lloyd update: assign + per-dimension
+  * means) hash-check against DuckDB's `list_cosine_similarity` /
+  * `generate_subscripts`; the multi-iteration `cluster_kmeans` summary is
+  * pinned by ClusterSpec (step-1 ≡ cluster_kmeans_step replay, inertia
+  * monotone, deterministic seeds → deterministic output). */
+object Cluster {
+
+  /** Cluster count; seeds are the k lowest vec_ids (deterministic, and both
+    * engines can name them without an RNG). */
+  val K = 8
+  val Iters = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings")
+  }
+
+  /** Seed centroids: the K lowest vec_ids, as (cluster, cvec). */
+  private def seeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cluster"),
+        col("embedding").as("cvec"))
+
+  /** Nearest-centroid assignment of every vector against a (cluster, cvec)
+    * centroid frame: broadcast cross join + per-vector argmax. Ties break
+    * to the lowest cluster id (mirrored in the oracle's ORDER BY). */
+  def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(centroids))
+      .withColumn("sim",
+        call_function("cosine_sim", col("embedding"), col("cvec")))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster"))))
+      .filter(col("rn") === 1)
+      .drop("rn", "cvec")
+  }
+
+  private val assignOracle =
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cvec
+       |           FROM embeddings WHERE vec_id < $K),
+       |scored AS (SELECT e.vec_id, c.cluster,
+       |             list_cosine_similarity(e.embedding, c.cvec) AS sim
+       |           FROM embeddings e, c),
+       |ranked AS (SELECT vec_id, cluster,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY sim DESC, cluster) AS rn
+       |           FROM scored)
+       |SELECT vec_id, cluster FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Oracle-checked: nearest-centroid assignment over the seed centroids.
+    * Output is (vec_id, cluster) only: the raw similarity differs between
+    * engines in the last float ulp, so a rounded copy of it can land on
+    * either side of a rounding boundary (observed: 0.1439 vs 0.144) — the
+    * argmax is stable, the decoration is not. */
+  val assignQ: Q = Q("cluster_assign", assignOracle) { (s, dir) =>
+    val e = emb(s, dir)
+    assign(e.select("vec_id", "embedding"), seeds(e))
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** Oracle-checked: ONE full Lloyd update — assign to seeds, then the new
+    * per-cluster per-dimension means (fixed-point), plus cluster sizes.
+    * `pos` is 1-based to match DuckDB's generate_subscripts. */
+  val stepQ: Q = Q("cluster_kmeans_step",
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cvec
+       |           FROM embeddings WHERE vec_id < $K),
+       |scored AS (SELECT e.vec_id, c.cluster,
+       |             list_cosine_similarity(e.embedding, c.cvec) AS sim
+       |           FROM embeddings e, c),
+       |assigned AS (SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY sim DESC, cluster) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |exploded AS (
+       |  SELECT a.cluster,
+       |         generate_subscripts(e.embedding, 1) AS pos,
+       |         unnest(e.embedding) AS val
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id)
+       |SELECT cluster, pos,
+       |       CAST(round(avg(CAST(val AS DOUBLE)) * 10000) AS BIGINT) AS mean_c,
+       |       count(*) AS members
+       |FROM exploded GROUP BY cluster, pos""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val assigned = assign(e.select("vec_id", "embedding"), seeds(e))
+      .select("vec_id", "cluster")
+    assigned.join(e.select("vec_id", "embedding"), "vec_id")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("p0", "val")))
+      .groupBy(col("cluster"), (col("p0") + 1).as("pos"))
+      .agg(
+        (round(avg(col("val").cast("double")) * 10000)).cast("long").as("mean_c"),
+        count(lit(1)).as("members"))
+  }
+
+  /** Full Lloyd run: `iters` iterations from the deterministic seeds.
+    * Returns the final assignment frame (vec_id, cluster, sim). Centroid
+    * state lives on the driver as k·dim floats (bounded, corpus-size-
+    * independent) and re-enters the plan via a broadcast local relation. */
+  def kmeans(s: SparkSession, e: DataFrame, k: Int = K,
+      iters: Int = Iters): (DataFrame, Seq[Double]) = {
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val centSchema = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(FloatType, containsNull = false))))
+    def centDf(cs: Seq[(Int, Array[Float])]): DataFrame =
+      s.createDataFrame(
+        java.util.Arrays.asList(
+          cs.map { case (c, v) => Row(c, v.toSeq) }: _*), centSchema)
+
+    var centroids: Seq[(Int, Array[Float])] =
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+
+    val inertias = mutable.ArrayBuffer.empty[Double]
+    var lastAssign: DataFrame = null
+    (0 until iters).foreach { _ =>
+      val a = assign(e.select("vec_id", "embedding"), centDf(centroids))
+      lastAssign = a
+      // Inertia under the cosine metric: Σ (1 - sim). One scalar per pass.
+      inertias += a.agg(sum(lit(1.0) - col("sim"))).head().getDouble(0)
+      // New means: (k × dim) aggregate rows — tiny regardless of corpus.
+      val means = a.select(col("cluster"), col("vec_id"))
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.map { case (c, old) =>
+        byCluster.get(c) match {
+          case Some(rows) if rows.nonEmpty =>
+            val v = new Array[Float](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            (c, v)
+          case _ => (c, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    (lastAssign, inertias.toSeq)
+  }
+
+  /** Rows-only registry entry: per-cluster summary after Iters iterations —
+    * size, dominant label, label purity (how well unsupervised clusters
+    * recover the generator's labels), mean similarity to centroid. Pinned
+    * by ClusterSpec; not portable SQL (iterative). */
+  val kmeansQ: Q = Q.noOracle("cluster_kmeans") { (s, dir) =>
+    val e = emb(s, dir)
+    val (assigned, _) = kmeans(s, e)
+    val withLabel = assigned.join(e.select("vec_id", "label"), "vec_id")
+    val labelCounts = withLabel.groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"))
+    val dominant = labelCounts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("dominant_label"),
+        col("n").as("dominant_n"))
+    withLabel.groupBy("cluster")
+      .agg(count(lit(1)).as("size"),
+        (round(avg(col("sim")) * 10000)).cast("long").as("mean_sim_c"))
+      .join(dominant, "cluster")
+      .withColumn("purity_c",
+        (round(col("dominant_n") * lit(10000.0) / col("size"))).cast("long"))
+      .select("cluster", "size", "dominant_label", "purity_c", "mean_sim_c")
+      .orderBy("cluster")
+  }
+
+  val all: Seq[Q] = Seq(assignQ, stepQ, kmeansQ)
+}
