@@ -39,10 +39,14 @@ object FtsIndex {
       .filter(col("text").isNotNull)
     graft.functions.GraftFunctions.register(ds.spark)
     val toks = rows.select(col("_rowid"),
-      explode(Fts.tokens(col("text"), tokenizer)).as("term"))
+      posexplode(Fts.tokens(col("text"), tokenizer)).as(Seq("pos", "term")))
     val d = dir(ds, name, ds.version)
     ds.io.mkdirs(d)
-    toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
+    // positional postings (Lucene shape): tf for BM25, sorted 0-based
+    // in-doc positions for phrase queries — one int per token, the
+    // standard positional-index storage trade
+    toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .repartition(1).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$d/postings")
     toks.groupBy("_rowid").agg(count(lit(1)).cast("double").as("len"))
@@ -143,9 +147,10 @@ object FtsIndex {
     if (rows.isEmpty) return
     graft.functions.GraftFunctions.register(ds.spark)
     val toks = rows.select(col("_rowid"),
-      explode(Fts.tokens(col("text"), tokenizer)).as("term"))
+      posexplode(Fts.tokens(col("text"), tokenizer)).as(Seq("pos", "term")))
     ds.io.mkdirs(d)
-    toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"))
+    toks.groupBy("term", "_rowid").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .repartition(1).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$d/postings")
     toks.groupBy("_rowid").agg(count(lit(1)).cast("double").as("len"))
@@ -253,6 +258,72 @@ object FtsIndex {
     val ctx = queryCtx(ds, queryTerms, name)
     topK(ds, scoreDocs(ctx, ctx.post), k)
   }
+
+  /** Exact-phrase search over the positional postings: returns live rows
+    * containing `phrase` as consecutive tokens, with `n_occ` occurrence
+    * counts, ordered (n_occ desc, rowid), limit k.
+    *
+    * Only the phrase terms' postings are read (term-key pushdown, like
+    * [[search]]); candidate docs are those carrying ALL distinct phrase
+    * terms, and occurrences are counted by intersecting the per-term
+    * position lists shifted by their phrase offset — the classic
+    * positional-index merge, expressed as codegen'd array HOFs per doc
+    * instead of a cursor walk. Shuffle volume is O(phrase-term postings),
+    * never the corpus. Indexes built before positions existed raise
+    * (rebuild to upgrade — same contract as a tokenizer change). */
+  def phraseSearch(ds: LakeDataset, phrase: Seq[String], k: Int,
+      name: String = "fts"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = ds.spark
+    val v = builtVersion(ds, name).getOrElse(
+      throw new IllegalStateException(s"no FTS index '$name' — call build()"))
+    val segs = segmentDirs(ds, name, v)
+      .filter(sd => ds.io.exists(sd.resolve("postings")))
+    val perSeg = segs.map { sd =>
+      val df = spark.read.parquet(s"$sd/postings")
+      if (!df.columns.contains("positions"))
+        throw new IllegalStateException(
+          s"FTS index '$name' segment $sd predates positional postings — " +
+            "rebuild the index to run phrase queries")
+      df
+    }
+    val distinctTerms = phrase.distinct
+    val post = perSeg.reduce(_ unionByName _)
+      .filter(col("term").isin(distinctTerms: _*))
+      .select("_rowid", "term", "positions")
+    // one row per candidate doc: map term -> positions (rowids are unique
+    // across chain segments, so the map has one entry per term)
+    val byDoc = post.groupBy("_rowid")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("tp"))
+      .filter(size(col("tp")) === distinctTerms.size)
+    val first = phrase.head.replace("'", "''")
+    val occExpr =
+      if (phrase.size == 1)
+        s"CAST(size(element_at(tp, '$first')) AS BIGINT)"
+      else {
+        val conds = phrase.zipWithIndex.tail.map { case (t, j) =>
+          val esc = t.replace("'", "''")
+          s"array_contains(element_at(tp, '$esc'), p + $j)"
+        }.mkString(" AND ")
+        s"CAST(size(filter(element_at(tp, '$first'), p -> $conds)) AS BIGINT)"
+      }
+    val occ = byDoc
+      .select(col("_rowid"), expr(occExpr).as("n_occ"))
+      .filter(col("n_occ") > 0)
+    val live = ds.scanner().withRowId.build()
+    live.join(occ.withColumnRenamed("_rowid", "_idx_rowid"),
+        col(LakeDataset.RowIdCol) === col("_idx_rowid"))
+      .drop("_idx_rowid")
+      .orderBy(col("n_occ").desc, col(LakeDataset.RowIdCol))
+      .limit(k)
+      .select((ds.schema.fieldNames.map(col) :+ col("n_occ")): _*)
+  }
+
+  /** [[phraseSearch]] with a free-text phrase, tokenized like the index. */
+  def phraseSearchText(ds: LakeDataset, phrase: String, k: Int,
+      name: String = "fts"): DataFrame =
+    phraseSearch(ds, Fts.tokenizeQuery(phrase, tokenizerOf(ds, name)), k, name)
 
   /** MaxScore/WAND-style pruned top-k (reference fts_wand.go:35-260): docs
     * whose score UPPER BOUND cannot reach the current top-k floor are never

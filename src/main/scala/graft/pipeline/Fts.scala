@@ -103,6 +103,49 @@ object Fts {
       .limit(k)
   }
 
+  /** Exact-phrase occurrence counts: docs containing `phrase` as
+    * consecutive tokens, with the number of occurrences. A narrow per-row
+    * sliding check over the token array (1-based `element_at`, mirroring
+    * DuckDB list indexing) — no shuffle at all; the positional-postings
+    * variant for a persisted index is
+    * [[graft.lake.FtsIndex.phraseSearch]]. */
+  def phraseCount(docs: DataFrame, phrase: Seq[String],
+      tokenizer: String = "whitespace"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    GraftFunctions.register(docs.sparkSession)
+    val m = phrase.length
+    val conds = phrase.zipWithIndex.map { case (t, j) =>
+      val esc = t.replace("'", "''")
+      s"element_at(tk, CAST(i + $j AS INT)) = '$esc'"
+    }.mkString(" AND ")
+    docs
+      .select(col("doc_id"), tokens(col("text"), tokenizer).as("tk"))
+      .filter(size(col("tk")) >= m)
+      .select(col("doc_id"),
+        expr(s"CAST(size(filter(sequence(1, size(tk) - ${m - 1}), " +
+          s"i -> $conds)) AS BIGINT)").as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
+
+  private val phraseTerms = Seq("spark", "table")
+
+  private val phraseOracle =
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '),
+      |               x -> len(x) > 0) AS tk
+      |           FROM documents),
+      |o AS (SELECT doc_id,
+      |        CAST(len(list_filter(generate_series(1, len(tk) - 1),
+      |          i -> tk[i] = 'spark' AND tk[i + 1] = 'table')) AS BIGINT)
+      |          AS n_occ
+      |      FROM t WHERE len(tk) >= 2)
+      |SELECT doc_id, n_occ FROM o WHERE n_occ > 0""".stripMargin
+
+  /** Registry entry: exact phrase "spark table" over the corpus. */
+  val phrase = Q("fts_phrase", phraseOracle) { (s, dir) =>
+    phraseCount(Tables.load(s, dir, "documents"), phraseTerms)
+  }
+
   private val queryTerms = Seq("spark", "table", "scan")
 
   /** Registry entry: fixed 3-term query, top-10, with a DuckDB oracle that
@@ -165,5 +208,5 @@ object Fts {
       tokenizer = "simple")
   }
 
-  def all: Seq[Q] = Seq(topk, topkSimple)
+  def all: Seq[Q] = Seq(topk, topkSimple, phrase)
 }

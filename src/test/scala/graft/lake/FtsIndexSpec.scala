@@ -207,4 +207,62 @@ class FtsIndexSpec extends SparkTestBase {
     assert(FtsIndex.builtVersion(ds) == built)
     assert(FtsIndex.search(ds, Seq("spark"), k = 3).collect().nonEmpty)
   }
+
+  test("positional phrase search matches the narrow corpus scan") {
+    val ds = makeDs()
+    FtsIndex.build(ds, "text")
+    val phrase = Seq("spark", "table")
+    val indexed = FtsIndex.phraseSearch(ds, phrase, k = 1000)
+      .select("doc_id", "n_occ").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val direct = graft.pipeline.Fts.phraseCount(
+      Tables.load(spark, sf0001, "documents"), phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(indexed.nonEmpty)
+    assert(indexed.toSeq == direct.toSeq)
+  }
+
+  test("phrase search spans refresh deltas and respects deletes") {
+    val ds = makeDs()
+    FtsIndex.build(ds, "text")
+    import spark.implicits._
+    ds.append(Seq(
+      (910001L, "alpha beta spark table spark table end"),
+      (910002L, "spark table only once here")).toDF("doc_id", "text")
+      .coalesce(1))
+    FtsIndex.refresh(ds, "text")
+    val hits = FtsIndex.phraseSearch(ds, Seq("spark", "table"), k = 2000)
+      .select("doc_id", "n_occ").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(910001L) == 2L)
+    assert(hits(910002L) == 1L)
+    // delete one marker — it must vanish from phrase results
+    ds.delete("doc_id = 910001")
+    val after = FtsIndex.phraseSearch(ds, Seq("spark", "table"), k = 2000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(910001L))
+    assert(after.contains(910002L))
+  }
+
+  test("single-term phrase and repeated-term phrase count correctly") {
+    val dir = Files.createTempDirectory("ftsph-").toString
+    val ds = LakeDataset.create(spark, dir, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType))))
+    ds.append(spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, "go go go stop go go"),
+      org.apache.spark.sql.Row(2L, "stop go stop")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))).coalesce(1))
+    FtsIndex.build(ds, "text")
+    val single = FtsIndex.phraseSearch(ds, Seq("go"), k = 10)
+      .select("doc_id", "n_occ").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == Map(1L -> 5L, 2L -> 1L))
+    // "go go": positions {0,1,2,4,5} → matches at 0,1,4 = 3 occurrences
+    val repeated = FtsIndex.phraseSearch(ds, Seq("go", "go"), k = 10)
+      .select("doc_id", "n_occ").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repeated == Map(1L -> 3L))
+  }
 }
