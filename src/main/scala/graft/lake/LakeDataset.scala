@@ -60,7 +60,13 @@ final class LakeDataset private (
     /** True for handles from [[LakeDataset.openPruned]]: the manifest holds
       * only the chunk-surviving fragment subset, so committing from it
       * would silently drop every pruned fragment — commits are refused. */
-    private val partial: Boolean = false) {
+    private val partial: Boolean = false,
+    /** Branch namespace this handle operates in: None = main. A branch has
+      * its own linear version history under `_refs/branches/<name>/`
+      * (commit protocol, conflict matrix, time travel all unchanged — they
+      * run per-namespace) while sharing the root's data files and
+      * content-addressed manifest chunks. */
+    private val branch: Option[String] = None) {
 
   import LakeDataset._
 
@@ -85,7 +91,7 @@ final class LakeDataset private (
   def schema: StructType = logicalSchema(m)
 
   /** Re-load the newest committed version. */
-  def refresh(): LakeDataset = { m = loadLatest(rootPath); this }
+  def refresh(): LakeDataset = { m = loadLatestHere(); this }
 
   // ---------------------------------------------------------------- reads
 
@@ -94,14 +100,14 @@ final class LakeDataset private (
 
   /** Time travel: read as of a specific version. */
   def readVersion(v: Long): DataFrame = {
-    val old = loadVersion(rootPath, v)
+    val old = loadV(v)
     readFragments(old, old.fragments, withRowId = false)
   }
 
   /** A pinned handle at an older version (reads only; any write from it
     * loses the commit race by construction). */
   def checkout(v: Long): LakeDataset =
-    new LakeDataset(spark, root, loadVersion(rootPath, v))
+    new LakeDataset(spark, root, loadV(v), branch = branch)
 
   def versions: Seq[Long] =
     io.listNames(manifestsDir)
@@ -113,7 +119,7 @@ final class LakeDataset private (
     * shape): version, operation, parent, fragment/row counts, timestamp. */
   def history(): DataFrame = {
     val rows = versions.map { v =>
-      val man = loadVersion(rootPath, v)
+      val man = loadV(v)
       Row(man.version, man.operation, man.parentVersion.orNull,
         man.fragments.size, man.fragments.map(_.rowCount).sum,
         new java.sql.Timestamp(man.createdMs))
@@ -151,8 +157,8 @@ final class LakeDataset private (
     * fragments costs IO proportional to k, never to the dataset. */
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: from=$fromV > to=$toV")
-    val mt = loadVersion(rootPath, toV)
-    changesBetween(loadVersion(rootPath, fromV), mt, mt)
+    val mt = loadV(toV)
+    changesBetween(loadV(fromV), mt, mt)
   }
 
   /** Per-commit change feed over `(fromV, toV]`: one [[changes]] step per
@@ -167,14 +173,14 @@ final class LakeDataset private (
     require(vs.headOption.contains(fromV) &&
       vs == (fromV to toV).toSeq,
       s"changeLog: versions $fromV..$toV not fully retained (have $vs)")
-    val out = loadVersion(rootPath, toV)
+    val out = loadV(toV)
     def stamp(df: DataFrame, man: Manifest): DataFrame = df
       .withColumn("_commit_version", lit(man.version))
       .withColumn("_commit_timestamp",
         timestamp_millis(lit(man.createdMs)))
     val steps = (fromV until toV).map { v =>
-      val mTo = loadVersion(rootPath, v + 1)
-      stamp(changesBetween(loadVersion(rootPath, v), mTo, out), mTo)
+      val mTo = loadV(v + 1)
+      stamp(changesBetween(loadV(v), mTo, out), mTo)
     }
     if (steps.isEmpty) stamp(changesBetween(out, out, out), out)
     else steps.reduce(_ unionByName _)
@@ -187,7 +193,7 @@ final class LakeDataset private (
     * the reader opted in (Delta's skipChangeCommits contract). */
   def changeCommitsBetween(fromV: Long, toV: Long): Seq[(Long, String)] =
     ((fromV + 1) to toV).flatMap { v =>
-      val op = loadVersion(rootPath, v).operation
+      val op = loadV(v).operation
       kindOf(op) match {
         case OpKind.DeleteUpdate | OpKind.DeleteDv | OpKind.Merge |
             OpKind.Overwrite => Some(v -> op)
@@ -1127,7 +1133,7 @@ final class LakeDataset private (
   /** Restore: new commit whose content is an old version's (refs.go model —
     * history is preserved; restore is itself a version). */
   def restore(v: Long): Unit = withOpRetry(OpKind.Overwrite, 5) {
-    val old = loadVersion(rootPath, v)
+    val old = loadV(v)
     commit(m.copy(
       version = m.version + 1,
       fields = old.fields,
@@ -1219,6 +1225,106 @@ final class LakeDataset private (
   def checkoutTag(name: String): LakeDataset =
     checkout(tags.getOrElse(name,
       throw new IllegalArgumentException(s"no tag $name")))
+
+  // ------------------------------------------------------------- branches
+
+  /** This handle's branch, None = main. */
+  def branchName: Option[String] = branch
+  private def namespaceId: String = branch.getOrElse("main")
+
+  /** Fork a writable branch at version `v` of THIS namespace (beyond the
+    * reference, whose refs are immutable tags; the Git/Nessie model).
+    * The branch gets its own linear manifest history starting from a
+    * verbatim copy of v — data files and manifest chunks stay shared, so
+    * the fork is one small JSON copy regardless of table size. Writes on
+    * the branch run the normal commit protocol (atomic publish, conflict
+    * matrix, rebase) entirely inside the branch namespace. */
+  def createBranch(name: String, v: Long = version): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"invalid branch name '$name'")
+    val dir = branchesDir.resolve(name)
+    require(!io.exists(dir) || !io.listNames(dir)
+        .exists(f => f.startsWith("v") && f.endsWith(".json")),
+      s"branch $name exists")
+    val src = manifestsDir.resolve(Manifest.versionFileName(v))
+    require(io.exists(src), s"no version $v")
+    io.mkdirs(dir)
+    // fork metadata first (merge validates it), head manifest second; a
+    // fork that dies between the two is re-creatable (dir non-empty check
+    // only counts v*.json below — see branches())
+    io.writeString(dir.resolve("branch.json"),
+      s"""{"forkedFrom": "$namespaceId", "forkVersion": $v}""")
+    io.publishAtomic(dir.resolve(Manifest.versionFileName(v)),
+      io.readString(src))
+  }
+
+  /** Branch name → head version. */
+  def branches: Map[String, Long] = {
+    if (!io.exists(branchesDir)) return Map.empty
+    io.listNames(branchesDir).flatMap { n =>
+      val heads = io.listNames(branchesDir.resolve(n))
+        .filter(f => f.startsWith("v") && f.endsWith(".json"))
+        .map(Manifest.versionOfFileName)
+      heads.maxOption.map(n -> _)
+    }.toMap
+  }
+
+  /** Writable handle on a branch's head. */
+  def checkoutBranch(name: String): LakeDataset = {
+    require(branches.contains(name), s"no branch $name")
+    val b = new LakeDataset(spark, root, m, partial = false,
+      branch = Some(name))
+    b.refresh()
+  }
+
+  /** Delete a branch's manifests (shared data files are untouched; chunks
+    * and fragments referenced only by the branch become garbage for
+    * [[vacuum]], whose liveness scan spans every namespace). */
+  def deleteBranch(name: String): Unit = {
+    val dir = branchesDir.resolve(name)
+    require(io.exists(dir), s"no branch $name")
+    io.deleteRecursive(dir)
+  }
+
+  /** Fast-forward merge `name` into THIS namespace: requires the branch to
+    * have forked FROM this namespace and this namespace's head to still be
+    * the fork point (no divergence — the Git --ff-only contract; diverged
+    * histories raise and the caller rebases by re-branching). Branch
+    * version numbers continue the fork point's sequence, so the merge is a
+    * verbatim copy of the branch's post-fork version files; each lands via
+    * the atomic publish, so a concurrent writer on this namespace loses
+    * the race cleanly (first copied version wins or conflicts). */
+  def mergeBranch(name: String): Long = {
+    val dir = branchesDir.resolve(name)
+    require(io.exists(dir), s"no branch $name")
+    val meta = io.readString(dir.resolve("branch.json"))
+    val forkedFrom = """"forkedFrom"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(meta).get.group(1)
+    val forkV = """"forkVersion"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(meta).get.group(1).toLong
+    require(forkedFrom == namespaceId,
+      s"branch $name forked from $forkedFrom, not $namespaceId")
+    refresh()
+    if (m.version != forkV)
+      throw new CommitConflictException(
+        s"$namespaceId advanced to v${m.version} since branch $name forked " +
+          s"at v$forkV — fast-forward impossible; re-branch and replay")
+    val bvs = io.listNames(dir)
+      .filter(f => f.startsWith("v") && f.endsWith(".json"))
+      .map(Manifest.versionOfFileName).sorted
+    bvs.filter(_ > forkV).foreach { v =>
+      try io.publishAtomic(
+        manifestsDir.resolve(Manifest.versionFileName(v)),
+        io.readString(dir.resolve(Manifest.versionFileName(v))))
+      catch {
+        case _: CommitConflictException =>
+          throw new CommitConflictException(
+            s"concurrent commit on $namespaceId during merge of $name at v$v")
+      }
+    }
+    refresh()
+    m.version
+  }
 
   // ------------------------------------------------------- secondary index
 
@@ -1593,7 +1699,9 @@ final class LakeDataset private (
     val all = versions
     val tagged = tags.values.toSet
     val keep = (all.takeRight(keepVersions).toSet ++ tagged + m.version)
-    val keptManifests = keep.toSeq.sorted.map(v => loadVersion(rootPath, v))
+    val keptManifests = keep.toSeq.sorted.map(v => loadV(v)) ++
+      otherNamespaceManifests() // branches share data files: ALL their
+                                // versions are live w.r.t. this vacuum
     // pending detached txns reference staged files too — not garbage
     val referenced =
       (keptManifests.flatMap(_.fragments.map(f => fileName(f.file))) ++
@@ -1645,13 +1753,17 @@ final class LakeDataset private (
     // its commit lands
     val chunksDir = LakeDataset.chunksDirOf(rootPath)
     if (io.exists(chunksDir)) {
-      val refChunks = io.listNames(manifestsDir)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .flatMap { n =>
-          try Manifest.fromJson(io.readString(manifestsDir.resolve(n)))
-            .chunkFiles.map(_.file)
-          catch { case _: Exception => Nil }
-        }.toSet
+      // the chunk store is shared by every namespace — liveness must scan
+      // main + all branch manifest dirs
+      val refChunks = allNamespaceDirs.flatMap { d =>
+        io.listNames(d)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .flatMap { n =>
+            try Manifest.fromJson(io.readString(d.resolve(n)))
+              .chunkFiles.map(_.file)
+            catch { case _: Exception => Nil }
+          }
+      }.toSet
       io.listNames(chunksDir).foreach { n =>
         val p = chunksDir.resolve(n)
         if (!refChunks(n) && oldEnough(p)) {
@@ -1666,7 +1778,33 @@ final class LakeDataset private (
 
   private def rootPath: Path = new Path(root)
   private[lake] def rootAbs: Path = rootPath
-  private def manifestsDir: Path = rootPath.resolve("_manifests")
+  private def manifestsDir: Path = branch match {
+    case None => rootPath.resolve("_manifests")
+    case Some(b) => branchesDir.resolve(b)
+  }
+  private def branchesDir: Path = rootPath.resolve("_refs").resolve("branches")
+
+  /** Load + chunk-decode a version from THIS handle's namespace (main or
+    * branch). The chunk store is shared at the root, so branch manifests
+    * re-list main chunks verbatim. */
+  private[lake] def loadV(v: Long): Manifest = {
+    val p = manifestsDir.resolve(Manifest.versionFileName(v))
+    require(io.exists(p), s"no version $v" +
+      branch.map(b => s" on branch $b").getOrElse(""))
+    LakeDataset.decodeManifest(io, rootPath,
+      Manifest.fromJson(io.readString(p)))
+  }
+
+  /** Latest committed version in THIS namespace. */
+  private def loadLatestHere(): Manifest = {
+    val latest = io.listNames(manifestsDir)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifests in $manifestsDir"))
+    LakeDataset.decodeManifest(io, rootPath,
+      Manifest.fromJson(io.readString(manifestsDir.resolve(latest))))
+  }
   private def tagsDir: Path = rootPath.resolve("_refs").resolve("tags")
   private[lake] def dataDir: Path = rootPath.resolve("data")
   private def bloomDir: Path =
@@ -1775,11 +1913,33 @@ final class LakeDataset private (
     }
   }
 
+  /** Every manifest dir: main + each branch. */
+  private def allNamespaceDirs: Seq[Path] = {
+    val b = Seq.newBuilder[Path]
+    b += rootPath.resolve("_manifests")
+    if (io.exists(branchesDir))
+      io.listNames(branchesDir).foreach(n => b += branchesDir.resolve(n))
+    b.result().filter(io.exists)
+  }
+
+  /** Decoded manifests of every namespace EXCEPT this handle's — a vacuum
+    * in one namespace must treat all of their references as live. */
+  private def otherNamespaceManifests(): Seq[Manifest] =
+    allNamespaceDirs.filterNot(_ == manifestsDir).flatMap { d =>
+      io.listNames(d)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap { n =>
+          try Some(LakeDataset.decodeManifest(io, rootPath,
+            Manifest.fromJson(io.readString(d.resolve(n)))))
+          catch { case _: Exception => None }
+        }
+    }
+
   /** Matrix-check every committed txn in (base, current]. */
   private def checkIntervening(base: Long, kind: OpKind.Value,
       touched: Set[Long]): Unit =
     (base + 1 to m.version).foreach { v =>
-      val w = loadVersion(rootPath, v)
+      val w = loadV(v)
       if (conflicts(kind, touched, kindOf(w.operation),
           w.touchedFragmentIds.toSet))
         throw new CommitConflictException(
@@ -2755,7 +2915,7 @@ object LakeDataset {
           t
         }))
 
-  private def decodeManifest(io: LakeIO, root: Path, m: Manifest): Manifest =
+  private[lake] def decodeManifest(io: LakeIO, root: Path, m: Manifest): Manifest =
     if (m.chunkFiles.isEmpty) m
     else {
       import scala.concurrent.{Await, Future}
@@ -2936,7 +3096,7 @@ final case class Scanner(
 
   def build(): DataFrame = {
     val man = version
-      .map(v => LakeDataset.loadVersion(new Path(ds.root), v))
+      .map(v => ds.loadV(v))
       .getOrElse(ds.manifest)
     val frags = filter.map(f => ds.pruneFragments(man, f))
       .getOrElse(man.fragments)

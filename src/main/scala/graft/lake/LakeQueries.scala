@@ -481,8 +481,65 @@ object LakeQueries {
       .select("event_id", "contained")
   }
 
+  /** Branch scenario (Git/Nessie model over the manifest store — beyond
+    * the reference's immutable tags): fork a branch, run DML on it while
+    * main stays frozen, fast-forward merge, then prove divergence is
+    * refused. Every output is derivable from `nation`, so DuckDB states
+    * the expected counts — hash-equal iff branch isolation, the merge, and
+    * the ff-only guard all behaved. */
+  val branchDemo: Q = Q(
+    "lake_branch",
+    """WITH d AS (SELECT count(*) AS nd FROM nation WHERE n_regionkey = 2),
+      |n AS (SELECT count(*) AS total FROM nation)
+      |SELECT CAST(n.total AS BIGINT) AS main_before,
+      |  CAST(n.total - d.nd + 3 AS BIGINT) AS branch_rows,
+      |  CAST(n.total AS BIGINT) AS main_during,
+      |  CAST(n.total - d.nd + 3 AS BIGINT) AS main_after_merge,
+      |  CAST(1 AS BIGINT) AS ff_rejected
+      |FROM d, n""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-br-${UUID.randomUUID()}")
+      .toString
+    val nation = Tables.load(s, dir, "nation")
+    val ds = LakeDataset.create(s, root, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))))
+    ds.append(nation.select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1))
+    val mainBefore = ds.read().count()
+    ds.createBranch("etl")
+    val br = ds.checkoutBranch("etl")
+    br.delete("n_regionkey = 2")
+    br.append(s.createDataFrame(
+      java.util.List.of(
+        Row(Integer.valueOf(100), "BR_A", Integer.valueOf(9)),
+        Row(Integer.valueOf(101), "BR_B", Integer.valueOf(9)),
+        Row(Integer.valueOf(102), "BR_C", Integer.valueOf(9))),
+      ds.schema).coalesce(1))
+    val branchRows = br.read().count()
+    val mainDuring = ds.refresh().read().count()
+    ds.mergeBranch("etl")
+    val mainAfter = ds.read().count()
+    // divergence: fork, advance main, merge must refuse
+    ds.createBranch("risky")
+    val risky = ds.checkoutBranch("risky")
+    risky.append(s.createDataFrame(
+      java.util.List.of(Row(Integer.valueOf(200), "R", Integer.valueOf(9))),
+      ds.schema).coalesce(1))
+    ds.append(s.createDataFrame(
+      java.util.List.of(Row(Integer.valueOf(201), "M", Integer.valueOf(9))),
+      ds.schema).coalesce(1))
+    val rejected =
+      try { ds.mergeBranch("risky"); 0L }
+      catch { case _: CommitConflictException => 1L }
+    import s.implicits._
+    Seq((mainBefore, branchRows, mainDuring, mainAfter, rejected))
+      .toDF("main_before", "branch_rows", "main_during", "main_after_merge",
+        "ff_rejected")
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
       catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
-      spatialKnn, spatialRange)
+      spatialKnn, spatialRange, branchDemo)
 }

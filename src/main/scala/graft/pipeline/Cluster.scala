@@ -122,7 +122,8 @@ object Cluster {
     * state lives on the driver as k·dim floats (bounded, corpus-size-
     * independent) and re-enters the plan via a broadcast local relation. */
   def kmeans(s: SparkSession, e: DataFrame, k: Int = K,
-      iters: Int = Iters): (DataFrame, Seq[Double]) = {
+      iters: Int = Iters, trackInertia: Boolean = true): (DataFrame, Seq[Double]) = {
+    import graft.Materialize.PinOps
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val centSchema = StructType(Seq(
       StructField("cluster", IntegerType, nullable = false),
@@ -142,10 +143,14 @@ object Cluster {
     val inertias = mutable.ArrayBuffer.empty[Double]
     var lastAssign: DataFrame = null
     (0 until iters).foreach { _ =>
+      // pin the assignment: inertia + means both read it, and without the
+      // pin each re-executes the crossJoin+window pass
       val a = assign(e.select("vec_id", "embedding"), centDf(centroids))
+        .pinned()
       lastAssign = a
       // Inertia under the cosine metric: Σ (1 - sim). One scalar per pass.
-      inertias += a.agg(sum(lit(1.0) - col("sim"))).head().getDouble(0)
+      if (trackInertia)
+        inertias += a.agg(sum(lit(1.0) - col("sim"))).head().getDouble(0)
       // New means: (k × dim) aggregate rows — tiny regardless of corpus.
       val means = a.select(col("cluster"), col("vec_id"))
         .join(e.select("vec_id", "embedding"), "vec_id")
@@ -173,7 +178,7 @@ object Cluster {
     * by ClusterSpec; not portable SQL (iterative). */
   val kmeansQ: Q = Q.noOracle("cluster_kmeans") { (s, dir) =>
     val e = emb(s, dir)
-    val (assigned, _) = kmeans(s, e)
+    val (assigned, _) = kmeans(s, e, trackInertia = false)
     val withLabel = assigned.join(e.select("vec_id", "label"), "vec_id")
     val labelCounts = withLabel.groupBy("cluster", "label")
       .agg(count(lit(1)).as("n"))

@@ -1,0 +1,136 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** Branch semantics: namespaced linear histories sharing one data/chunk
+  * store, fast-forward-only merge, cross-namespace vacuum safety. */
+class BranchSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def rows(xs: (Long, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*), schema)
+      .coalesce(1)
+
+  private def makeDs(): LakeDataset = {
+    val dir = Files.createTempDirectory("branch-").toString
+    val ds = LakeDataset.create(spark, dir, schema)
+    ds.append(rows(1L -> "a", 2L -> "b"))
+    ds
+  }
+
+  private def ids(ds: LakeDataset): Set[Long] =
+    ds.read().select("id").collect().map(_.getLong(0)).toSet
+
+  test("branch writes are invisible on main; branch sees fork + own") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val dev = ds.checkoutBranch("dev")
+    assert(dev.branchName.contains("dev"))
+    dev.append(rows(10L -> "dev-only"))
+    assert(ids(dev) == Set(1L, 2L, 10L))
+    // main: no new version, no new rows
+    assert(ids(ds.refresh()) == Set(1L, 2L))
+    assert(ds.branches == Map("dev" -> dev.version))
+  }
+
+  test("branch has its own linear history with time travel") {
+    val ds = makeDs()
+    val forkV = ds.version
+    ds.createBranch("dev")
+    val dev = ds.checkoutBranch("dev")
+    dev.append(rows(10L -> "x"))
+    dev.append(rows(11L -> "y"))
+    assert(dev.versions == Seq(forkV, forkV + 1, forkV + 2))
+    assert(dev.readVersion(forkV).count() == 2)
+    assert(dev.readVersion(forkV + 1).count() == 3)
+    // deletes/updates work on a branch like on main
+    dev.delete("id = 10")
+    assert(ids(dev) == Set(1L, 2L, 11L))
+    assert(ids(ds.refresh()) == Set(1L, 2L))
+  }
+
+  test("fast-forward merge lands branch commits on main atomically") {
+    val ds = makeDs()
+    ds.createBranch("feature")
+    val br = ds.checkoutBranch("feature")
+    br.append(rows(20L -> "f1"))
+    br.append(rows(21L -> "f2"))
+    val merged = ds.mergeBranch("feature")
+    assert(merged == br.version)
+    assert(ids(ds) == Set(1L, 2L, 20L, 21L))
+    assert(ds.version == br.version)
+    // histories now agree version-by-version
+    assert(ds.versions.takeRight(3) == br.versions.takeRight(3))
+  }
+
+  test("merge refuses when main diverged after the fork") {
+    val ds = makeDs()
+    ds.createBranch("feature")
+    val br = ds.checkoutBranch("feature")
+    br.append(rows(20L -> "f"))
+    ds.append(rows(99L -> "main-moved")) // divergence
+    val e = intercept[CommitConflictException] { ds.mergeBranch("feature") }
+    assert(e.getMessage.contains("fast-forward impossible"))
+    assert(ids(ds) == Set(1L, 2L, 99L))
+  }
+
+  test("merge from a foreign fork point is rejected") {
+    val ds = makeDs()
+    ds.createBranch("a")
+    val a = ds.checkoutBranch("a")
+    a.append(rows(30L -> "a1"))
+    a.createBranch("b") // forks from branch a, not main
+    val e = intercept[IllegalArgumentException] { ds.mergeBranch("b") }
+    assert(e.getMessage.contains("forked from a"))
+  }
+
+  test("vacuum on main never collects branch-referenced files") {
+    val ds = makeDs()
+    ds.createBranch("keepme")
+    val br = ds.checkoutBranch("keepme")
+    br.append(rows(40L -> "branch-data"))
+    // churn main so old versions expire, then vacuum aggressively
+    ds.append(rows(98L -> "m1"))
+    ds.append(rows(97L -> "m2"))
+    ds.vacuum(keepVersions = 1, graceMs = 0)
+    // the branch still reads everything, including its own fragment
+    assert(ids(br.refresh()) == Set(1L, 2L, 40L))
+    // after the branch is deleted its private fragment becomes garbage
+    ds.deleteBranch("keepme")
+    ds.vacuum(keepVersions = 1, graceMs = 0)
+    assert(ds.branches.isEmpty)
+    assert(ids(ds) == Set(1L, 2L, 98L, 97L))
+  }
+
+  test("concurrent appends on one branch rebase like on main") {
+    val ds = makeDs()
+    ds.createBranch("busy")
+    val h1 = ds.checkoutBranch("busy")
+    val h2 = ds.checkoutBranch("busy")
+    val v0 = h1.version
+    h1.append(rows(50L -> "w1"))
+    h2.append(rows(51L -> "w2")) // stale handle: auto-rebases
+    assert(ids(h1.refresh()) == Set(1L, 2L, 50L, 51L))
+    assert(h1.version == v0 + 2)
+  }
+
+  test("branch from a historical version forks the old content") {
+    val ds = makeDs()
+    val oldV = ds.version
+    ds.append(rows(60L -> "later"))
+    ds.createBranch("hist", oldV)
+    val h = ds.checkoutBranch("hist")
+    assert(ids(h) == Set(1L, 2L))
+    h.append(rows(61L -> "hist-new"))
+    assert(ids(h) == Set(1L, 2L, 61L))
+    assert(ids(ds.refresh()) == Set(1L, 2L, 60L))
+  }
+}
