@@ -78,7 +78,8 @@ final class LakeDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // slim open: schema resolution must not pay a large table's chunk decode
     val spark = SparkSession.active
-    val ds = LakeDataset.openSlim(spark, rootOf(options))
+    val ds = LakeDataset.openSlim(spark, rootOf(options),
+      LakeDataSource.branchOf(options))
     val base = LakeDataset.logicalSchema(pinnedManifestSlim(ds, options))
     if (options.containsKey("changesFrom")) LakeDataSource.changesSchema(base)
     else base
@@ -101,7 +102,7 @@ final class LakeDataSource extends TableProvider with DataSourceRegister
       options: CaseInsensitiveStringMap): Manifest =
     pinnedVersion(ds, options)
       .map(LakeDataset.loadVersionSlim(
-        new org.apache.hadoop.fs.Path(ds.root), _))
+        new org.apache.hadoop.fs.Path(ds.root), _, ds.branchName))
       .getOrElse(ds.manifest)
 
   private def pinnedVersion(ds: LakeDataset,
@@ -113,6 +114,11 @@ final class LakeDataSource extends TableProvider with DataSourceRegister
 }
 
 object LakeDataSource {
+  /** Branch selected for a read (`option("branch", name)`); branch tables
+    * are read-only through SQL — writes go through the native API. */
+  private[lake] def branchOf(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("branch"))
+
   /** Output shape of a change-feed scan (`option("changesFrom", v)`). */
   private[lake] def changesSchema(base: StructType): StructType =
     StructType(base.fields.toSeq
@@ -142,7 +148,7 @@ private[lake] final class LakeTable(root: String,
   // version-pinned and change-feed handles are read-only views
   private def pinned: Boolean =
     options.containsKey("versionAsOf") || options.containsKey("tag") ||
-      options.containsKey("changesFrom")
+      options.containsKey("changesFrom") || options.containsKey("branch")
 
   override def name(): String = s"lake.`$root`"
 
@@ -153,13 +159,15 @@ private[lake] final class LakeTable(root: String,
     if (LakeDataset.exists(root)) {
       // slim open: table resolution (every query) must not pay a large
       // table's chunk decode — fields are version-file data
-      val ds = LakeDataset.openSlim(SparkSession.active, root)
+      val ds = LakeDataset.openSlim(SparkSession.active, root,
+        LakeDataSource.branchOf(options))
       if (options.containsKey("changesFrom")) {
         val toV = Option(options.get("changesTo")).map(_.toLong)
           .getOrElse(ds.version)
         LakeDataSource.changesSchema(
           LakeDataset.logicalSchema(LakeDataset.loadVersionSlim(
-            new org.apache.hadoop.fs.Path(root), toV)))
+            new org.apache.hadoop.fs.Path(root), toV,
+            LakeDataSource.branchOf(options))))
       } else LakeDataset.logicalSchema(
         new LakeDataSource().pinnedManifestSlim(ds, options))
     } else providedSchema.getOrElse(
@@ -187,7 +195,7 @@ private[lake] final class LakeTable(root: String,
     new LakeScanBuilder(root, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(!pinned, "lake: cannot write through a version-pinned table")
+    require(!pinned, "lake: cannot write through a version-pinned or branch-read table (branch writes go through the native API)")
     new LakeWriteBuilder(root,
       info.options.getBoolean("mergeSchema", false)
         || options.getBoolean("mergeSchema", false))
@@ -291,7 +299,9 @@ private[lake] final class LakeScanBuilder(root: String,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[LakeAggPushdown.Plan] = {
     if (predicates.nonEmpty || options.containsKey("changesFrom")) return None
-    val ds = LakeDataset.open(SparkSession.active, root)
+    val ds = LakeDataSource.branchOf(options)
+      .map(LakeDataset.openBranch(SparkSession.active, root, _))
+      .getOrElse(LakeDataset.open(SparkSession.active, root))
     val man = new LakeDataSource().pinnedManifest(ds, options)
     LakeAggPushdown.plan(agg, man)
   }
@@ -338,7 +348,9 @@ private[lake] final class LakeScanBuilder(root: String,
     * so no fragment pruning is attempted; column pruning still applies. */
   private def changesScan(): Scan = new V1Scan {
     private val spark = SparkSession.active
-    private val ds = LakeDataset.open(spark, root)
+    private val ds = LakeDataSource.branchOf(options)
+      .map(LakeDataset.openBranch(spark, root, _))
+      .getOrElse(LakeDataset.open(spark, root))
     private val fromV = options.get("changesFrom").toLong
     private val toV = Option(options.get("changesTo")).map(_.toLong)
       .getOrElse(ds.version)
@@ -369,10 +381,13 @@ private[lake] final class LakeScanBuilder(root: String,
     // pins a historical manifest and keeps the full open.
     private val timeTravel = Option(options.get("versionAsOf"))
       .orElse(Option(options.get("tag"))).isDefined
+    private val branch = LakeDataSource.branchOf(options)
     private val ds =
-      if (timeTravel || predicates.isEmpty) LakeDataset.open(spark, root)
+      if (timeTravel || predicates.isEmpty)
+        branch.map(LakeDataset.openBranch(spark, root, _))
+          .getOrElse(LakeDataset.open(spark, root))
       else LakeDataset.openPruned(spark, root,
-        Some(predicates.mkString(" AND ")))
+        Some(predicates.mkString(" AND ")), branch)
     private val man = new LakeDataSource().pinnedManifest(ds, options)
     private val outSchema = required.getOrElse(LakeDataset.logicalSchema(man))
 

@@ -2764,9 +2764,19 @@ object LakeDataset {
     io.exists(dir) && io.listNames(dir).exists(_.endsWith(".json"))
   }
 
-  /** Open the latest version of an existing dataset. */
+  /** Open the latest version of an existing dataset (main namespace). */
   def open(spark: SparkSession, path: String): LakeDataset =
     new LakeDataset(spark, path, loadLatest(new Path(path)))
+
+  /** Writable handle on a branch's head (see createBranch). */
+  def openBranch(spark: SparkSession, path: String,
+      name: String): LakeDataset = {
+    val root = new Path(path)
+    val io = LakeIO.forRoot(path, spark.sparkContext.hadoopConfiguration)
+    new LakeDataset(spark, path,
+      decodeManifest(io, root, latestSlim(io, root, Some(name))),
+      partial = false, branch = Some(name))
+  }
 
   /** Read-only open that consults per-chunk aggregate stats BEFORE reading
     * chunk files: chunks whose min/max range a conjunct of `predicate`
@@ -2778,22 +2788,25 @@ object LakeDataset {
     * to a plain full open when the table isn't chunk-encoded, no predicate
     * is given, or nothing can be skipped. */
   def openPruned(spark: SparkSession, path: String,
-      predicate: Option[String]): LakeDataset = {
+      predicate: Option[String],
+      branch: Option[String] = None): LakeDataset = {
     val root = new Path(path)
     val io = LakeIO.forRoot(root.toString,
       spark.sparkContext.hadoopConfiguration)
-    val slim = latestSlim(io, root)
+    val slim = latestSlim(io, root, branch)
     if (slim.chunkFiles.isEmpty || predicate.isEmpty)
-      new LakeDataset(spark, path, decodeManifest(io, root, slim))
+      new LakeDataset(spark, path, decodeManifest(io, root, slim),
+        partial = false, branch = branch)
     else {
       val probe = new LakeDataset(spark, path, slim.copy(fragments = Nil),
-        partial = true)
+        partial = true, branch = branch)
       val keep = probe.pruneChunks(slim, slim.chunkFiles, predicate.get)
       if (keep.size == slim.chunkFiles.size)
-        new LakeDataset(spark, path, decodeManifest(io, root, slim))
+        new LakeDataset(spark, path, decodeManifest(io, root, slim),
+          partial = false, branch = branch)
       else new LakeDataset(spark, path,
         decodeManifest(io, root, slim.copy(chunkFiles = keep)),
-        partial = true)
+        partial = true, branch = branch)
     }
   }
 
@@ -2809,11 +2822,13 @@ object LakeDataset {
     * the chunk decode of a large table. The handle refuses commits, and on
     * a chunk-encoded table its fragment list is EMPTY — callers must not
     * read data through it. */
-  private[graft] def openSlim(spark: SparkSession, path: String): LakeDataset = {
+  private[graft] def openSlim(spark: SparkSession, path: String,
+      branch: Option[String] = None): LakeDataset = {
     val root = new Path(path)
     val io = LakeIO.forRoot(root.toString,
       spark.sparkContext.hadoopConfiguration)
-    new LakeDataset(spark, path, latestSlim(io, root), partial = true)
+    new LakeDataset(spark, path, latestSlim(io, root, branch),
+      partial = true, branch = branch)
   }
 
   /** Latest committed version number alone — version-file listing, no
@@ -2839,18 +2854,31 @@ object LakeDataset {
       v: Long): StructType =
     logicalSchema(loadVersionSlim(new Path(path), v))
 
+  /** Manifest dir of a namespace: main or a branch. */
+  private[lake] def nsDir(root: Path, branch: Option[String]): Path =
+    branch match {
+      case None => root.resolve("_manifests")
+      case Some(b) =>
+        root.resolve("_refs").resolve("branches").resolve(b)
+    }
+
   /** A pinned version's manifest, UNDECODED (schema resolution only). */
-  private[lake] def loadVersionSlim(root: Path, v: Long): Manifest = {
+  private[lake] def loadVersionSlim(root: Path, v: Long,
+      branch: Option[String] = None): Manifest = {
     val io = LakeIO.forRoot(root.toString)
-    val p = root.resolve("_manifests").resolve(Manifest.versionFileName(v))
-    require(io.exists(p), s"no version $v")
+    val p = nsDir(root, branch).resolve(Manifest.versionFileName(v))
+    require(io.exists(p), s"no version $v" +
+      branch.map(b => s" on branch $b").getOrElse(""))
     Manifest.fromJson(io.readString(p))
   }
 
   /** Latest version file, parsed but NOT chunk-decoded. */
-  private def latestSlim(io: LakeIO, root: Path): Manifest = {
-    val dir = root.resolve("_manifests")
-    require(io.exists(dir), s"no dataset at $root")
+  private def latestSlim(io: LakeIO, root: Path,
+      branch: Option[String] = None): Manifest = {
+    val dir = nsDir(root, branch)
+    require(io.exists(dir),
+      branch.map(b => s"no branch $b at $root")
+        .getOrElse(s"no dataset at $root"))
     val latest = io.listNames(dir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .maxOption

@@ -122,6 +122,33 @@ class BranchSpec extends SparkTestBase {
     assert(h1.version == v0 + 2)
   }
 
+  test("SQL reads a branch through DSv2 option(\"branch\"); writes refuse") {
+    val ds = makeDs()
+    ds.createBranch("sqlbr")
+    val br = ds.checkoutBranch("sqlbr")
+    br.append(rows(70L -> "only-on-branch"))
+    br.delete("id = 1")
+    val viaSql = spark.read.format("lake")
+      .option("branch", "sqlbr").load(ds.root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaSql == Set(2L, 70L))
+    // main read unaffected
+    val mainSql = spark.read.format("lake")
+      .load(ds.root).select("id").collect().map(_.getLong(0)).toSet
+    assert(mainSql == Set(1L, 2L))
+    // branch-pinned tables are read-only through SQL
+    val e = intercept[Exception] {
+      rows(71L -> "x").write.format("lake")
+        .option("branch", "sqlbr").mode("append").save(ds.root)
+    }
+    assert(e.getMessage.contains("branch"))
+    // versionAsOf composes with branch: pre-append branch version
+    val pinned = spark.read.format("lake")
+      .option("branch", "sqlbr").option("versionAsOf", br.versions.head)
+      .load(ds.root).select("id").collect().map(_.getLong(0)).toSet
+    assert(pinned == Set(1L, 2L))
+  }
+
   test("branch from a historical version forks the old content") {
     val ds = makeDs()
     val oldV = ds.version
