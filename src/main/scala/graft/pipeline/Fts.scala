@@ -146,6 +146,50 @@ object Fts {
     phraseCount(Tables.load(s, dir, "documents"), phraseTerms)
   }
 
+  /** Proximity search: docs where `termA` and `termB` occur within
+    * `window` tokens (any order), with the minimal span. Positions are
+    * per-row narrow arrays; the span is a min over the position cross
+    * product inside one row — no shuffle, like [[phraseCount]]. */
+  def nearCount(docs: DataFrame, termA: String, termB: String,
+      window: Int, tokenizer: String = "whitespace"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    def posOf(t: String) =
+      s"filter(sequence(1, size(tk)), i -> element_at(tk, CAST(i AS INT)) = '$t')"
+    docs
+      .select(col("doc_id"), tokens(col("text"), tokenizer).as("tk"))
+      .select(col("doc_id"),
+        expr(posOf(termA)).as("pa"), expr(posOf(termB)).as("pb"))
+      .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .select(col("doc_id"),
+        expr("CAST(array_min(transform(pa, p -> " +
+          "array_min(transform(pb, q -> abs(p - q))))) + 1 AS BIGINT)")
+          .as("span"))
+      .filter(col("span") <= window)
+  }
+
+  private val nearOracle =
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '),
+      |               x -> len(x) > 0) AS tk
+      |           FROM documents),
+      |p AS (SELECT doc_id,
+      |        list_filter(generate_series(1, len(tk)),
+      |          i -> tk[i] = 'spark') AS pa,
+      |        list_filter(generate_series(1, len(tk)),
+      |          i -> tk[i] = 'scan') AS pb
+      |      FROM t),
+      |s AS (SELECT doc_id,
+      |        CAST(list_min(list_transform(pa, p ->
+      |          list_min(list_transform(pb, q -> abs(p - q))))) + 1
+      |          AS BIGINT) AS span
+      |      FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+      |SELECT doc_id, span FROM s WHERE span <= 5""".stripMargin
+
+  /** Registry entry: "spark" NEAR/5 "scan". */
+  val near = Q("fts_near", nearOracle) { (s, dir) =>
+    nearCount(Tables.load(s, dir, "documents"), "spark", "scan", window = 5)
+  }
+
   private val queryTerms = Seq("spark", "table", "scan")
 
   /** Registry entry: fixed 3-term query, top-10, with a DuckDB oracle that
@@ -208,5 +252,5 @@ object Fts {
       tokenizer = "simple")
   }
 
-  def all: Seq[Q] = Seq(topk, topkSimple, phrase)
+  def all: Seq[Q] = Seq(topk, topkSimple, phrase, near)
 }

@@ -373,6 +373,38 @@ object Rel {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable-sketch percentiles in their EXACT regime: Spark
+    * `approx_percentile` (Greenwald-Khanna) returns the true discrete
+    * percentile when `accuracy` ≥ n, and its answer is then an actual data
+    * element — "the smallest value such that no more than q·n values are
+    * smaller", which is DuckDB's `quantile_disc`. Same gate pattern as
+    * `agg_kmv_exact`: the estimator's scale path (mergeable per-partition
+    * state, O(accuracy) not O(n)) is what ships; the exact regime makes it
+    * oracle-checkable. Values are small integers/cents, output as BIGINT
+    * fixed-point. */
+  val approxPercentile = Q(
+    "agg_approx_percentile",
+    """SELECT l_returnflag,
+      |  CAST(round(quantile_disc(l_quantity, 0.5) * 100) AS BIGINT)
+      |    AS p50_qty_c,
+      |  CAST(round(quantile_disc(l_quantity, 0.95) * 100) AS BIGINT)
+      |    AS p95_qty_c,
+      |  CAST(round(quantile_disc(l_extendedprice, 0.9) * 100) AS BIGINT)
+      |    AS p90_price_c
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("CAST(round(approx_percentile(l_quantity, 0.5, 10000000) * 100)" +
+          " AS BIGINT)").as("p50_qty_c"),
+        expr("CAST(round(approx_percentile(l_quantity, 0.95, 10000000) * 100)" +
+          " AS BIGINT)").as("p95_qty_c"),
+        expr("CAST(round(approx_percentile(l_extendedprice, 0.9, 10000000)" +
+          " * 100) AS BIGINT)").as("p90_price_c"))
+      .orderBy("l_returnflag")
+  }
+
   /** PIVOT (DataFrame `.pivot()` operator): per-returnflag quantity totals
     * spread across linestatus columns. The oracle states the same result
     * as portable conditional aggregation — pivot is sugar for it, so the
@@ -481,6 +513,6 @@ object Rel {
     exceptAll, intersectAll, stringFuncs, mathFuncs, condFuncs,
     dateFuncs, regexFuncs,
     window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
-    evWindowAgg, evIntervalJoin, evAsofJoin, percentiles, pivotQ, unpivotQ,
-    bitwise)
+    evWindowAgg, evIntervalJoin, evAsofJoin, percentiles, approxPercentile,
+    pivotQ, unpivotQ, bitwise)
 }
