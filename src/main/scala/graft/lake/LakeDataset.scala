@@ -2835,12 +2835,15 @@ object LakeDataset {
     * manifest parse or chunk decode. The streaming source polls this every
     * trigger; on a chunk-encoded table a full open per poll would decode
     * the whole fragment list just to read one number. */
-  def latestVersion(spark: SparkSession, path: String): Long = {
+  def latestVersion(spark: SparkSession, path: String,
+      branch: Option[String] = None): Long = {
     val root = new Path(path)
     val io = LakeIO.forRoot(root.toString,
       spark.sparkContext.hadoopConfiguration)
-    val dir = root.resolve("_manifests")
-    require(io.exists(dir), s"no dataset at $root")
+    val dir = nsDir(root, branch)
+    require(io.exists(dir),
+      branch.map(b => s"no branch $b at $root")
+        .getOrElse(s"no dataset at $root"))
     io.listNames(dir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .maxOption
@@ -2851,8 +2854,8 @@ object LakeDataset {
   /** A pinned version's logical schema without chunk decode — fields are
     * version-file data (the streaming source's per-batch schema guard). */
   def schemaAtVersion(spark: SparkSession, path: String,
-      v: Long): StructType =
-    logicalSchema(loadVersionSlim(new Path(path), v))
+      v: Long, branch: Option[String] = None): StructType =
+    logicalSchema(loadVersionSlim(new Path(path), v, branch))
 
   /** Manifest dir of a namespace: main or a branch. */
   private[lake] def nsDir(root: Path, branch: Option[String]): Path =

@@ -42,22 +42,23 @@ import org.apache.spark.sql.types.StructType
 final class LakeStreamSource(sqlContext: SQLContext, root: String,
     skipChangeCommits: Boolean,
     startingVersion: Option[String] = None,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    branch: Option[String] = None) extends Source {
 
   private val spark = sqlContext.sparkSession
 
   // slim open: schema is version-file data; a chunked table must not
   // decode its fragment list at stream construction
   override val schema: StructType =
-    LakeDataset.openSlim(spark, root).schema
+    LakeDataset.openSlim(spark, root, branch).schema
 
   /** Resolved snapshot-skip point: tail from (exclusive) this version. */
   private val startV0: Option[Long] = startingVersion.map {
     case s if s.equalsIgnoreCase("latest") =>
-      LakeDataset.latestVersion(spark, root)
+      LakeDataset.latestVersion(spark, root, branch)
     case s =>
       val v = s.toLong
-      val cur = LakeDataset.latestVersion(spark, root)
+      val cur = LakeDataset.latestVersion(spark, root, branch)
       require(v >= 1 && v <= cur,
         s"lake stream at $root: startingVersion=$v outside retained range 1..$cur")
       v
@@ -72,7 +73,7 @@ final class LakeStreamSource(sqlContext: SQLContext, root: String,
   override def getOffset: Option[LegacyOffset] = {
     // version number only — a full open would chunk-decode a large
     // table's manifest on EVERY trigger poll, including idle ones
-    val cur = LakeDataset.latestVersion(spark, root)
+    val cur = LakeDataset.latestVersion(spark, root, branch)
     val capped = (maxVersionsPerTrigger, lastEnd) match {
       case (Some(n), Some(prev)) => math.min(cur, prev + n)
       case _ => cur
@@ -103,7 +104,8 @@ final class LakeStreamSource(sqlContext: SQLContext, root: String,
       end: LegacyOffset): DataFrame = {
     val endV = versionOf(end)
     lastEnd = Some(math.max(endV, lastEnd.getOrElse(endV)))
-    val ds = LakeDataset.open(spark, root)
+    val ds = branch.map(LakeDataset.openBranch(spark, root, _))
+      .getOrElse(LakeDataset.open(spark, root))
     val batch = start match {
       case None =>
         startV0 match {
@@ -122,7 +124,7 @@ final class LakeStreamSource(sqlContext: SQLContext, root: String,
     //  - a checkpointed batch replayed AFTER evolution (end version
     //    predates the current schema) → restarting cannot clear it; the
     //    stream must resume from a fresh checkpoint.
-    val endSchema = LakeDataset.schemaAtVersion(spark, root, endV)
+    val endSchema = LakeDataset.schemaAtVersion(spark, root, endV, branch)
     if (endSchema != schema) {
       val remedy =
         if (ds.schema == schema)
@@ -159,7 +161,8 @@ object LakeStreamSource {
     new LakeStreamSource(sqlContext, root,
       opt(parameters, "skipChangeCommits").exists(_.toBoolean),
       opt(parameters, "startingVersion"),
-      maxV)
+      maxV,
+      opt(parameters, "branch"))
   }
 
   def sourceSchema(sqlContext: SQLContext,
@@ -167,6 +170,7 @@ object LakeStreamSource {
     val root = opt(parameters, "path").getOrElse(
       throw new IllegalArgumentException("lake stream: 'path' is required"))
     LakeDataset.openSlim(
-      sqlContext.sparkSession.asInstanceOf[SparkSession], root).schema
+      sqlContext.sparkSession.asInstanceOf[SparkSession], root,
+      opt(parameters, "branch")).schema
   }
 }

@@ -271,4 +271,29 @@ class LakeStreamSourceSpec extends SparkTestBase {
           q.recentProgress.map(p => p.batchId -> p.numInputRows).mkString(", "))
     } finally q.stop()
   }
+
+  test("a stream tails a BRANCH independently of main") {
+    val root = tmpDir()
+    val ds = LakeDataset.create(spark, root, schema)
+    ds.append(rows((1, "a")))
+    ds.createBranch("feed")
+    val br = ds.checkoutBranch("feed")
+
+    val q = spark.readStream.format("lake")
+      .option("branch", "feed").load(root)
+      .writeStream.format("memory").queryName("lake_branch_tail")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_branch_tail").count() == 1) // branch snapshot
+
+      br.append(rows((10, "branch-only")))
+      ds.append(rows((99, "main-only"))) // must NOT reach the branch stream
+      q.processAllAvailable()
+      val got = spark.table("lake_branch_tail").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (10L, "branch-only")))
+    } finally q.stop()
+  }
 }
