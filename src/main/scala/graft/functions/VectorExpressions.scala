@@ -255,6 +255,9 @@ object GraftFunctions {
     "dedup_sig" -> (es => DedupSig(es(0), es(1), es(2))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
     "sorted_overlap" -> (es => SortedOverlap(es(0), es(1))),
+    "term_positions" -> (es => TermPositions(es(0), es(1))),
+    "min_abs_diff" -> (es => MinAbsDiff(es(0), es(1))),
+    "phrase_count" -> (es => PhraseCount(es(0), es(1))),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
     "kmv_distinct" -> (es =>
       KmvDistinct(es.head).toAggregateExpression()),

@@ -113,17 +113,14 @@ object Fts {
       tokenizer: String = "whitespace"): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     GraftFunctions.register(docs.sparkSession)
-    val m = phrase.length
-    val conds = phrase.zipWithIndex.map { case (t, j) =>
-      val esc = t.replace("'", "''")
-      s"element_at(tk, CAST(i + $j AS INT)) = '$esc'"
-    }.mkString(" AND ")
+    // codegen'd single-pass kernel — the HOF form (filter over
+    // sequence+element_at) interprets its lambda per position
     docs
       .select(col("doc_id"), tokens(col("text"), tokenizer).as("tk"))
-      .filter(size(col("tk")) >= m)
+      .filter(size(col("tk")) >= phrase.length)
       .select(col("doc_id"),
-        expr(s"CAST(size(filter(sequence(1, size(tk) - ${m - 1}), " +
-          s"i -> $conds)) AS BIGINT)").as("n_occ"))
+        call_function("phrase_count", col("tk"),
+          typedlit(phrase)).as("n_occ"))
       .filter(col("n_occ") > 0)
   }
 
@@ -153,17 +150,17 @@ object Fts {
   def nearCount(docs: DataFrame, termA: String, termB: String,
       window: Int, tokenizer: String = "whitespace"): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    def posOf(t: String) =
-      s"filter(sequence(1, size(tk)), i -> element_at(tk, CAST(i AS INT)) = '$t')"
+    // positions via one codegen'd scan each; span via the two-pointer
+    // merge (O(|pa|+|pb|), vs the HOF cross product's O(|pa|·|pb|) of
+    // interpreted lambda calls — 8.7 s → sub-second at sf0.1)
     docs
       .select(col("doc_id"), tokens(col("text"), tokenizer).as("tk"))
       .select(col("doc_id"),
-        expr(posOf(termA)).as("pa"), expr(posOf(termB)).as("pb"))
+        call_function("term_positions", col("tk"), lit(termA)).as("pa"),
+        call_function("term_positions", col("tk"), lit(termB)).as("pb"))
       .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
       .select(col("doc_id"),
-        expr("CAST(array_min(transform(pa, p -> " +
-          "array_min(transform(pb, q -> abs(p - q))))) + 1 AS BIGINT)")
-          .as("span"))
+        (call_function("min_abs_diff", col("pa"), col("pb")) + 1).as("span"))
       .filter(col("span") <= window)
   }
 
