@@ -1,0 +1,46 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import graft.Q
+
+/** The reference's OWN TPC-H query files, run VERBATIM.
+  *
+  * cases/tpch/query/q1..q22.sql is the reference's primary test corpus
+  * (its tester binary runs exactly these files; README's results table is
+  * their output). Seven of them are fully expressible over the driver
+  * testdata's schema; this object runs those files' text unmodified
+  * through BOTH engines (`Q.sql`: Spark executes it over the registered
+  * views, DuckDB replays the same text as the oracle) — the strongest
+  * form of "a user of the reference could run every query they run
+  * today": same bytes, not a port.
+  *
+  * The other 15 files reference schema the driver testdata doesn't ship
+  * (the `partsupp` table — q2/q9/q11/q16/q20 — or columns like
+  * `o_shippriority`, `c_acctbal`, `l_shipmode` the TPC-H-ish generator
+  * omits). RefSqlSpec proves those fail ONLY on schema resolution
+  * (TABLE_OR_VIEW_NOT_FOUND / UNRESOLVED_COLUMN), never on parsing —
+  * i.e. the dialect is accepted; the data, not the engine, is the gap. */
+object RefSql {
+
+  val QueryDir = "/root/reference/cases/tpch/query"
+
+  /** File numbers whose schema the driver testdata covers. */
+  val Runnable = Seq(1, 5, 6, 7, 8, 14, 18)
+
+  /** Runnable files that also produce rows on the driver's synthetic data
+    * — these are the registry entries. q5/q7/q8 execute verbatim but
+    * return empty: the generator's orders start 1995-01-01 (q5 filters
+    * 1994) and its supplier/nation-pair coverage misses q7/q8's literals,
+    * so an empty-result oracle would be a vacuous check; RefSqlSpec pins
+    * that they execute and that their emptiness is data, not dialect. */
+  val RowProducing = Seq(1, 6, 14, 18)
+
+  /** First statement of qN.sql, comments stripped, otherwise verbatim. */
+  def text(n: Int): String =
+    new String(Files.readAllBytes(Paths.get(s"$QueryDir/q$n.sql")), "UTF-8")
+      .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+      .split(";").map(_.trim).filter(_.nonEmpty).head
+
+  lazy val all: Seq[Q] = RowProducing.map(n => Q.sql(s"ref_q$n", text(n)))
+}
