@@ -39,7 +39,7 @@ object Runner {
     files0.foreach { f =>
       val stmts = Files.readString(Paths.get(f))
         .split(";").map(_.trim).filter(_.nonEmpty)
-      val results = stmts.map(spark.sql)
+      val results = stmts.map(graft.ddl.SqlBridge.execute(spark, _))
       val last = results.last
       println(s"== $f ==")
       last.show(50, truncate = false)

@@ -220,7 +220,7 @@ final class WireServer(
   private def runStatement(
       out: DataOutputStream, stmt: String, describe: Boolean): Unit = {
     try {
-      val df = spark.sql(stmt)
+      val df = graft.ddl.SqlBridge.execute(spark, stmt)
       val schema = df.schema
       if (schema.isEmpty) {
         // Command (DDL/SET/...): force execution, then tag.

@@ -101,6 +101,33 @@ class WireServerSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("reference-style DDL + pg COPY run over the wire") {
+    withServer { conn =>
+      conn.query("CREATE DATABASE IF NOT EXISTS wire_ddl")
+      try {
+        conn.query("USE wire_ddl")
+        val create = conn.query(
+          "CREATE TABLE T1 ( A INTEGER NOT NULL, B VARCHAR(10), " +
+            "PRIMARY KEY (A) )")
+        assert(create.head.tag == "CREATE TABLE")
+        val f = java.nio.file.Files.createTempFile("wire-", ".tbl")
+        java.nio.file.Files.writeString(f, "1|x\n2|y\n")
+        val copied = conn.query(
+          s"COPY t1 FROM '$f' (FORMAT csv, DELIMITER '|')")
+        assert(copied.head.rows.head.head.get == "2")
+        val res = conn.query("SELECT a, b FROM t1 ORDER BY a").head
+        assert(res.rows.map(_.head.get) == Vector("1", "2"))
+        // PK violation surfaces as a wire error, connection stays live
+        intercept[WireClient.ServerError] {
+          conn.query(s"COPY t1 FROM '$f' (FORMAT csv, DELIMITER '|')")
+        }
+        assert(conn.query("SELECT count(*) AS c FROM t1").head
+          .rows.head.head.get == "2")
+      } finally conn.query(
+        "USE default; DROP DATABASE IF EXISTS wire_ddl CASCADE")
+    }
+  }
+
   test("wire round-trip DataFrame matches direct execution") {
     Tables.register(spark, sf0001)
     val sql = "SELECT n_regionkey, count(*) AS nations FROM nation " +
