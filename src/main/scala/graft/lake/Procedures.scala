@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[LocalScan]]. */
 object LakeProcedures {
 
-  val Names: Seq[String] = Seq("optimize_zorder", "compact", "vacuum")
+  val Names: Seq[String] = Seq("optimize_zorder", "compact", "vacuum",
+    "create_branch", "merge_branch", "drop_branch", "branches", "history")
 
   /** One-row result surface for a maintenance call. */
   private final case class ResultScan(schema: StructType,
@@ -95,6 +96,70 @@ object LakeProcedures {
           val (tbl, ds) = open(input.getUTF8String(0))
           ds.vacuum(keepVersions = input.getInt(1))
           summary(tbl, "vacuum", ds)
+        }
+      }
+      case "create_branch" => new LakeProc("create_branch", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          val b = input.getUTF8String(1).toString
+          ds.createBranch(b)
+          summary(tbl, s"create_branch($b)", ds)
+        }
+      }
+      case "merge_branch" => new LakeProc("merge_branch", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          val b = input.getUTF8String(1).toString
+          ds.mergeBranch(b)
+          summary(tbl, s"merge_branch($b)", ds)
+        }
+      }
+      case "drop_branch" => new LakeProc("drop_branch", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          val b = input.getUTF8String(1).toString
+          ds.deleteBranch(b)
+          summary(tbl, s"drop_branch($b)", ds)
+        }
+      }
+      case "branches" => new LakeProc("branches", Array(
+        ProcedureParameter.in("table", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (_, ds) = open(input.getUTF8String(0))
+          val schema = StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("head_version", LongType, nullable = false)))
+          val rows = ds.branches.toSeq.sortBy(_._1).map { case (n, v) =>
+            InternalRow(UTF8String.fromString(n), v)
+          }.toArray
+          java.util.List.of[Scan](ResultScan(schema, rows)).iterator()
+        }
+      }
+      case "history" => new LakeProc("history", Array(
+        ProcedureParameter.in("table", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (_, ds) = open(input.getUTF8String(0))
+          // DESCRIBE HISTORY shape — same columns as LakeDataset.history()
+          val schema = StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("operation", StringType, nullable = false),
+            StructField("parent_version", LongType, nullable = true),
+            StructField("n_fragments", IntegerType, nullable = false),
+            StructField("n_rows", LongType, nullable = false),
+            StructField("committed_at", TimestampType, nullable = false)))
+          val rows = ds.history().collect().map { r =>
+            InternalRow(r.getLong(0), UTF8String.fromString(r.getString(1)),
+              if (r.isNullAt(2)) null else r.getLong(2),
+              r.getInt(3), r.getLong(4),
+              r.getTimestamp(5).getTime * 1000L) // internal micros
+          }
+          java.util.List.of[Scan](ResultScan(schema, rows)).iterator()
         }
       }
       case other => throw new IllegalArgumentException(

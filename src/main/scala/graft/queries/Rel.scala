@@ -396,11 +396,11 @@ object Rel {
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("CAST(round(approx_percentile(l_quantity, 0.5, 10000000) * 100)" +
+        expr("CAST(round(approx_percentile(l_quantity, 0.5, 100000) * 100)" +
           " AS BIGINT)").as("p50_qty_c"),
-        expr("CAST(round(approx_percentile(l_quantity, 0.95, 10000000) * 100)" +
+        expr("CAST(round(approx_percentile(l_quantity, 0.95, 100000) * 100)" +
           " AS BIGINT)").as("p95_qty_c"),
-        expr("CAST(round(approx_percentile(l_extendedprice, 0.9, 10000000)" +
+        expr("CAST(round(approx_percentile(l_extendedprice, 0.9, 100000)" +
           " * 100) AS BIGINT)").as("p90_price_c"))
       .orderBy("l_returnflag")
   }

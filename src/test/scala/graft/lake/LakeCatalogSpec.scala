@@ -133,7 +133,38 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(v.getString(1) == "vacuum")
 
     val procs = spark.sql("SHOW PROCEDURES IN lakecat.system").collect()
-    assert(procs.length == 3, procs.mkString(","))
+    assert(procs.length == LakeProcedures.Names.size, procs.mkString(","))
+  }
+
+  test("CALL procedures: branch lifecycle + history through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.br")
+    spark.sql("CREATE TABLE lakecat.br.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO lakecat.br.t VALUES (1, 'a'), (2, 'b')")
+
+    spark.sql("CALL lakecat.system.create_branch('br.t', 'work')")
+    val ds = LakeDataset.open(spark, s"$root/br/t")
+    val br = ds.checkoutBranch("work")
+    import spark.implicits._
+    br.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+
+    val listed = spark.sql(
+      "CALL lakecat.system.branches('br.t')").collect()
+    assert(listed.map(_.getString(0)).toSeq == Seq("work"))
+    assert(listed.head.getLong(1) == br.version)
+
+    spark.sql("CALL lakecat.system.merge_branch('br.t', 'work')")
+    assert(spark.sql("SELECT count(*) FROM lakecat.br.t").head().getLong(0)
+      == 3)
+
+    val hist = spark.sql(
+      "CALL lakecat.system.history('br.t')").collect()
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted)
+    assert(hist.map(_.getString(1)).exists(_.startsWith("append")))
+    assert(hist.last.getLong(0) == LakeDataset.open(spark, s"$root/br/t").version)
+
+    spark.sql("CALL lakecat.system.drop_branch('br.t', 'work')")
+    assert(spark.sql("CALL lakecat.system.branches('br.t')").collect().isEmpty)
   }
 
   test("catalog reads prune fragments like the path-based door") {
