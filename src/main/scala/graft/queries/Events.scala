@@ -76,5 +76,40 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
-  val all: Seq[Q] = Seq(funnel, retention)
+  /** Time-series resample with gap filling: 6-hour epoch-anchored buckets
+    * over the observed range; empty buckets materialize as zero rows (the
+    * step most engines call time_bucket + generate_series). Buckets are
+    * BIGINT epoch seconds — integer-exact in both engines and free of
+    * timestamp/timestamptz type seams. The grid is O(range/width) rows
+    * (tiny), so the gap-fill join broadcasts it; the data side is one
+    * groupBy — at 100 TB the aggregate is the only real shuffle. */
+  val resample: Q = Q("ev_resample",
+    """WITH w AS (SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+      |             AS bucket_s, value
+      |           FROM events),
+      |a AS (SELECT bucket_s, count(*) AS n_events,
+      |        CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+      |      FROM w GROUP BY bucket_s),
+      |b AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM w),
+      |g AS (SELECT unnest(generate_series(lo, hi, 21600)) AS bucket_s FROM b)
+      |SELECT g.bucket_s, coalesce(a.n_events, 0) AS n_events,
+      |       coalesce(a.value_c, 0) AS value_c
+      |FROM g LEFT JOIN a USING (bucket_s)""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val w = graft.Tables.load(s, dir, "events")
+      .select((floor(unix_timestamp(col("ts")) / 21600) * 21600)
+        .cast("long").as("bucket_s"), col("value"))
+    val a = w.groupBy("bucket_s")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) * 100).cast("long").as("value_c"))
+    val grid = w.agg(min(col("bucket_s")).as("lo"), max(col("bucket_s")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(21600L)))
+        .as("bucket_s"))
+    broadcast(grid).join(a, Seq("bucket_s"), "left")
+      .select(col("bucket_s"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_c"), lit(0L)).as("value_c"))
+  }
+
+  val all: Seq[Q] = Seq(funnel, retention, resample)
 }

@@ -232,6 +232,17 @@ object Rel {
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
   }
 
+  /** Explicit GROUPING SETS (beyond ROLLUP/CUBE: an arbitrary set list,
+    * with GROUPING() disambiguating real NULLs from subtotal rows). */
+  val groupingSets = Q.sql(
+    "rel_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus), ())""".stripMargin)
+
   /** SELECT DISTINCT (executor dedup path). */
   val distinctQ = Q(
     "rel_distinct",
@@ -512,7 +523,8 @@ object Rel {
   def all: Seq[Q] = Seq(cross, semi, anti, notIn, union, intersect, except,
     exceptAll, intersectAll, stringFuncs, mathFuncs, condFuncs,
     dateFuncs, regexFuncs,
-    window, rollup, distinctQ, limitOffset, values, evJson, evDay, explainQ,
+    window, rollup, groupingSets, distinctQ, limitOffset, values, evJson,
+    evDay, explainQ,
     evWindowAgg, evIntervalJoin, evAsofJoin, percentiles, approxPercentile,
     pivotQ, unpivotQ, bitwise)
 }
