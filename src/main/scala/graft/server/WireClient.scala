@@ -36,6 +36,9 @@ object WireClient {
     /** Startup parameters visible after connect (ParameterStatus). */
     val parameters: mutable.Map[String, String] = mutable.Map.empty
 
+    /** BackendKeyData (pid, secret) — the cancel key for this session. */
+    @volatile var backendKey: (Int, Int) = (0, 0)
+
     // StartupMessage: int32 len, int32 protocol, k\0v\0... \0
     locally {
       val body = new java.io.ByteArrayOutputStream()
@@ -107,7 +110,7 @@ object WireClient {
           case 'S' =>
             val (k, p) = cString(body, 0); val (v, _) = cString(body, p)
             parameters(k) = v
-          case 'K' => () // BackendKeyData
+          case 'K' => backendKey = (readInt(body, 0), readInt(body, 4))
           case 'E' => throw parseError(body)
           case 'Z' => ready = true
           case 'N' => () // NoticeResponse
@@ -123,6 +126,18 @@ object WireClient {
       in.readFully(body)
       (typ, body)
     }
+  }
+
+  /** Fire a CancelRequest for another session's backend key (its own
+    * connection, per the protocol — the victim continues independently). */
+  def cancel(host: String, port: Int, key: (Int, Int)): Unit = {
+    val s = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(s.getOutputStream)
+      out.writeInt(16); out.writeInt(80877102)
+      out.writeInt(key._1); out.writeInt(key._2)
+      out.flush()
+    } finally s.close()
   }
 
   private type IOException = java.io.IOException

@@ -45,6 +45,15 @@ final class WireServer(
   private val conns = java.util.Collections.synchronizedSet(
     new java.util.HashSet[Socket]())
 
+  // Cancellation registry: BackendKeyData (pid, secret) → Spark job group.
+  // A CancelRequest on a fresh connection looks up the key and cancels the
+  // group; the victim's running job dies and its statement surfaces
+  // SQLSTATE 57014 while the connection stays usable (the pg contract).
+  private val pidGen = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val rnd = new java.security.SecureRandom()
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), String]()
+
   /** Ephemeral-port lookup for tests/clients. */
   def boundPort: Int = socket.getLocalPort
 
@@ -99,7 +108,10 @@ final class WireServer(
         case SSL_REQUEST | GSS_REQUEST =>
           out.write('N'); out.flush()
         case CANCEL_REQUEST =>
-          in.skipBytes(len - 8); return // cancel keys unsupported — drop
+          val pid = in.readInt(); val secret = in.readInt()
+          Option(cancelKeys.get((pid, secret)))
+            .foreach(spark.sparkContext.cancelJobGroup)
+          return // cancel connections carry no further traffic
         case PROTOCOL_V3 =>
           val body = new Array[Byte](len - 8)
           in.readFully(body)
@@ -121,9 +133,23 @@ final class WireServer(
     paramStatus(out, "TimeZone",
       spark.sessionState.conf.sessionLocalTimeZone)
     paramStatus(out, "integer_datetimes", "on")
-    msg(out, 'K') { b => b.writeInt(0); b.writeInt(0) }        // BackendKeyData
+    val pid = pidGen.incrementAndGet()
+    val secret = rnd.nextInt()
+    val jobGroup = s"graft-wire-$pid"
+    cancelKeys.put((pid, secret), jobGroup)
+    // statements run on THIS thread; the group is thread-local, so every
+    // job a statement triggers is cancellable by key
+    spark.sparkContext.setJobGroup(jobGroup,
+      s"wire connection $pid", interruptOnCancel = true)
+    msg(out, 'K') { b => b.writeInt(pid); b.writeInt(secret) } // BackendKeyData
     readyForQuery(out)
     out.flush()
+    try handleMessages(s, in, out)
+    finally cancelKeys.remove((pid, secret))
+  }
+
+  private def handleMessages(s: Socket, in: DataInputStream,
+      out: DataOutputStream): Unit = {
 
     // Extended-protocol state: prepared statements and bound portals.
     val statements = mutable.Map.empty[String, String]   // name -> SQL
@@ -238,7 +264,19 @@ final class WireServer(
         commandComplete(out, commandTag(stmt, n))
       }
     } catch {
-      case NonFatal(e) => sendError(out, "42601", exMessage(e))
+      case NonFatal(e) =>
+        val cancelled = {
+          var c: Throwable = e; var found = false
+          while (c != null && !found) {
+            val m = Option(c.getMessage).getOrElse("")
+            found = m.contains("cancelled") || m.contains("canceled")
+            c = c.getCause
+          }
+          found
+        }
+        if (cancelled)
+          sendError(out, "57014", "canceling statement due to user request")
+        else sendError(out, "42601", exMessage(e))
     }
   }
 

@@ -101,6 +101,42 @@ class WireServerSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("CancelRequest kills the running statement; connection survives") {
+    val server = new WireServer(spark, 0, Tables.register(_, sf0001))
+    try {
+      val victim = new WireClient.Conn("127.0.0.1", server.boundPort)
+      try {
+        assert(victim.backendKey._1 > 0)
+        val result = scala.concurrent.Future {
+          // minutes of codegen'd work at local[4] — cannot finish before
+          // the cancel lands
+          victim.query("SELECT sum(id % 97) AS s FROM range(300000000000)")
+        }(scala.concurrent.ExecutionContext.global)
+        Thread.sleep(1500) // let the job start
+        WireClient.cancel("127.0.0.1", server.boundPort, victim.backendKey)
+        val e = intercept[WireClient.ServerError] {
+          scala.concurrent.Await.result(result,
+            scala.concurrent.duration.Duration(60, "s"))
+        }
+        assert(e.sqlState == "57014", s"got ${e.sqlState}: ${e.message}")
+        // the session is still alive and serves the next statement
+        assert(victim.query("SELECT 5 AS v").head.rows.head.head.get == "5")
+      } finally victim.close()
+    } finally server.close()
+  }
+
+  test("a wrong cancel secret is ignored") {
+    val server = new WireServer(spark, 0, Tables.register(_, sf0001))
+    try {
+      val conn = new WireClient.Conn("127.0.0.1", server.boundPort)
+      try {
+        WireClient.cancel("127.0.0.1", server.boundPort,
+          (conn.backendKey._1, conn.backendKey._2 + 1))
+        assert(conn.query("SELECT 6 AS v").head.rows.head.head.get == "6")
+      } finally conn.close()
+    } finally server.close()
+  }
+
   test("reference-style DDL + pg COPY run over the wire") {
     withServer { conn =>
       conn.query("CREATE DATABASE IF NOT EXISTS wire_ddl")
