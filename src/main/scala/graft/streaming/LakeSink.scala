@@ -25,14 +25,21 @@ import graft.lake.LakeDataset
   */
 object LakeSink {
 
-  /** Create-on-first-batch append sink. */
-  def appendTo(root: String, queryKey: String = "default")
-      : (DataFrame, Long) => Unit = { (df, batchId) =>
-    val spark = df.sparkSession
-    val ds =
-      if (LakeDataset.exists(root)) LakeDataset.open(spark, root)
-      else LakeDataset.create(spark, root, df.schema)
-    ds.appendStreamingBatch(df, queryKey, batchId)
-    ()
+  /** Create-on-first-batch append sink. `branch` lands the stream on a
+    * branch head instead of main (the write-side twin of the source's
+    * `option("branch", ...)`) — the branch must exist; exactly-once
+    * replay detection runs against the branch's own manifest chain. */
+  def appendTo(root: String, queryKey: String = "default",
+      branch: Option[String] = None): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      val spark = df.sparkSession
+      val ds = branch match {
+        case Some(b) => LakeDataset.openBranch(spark, root, b)
+        case None =>
+          if (LakeDataset.exists(root)) LakeDataset.open(spark, root)
+          else LakeDataset.create(spark, root, df.schema)
+      }
+      ds.appendStreamingBatch(df, queryKey, batchId)
+      ()
   }
 }

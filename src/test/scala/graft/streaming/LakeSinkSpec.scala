@@ -55,4 +55,32 @@ class LakeSinkSpec extends SparkTestBase {
     assert(!ds.appendStreamingBatch(df, "a", 0L))
     assert(ds.read().count() == 2)
   }
+
+  test("sink lands a stream on a branch; main untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir()
+    val seed = Seq(ev(1, 100, 1)).toDF()
+    val ds = LakeDataset.create(spark, root, seed.schema)
+    ds.append(seed.coalesce(1))
+    ds.createBranch("ingest")
+
+    val stream = MemoryStream[EventStream.Event]
+    val q = stream.toDF().writeStream
+      .foreachBatch(LakeSink.appendTo(root, "br", branch = Some("ingest")))
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      stream.addData(ev(2, 200, 1), ev(3, 300, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(ds.refresh().read().count() == 1) // main frozen
+    val br = ds.checkoutBranch("ingest")
+    assert(br.read().count() == 3)
+    // replay detection lives in the BRANCH manifest
+    assert(br.manifest.properties.contains("streaming.br.lastBatchId"))
+    ds.mergeBranch("ingest")
+    assert(ds.read().count() == 3)
+  }
 }
