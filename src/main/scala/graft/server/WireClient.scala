@@ -90,6 +90,120 @@ object WireClient {
       results.result()
     }
 
+    /** Extended-protocol round trip: Parse($n SQL, declared OIDs) → Bind
+      * (text-format params, None = NULL) → Describe portal → Execute →
+      * Sync. `maxRows` > 0 exercises portal suspension: rows arrive in
+      * Execute-sized batches off one bound portal until CommandComplete. */
+    def queryExtended(
+        sql: String,
+        params: Seq[(Int, Option[String])] = Nil,
+        maxRows: Int = 0,
+        binaryParams: Seq[(Int, Option[Array[Byte]])] = Nil): Result = {
+      // Parse (unnamed statement)
+      send('P') { b =>
+        b.writeByte(0)                       // statement name ""
+        b.write(sql.getBytes(UTF_8)); b.writeByte(0)
+        val oids = if (binaryParams.nonEmpty) binaryParams.map(_._1)
+          else params.map(_._1)
+        b.writeShort(oids.size)
+        oids.foreach(b.writeInt)
+      }
+      // Bind (unnamed portal)
+      send('B') { b =>
+        b.writeByte(0); b.writeByte(0)       // portal "", statement ""
+        if (binaryParams.nonEmpty) {
+          b.writeShort(1); b.writeShort(1)   // one format code: all binary
+          b.writeShort(binaryParams.size)
+          binaryParams.foreach {
+            case (_, None) => b.writeInt(-1)
+            case (_, Some(v)) => b.writeInt(v.length); b.write(v)
+          }
+        } else {
+          b.writeShort(0)                    // all text
+          b.writeShort(params.size)
+          params.foreach {
+            case (_, None) => b.writeInt(-1)
+            case (_, Some(v)) =>
+              val bytes = v.getBytes(UTF_8)
+              b.writeInt(bytes.length); b.write(bytes)
+          }
+        }
+        b.writeShort(0)                      // result formats: default text
+      }
+      send('D') { b => b.writeByte('P'); b.writeByte(0) } // Describe portal
+      send('E') { b => b.writeByte(0); b.writeInt(maxRows) }
+      send('S') { _ => () }                  // Sync — server flushes here
+      out.flush()
+
+      var fields = Vector.empty[(String, Int)]
+      val rows = Vector.newBuilder[Vector[Option[String]]]
+      var tag = ""
+      var err: Option[ServerError] = None
+      var suspended = false
+      var done = false
+      while (!done) {
+        val (typ, body) = readMessage()
+        typ match {
+          case '1' | '2' | 'n' => ()         // ParseComplete/BindComplete/NoData
+          case 'T' => fields = parseRowDescription(body)
+          case 'D' => rows += parseDataRow(body)
+          case 's' => suspended = true       // PortalSuspended
+          case 'C' => tag = cString(body, 0)._1; suspended = false
+          case 'I' => suspended = false
+          case 'E' => err = Some(parseError(body)); suspended = false
+          case 'Z' =>                        // ReadyForQuery after Sync
+            if (suspended && err.isEmpty) {
+              // next fetch batch: the portal survives Sync on this server
+              suspended = false
+              send('E') { b => b.writeByte(0); b.writeInt(maxRows) }
+              send('S') { _ => () }
+              out.flush()
+            } else done = true
+          case other =>
+            throw new IOException(s"unexpected message '$other' in extended cycle")
+        }
+      }
+      err.foreach(throw _)
+      Result(fields, rows.result(), tag)
+    }
+
+    /** Parse + Describe statement only: returns the declared/padded
+      * parameter OIDs and the result field (name, oid) pairs. */
+    def describeStatement(
+        sql: String, oids: Seq[Int] = Nil): (Vector[Int], Vector[(String, Int)]) = {
+      send('P') { b =>
+        b.writeByte(0)
+        b.write(sql.getBytes(UTF_8)); b.writeByte(0)
+        b.writeShort(oids.size); oids.foreach(b.writeInt)
+      }
+      send('D') { b => b.writeByte('S'); b.writeByte(0) }
+      send('S') { _ => () }
+      out.flush()
+      var paramOids = Vector.empty[Int]
+      var fields = Vector.empty[(String, Int)]
+      var err: Option[ServerError] = None
+      var ready = false
+      while (!ready) readMessage() match {
+        case ('t', body) =>
+          val n = readShort(body, 0)
+          paramOids = Vector.tabulate(n)(i => readInt(body, 2 + i * 4))
+        case ('T', body) => fields = parseRowDescription(body)
+        case ('E', body) => err = Some(parseError(body))
+        case ('Z', _) => ready = true
+        case _ => ()
+      }
+      err.foreach(throw _)
+      (paramOids, fields)
+    }
+
+    private def send(typ: Char)(write: DataOutputStream => Unit): Unit = {
+      val body = new java.io.ByteArrayOutputStream()
+      write(new DataOutputStream(body))
+      out.writeByte(typ)
+      out.writeInt(4 + body.size())
+      body.writeTo(out)
+    }
+
     override def close(): Unit = {
       try { out.writeByte('X'); out.writeInt(4); out.flush() }
       catch { case _: IOException => () }

@@ -24,7 +24,17 @@ import org.apache.spark.sql.types._
   * SSL/GSS negotiation (refused with 'N'), trust auth, the simple query
   * cycle ('Q' → RowDescription, DataRows, CommandComplete, ReadyForQuery),
   * and the extended cycle (Parse/Bind/Describe/Execute/Close/Flush/Sync)
-  * without parameter binding — enough for psql and simple drivers.
+  * with parameter binding: `$n` placeholders are rewritten (quote-aware)
+  * to Spark named parameter markers and bound through the public
+  * `spark.sql(sqlText, args)` API, so a bound value is a typed literal in
+  * the plan — never string-spliced into the query text. Text-format
+  * parameters cover the OIDs the reference's type system exercises
+  * (bool/int2/int4/int8/float4/float8/numeric/date/timestamp/bytea/text);
+  * binary format covers the fixed-width numerics. Execute honors the
+  * max-rows field with PortalSuspended, so cursor-style fetch loops
+  * (JDBC setFetchSize) stream bounded batches off the open iterator.
+  * Portals survive Sync — the autocommit-off contract drivers rely on for
+  * suspended portals; this server has no transactions to end.
   *
   * Results stream through `toLocalIterator` — the server never
   * materializes a result set on the driver, so a huge SELECT is bounded by
@@ -152,8 +162,8 @@ final class WireServer(
       out: DataOutputStream): Unit = {
 
     // Extended-protocol state: prepared statements and bound portals.
-    val statements = mutable.Map.empty[String, String]   // name -> SQL
-    val portals = mutable.Map.empty[String, String]      // name -> SQL
+    val statements = mutable.Map.empty[String, Prepared]
+    val portals = mutable.Map.empty[String, Portal]
 
     var open = true
     while (open) {
@@ -169,37 +179,81 @@ final class WireServer(
           simpleQuery(out, sql)
           readyForQuery(out); out.flush()
 
-        case 'P' => // Parse: name, query, param type oids (ignored; 0 expected)
+        case 'P' => // Parse: name, query, declared param type oids
           val (name, p1) = cString(body, 0)
-          val (query, _) = cString(body, p1)
-          statements(name) = query
+          val (query, p2) = cString(body, p1)
+          val nOids = readShort(body, p2)
+          val oids = Vector.tabulate(nOids)(i => readInt(body, p2 + 2 + i * 4))
+          val (rewritten, nParams) = rewriteParams(query)
+          // pg allows declaring fewer oids than $n markers; pad unknowns
+          val padded = oids.padTo(nParams, 0)
+          statements(name) = Prepared(rewritten, padded)
           msg(out, '1') { _ => () }                            // ParseComplete
 
-        case 'B' => // Bind: portal, statement, formats+params (no params supported)
+        case 'B' => // Bind: portal, statement, param formats + values
           val (portal, p1) = cString(body, 0)
           val (stmt, p2) = cString(body, p1)
           val nFmts = readShort(body, p2)
-          val pParams = p2 + 2 + nFmts * 2
-          val nParams = readShort(body, pParams)
-          if (nParams > 0) {
-            sendError(out, "0A000", "parameter binding not supported")
+          val fmts = Vector.tabulate(nFmts)(i => readShort(body, p2 + 2 + i * 2))
+          var pos = p2 + 2 + nFmts * 2
+          val nParams = readShort(body, pos); pos += 2
+          val raw = Vector.newBuilder[Option[Array[Byte]]]
+          (0 until nParams).foreach { _ =>
+            val vlen = readInt(body, pos); pos += 4
+            if (vlen < 0) raw += None
+            else { raw += Some(body.slice(pos, pos + vlen)); pos += vlen }
+          }
+          val nResFmts = readShort(body, pos)
+          val resFmts = Vector.tabulate(nResFmts)(i =>
+            readShort(body, pos + 2 + i * 2))
+          val prep = statements.getOrElse(stmt, Prepared("", Vector.empty))
+          if (resFmts.exists(_ == 1)) {
+            sendError(out, "0A000", "binary result format not supported")
+          } else if (nParams < prep.paramOids.length) {
+            sendError(out, "08P01",
+              s"bind supplies $nParams parameters, " +
+                s"statement needs ${prep.paramOids.length}")
           } else {
-            portals(portal) = statements.getOrElse(stmt, "")
-            msg(out, '2') { _ => () }                          // BindComplete
+            try {
+              val args = raw.result().zipWithIndex.map { case (bytes, i) =>
+                val fmt =
+                  if (fmts.isEmpty) 0
+                  else if (fmts.length == 1) fmts.head
+                  else fmts(i)
+                val oid = prep.paramOids.lift(i).getOrElse(0)
+                s"p${i + 1}" -> bytes.map(convertParam(oid, fmt, _)).orNull
+              }.toMap
+              portals(portal) = new Portal(prep.sql, args)
+              msg(out, '2') { _ => () }                        // BindComplete
+            } catch {
+              case NonFatal(e) => sendError(out, "22P02", exMessage(e))
+            }
           }
 
         case 'D' => // Describe 'S' statement | 'P' portal
           val kind = body(0).toChar
           val (name, _) = cString(body, 1)
-          val sqlOpt =
-            if (kind == 'S') statements.get(name) else portals.get(name)
-          sqlOpt.map(_.trim).filter(_.nonEmpty) match {
+          val target: Option[(String, Map[String, Any], Vector[Int])] =
+            if (kind == 'S')
+              statements.get(name).map { p =>
+                // schema derivation needs bound markers: typed zero values
+                val zeros = p.paramOids.zipWithIndex.map { case (oid, i) =>
+                  s"p${i + 1}" -> zeroValue(oid)
+                }.toMap
+                (p.sql, zeros, p.paramOids)
+              }
+            else portals.get(name).map(p => (p.sql, p.args, Vector.empty))
+          target.filter(_._1.trim.nonEmpty) match {
             case None => msg(out, 'n') { _ => () }             // NoData
-            case Some(sql) =>
+            case Some((sql, args, oids)) =>
               try {
-                val df = spark.sql(sql)
+                val df =
+                  if (args.isEmpty) spark.sql(sql) else spark.sql(sql, args)
                 if (kind == 'S')
-                  msg(out, 't') { b => b.writeShort(0) }       // ParameterDescription
+                  msg(out, 't') { b =>                         // ParameterDescription
+                    b.writeShort(oids.length)
+                    oids.foreach(oid => b.writeInt(if (oid == 0) 25 else oid))
+                  }
                 if (df.schema.isEmpty) msg(out, 'n') { _ => () }
                 else rowDescription(out, df.schema)
               } catch {
@@ -207,11 +261,12 @@ final class WireServer(
               }
           }
 
-        case 'E' => // Execute: portal name, max rows (streams all; no suspend)
-          val (portal, _) = cString(body, 0)
-          portals.get(portal).map(_.trim).filter(_.nonEmpty) match {
+        case 'E' => // Execute: portal name, max rows (0 = all)
+          val (portal, p1) = cString(body, 0)
+          val maxRows = readInt(body, p1)
+          portals.get(portal).filter(_.sql.trim.nonEmpty) match {
             case None => msg(out, 'I') { _ => () }             // EmptyQueryResponse
-            case Some(sql) => runStatement(out, sql, describe = false)
+            case Some(p) => executePortal(out, p, maxRows)
           }
 
         case 'C' => // Close statement/portal
@@ -230,6 +285,56 @@ final class WireServer(
           sendError(out, "08P01", s"unknown message type '$other'")
           readyForQuery(out); out.flush()
       }
+    }
+  }
+
+  /** A parsed statement: SQL with `$n` rewritten to `:pn` named markers,
+    * plus the declared parameter type OIDs (padded to the marker count). */
+  private final case class Prepared(sql: String, paramOids: Vector[Int])
+
+  /** A bound portal. Holds the result iterator across Execute messages so
+    * a max-rows Execute can suspend and a later one resume. */
+  private final class Portal(val sql: String, val args: Map[String, Any]) {
+    var it: java.util.Iterator[org.apache.spark.sql.Row] = _
+    var schema: StructType = _
+    var rowsSent: Long = 0
+  }
+
+  /** Extended-protocol Execute: stream up to `maxRows` (0 = all) rows off
+    * the portal's iterator; PortalSuspended if the limit hit with rows
+    * remaining, CommandComplete when drained. */
+  private def executePortal(
+      out: DataOutputStream, p: Portal, maxRows: Int): Unit = {
+    try {
+      if (p.it == null) {
+        if (p.args.isEmpty) {
+          // no parameters: full statement surface (DDL/COPY via the bridge)
+          val df = graft.ddl.SqlBridge.execute(spark, p.sql)
+          p.schema = df.schema
+          if (p.schema.isEmpty) { df.collect(); p.it = null }
+          else p.it = df.toLocalIterator()
+          if (p.schema.isEmpty) {
+            commandComplete(out, commandTag(p.sql, -1)); return
+          }
+        } else {
+          val df = spark.sql(p.sql, p.args)
+          p.schema = df.schema
+          if (p.schema.isEmpty) {
+            df.collect(); commandComplete(out, commandTag(p.sql, -1)); return
+          }
+          p.it = df.toLocalIterator()
+        }
+      }
+      var n = 0L
+      while (p.it.hasNext && (maxRows <= 0 || n < maxRows)) {
+        dataRow(out, p.it.next(), p.schema)
+        n += 1
+      }
+      p.rowsSent += n
+      if (p.it.hasNext) msg(out, 's') { _ => () }              // PortalSuspended
+      else commandComplete(out, commandTag(p.sql, p.rowsSent))
+    } catch {
+      case NonFatal(e) => sendStatementError(out, e)
     }
   }
 
@@ -264,20 +369,23 @@ final class WireServer(
         commandComplete(out, commandTag(stmt, n))
       }
     } catch {
-      case NonFatal(e) =>
-        val cancelled = {
-          var c: Throwable = e; var found = false
-          while (c != null && !found) {
-            val m = Option(c.getMessage).getOrElse("")
-            found = m.contains("cancelled") || m.contains("canceled")
-            c = c.getCause
-          }
-          found
-        }
-        if (cancelled)
-          sendError(out, "57014", "canceling statement due to user request")
-        else sendError(out, "42601", exMessage(e))
+      case NonFatal(e) => sendStatementError(out, e)
     }
+  }
+
+  private def sendStatementError(out: DataOutputStream, e: Throwable): Unit = {
+    val cancelled = {
+      var c: Throwable = e; var found = false
+      while (c != null && !found) {
+        val m = Option(c.getMessage).getOrElse("")
+        found = m.contains("cancelled") || m.contains("canceled")
+        c = c.getCause
+      }
+      found
+    }
+    if (cancelled)
+      sendError(out, "57014", "canceling statement due to user request")
+    else sendError(out, "42601", exMessage(e))
   }
 
   // ------------------------------------------------------------- encoding
@@ -415,6 +523,101 @@ final class WireServer(
 
   private def readShort(b: Array[Byte], at: Int): Int =
     ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+
+  private def readInt(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+      ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+
+  /** Rewrite `$1..$n` placeholders (outside string literals / quoted
+    * identifiers) to Spark named parameter markers `:p1..:pn`; returns the
+    * rewritten SQL and the highest placeholder index seen. Dollar-quoted
+    * strings ($tag$...$tag$) are not parsed — Spark SQL has no such
+    * literal, so a statement using one fails at parse, not silently. */
+  private def rewriteParams(sql: String): (String, Int) = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    var maxIdx = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' if !inDouble =>
+          if (inSingle && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out.append("''"); i += 1
+          } else { inSingle = !inSingle; out.append(c) }
+        case '"' if !inSingle =>
+          inDouble = !inDouble; out.append(c)
+        case '$' if !inSingle && !inDouble && i + 1 < sql.length &&
+            sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          val idx = sql.substring(i + 1, j).toInt
+          maxIdx = math.max(maxIdx, idx)
+          out.append(":p").append(idx)
+          i = j - 1
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    (out.toString, maxIdx)
+  }
+
+  /** Decode one bound parameter to a typed Scala value `spark.sql(_, args)`
+    * can take as a literal. Format 0 = text (pg text conventions per OID),
+    * format 1 = binary (fixed-width numerics and bool only). */
+  private def convertParam(oid: Int, fmt: Int, bytes: Array[Byte]): Any = {
+    if (fmt == 1) {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // network order
+      oid match {
+        case 16 => bytes(0) != 0
+        case 21 => bb.getShort
+        case 23 => bb.getInt
+        case 20 => bb.getLong
+        case 700 => bb.getFloat
+        case 701 => bb.getDouble
+        case 17 => bytes
+        case other => throw new IllegalArgumentException(
+          s"binary format not supported for parameter type oid $other")
+      }
+    } else {
+      val s = new String(bytes, UTF_8)
+      oid match {
+        case 16 => s == "t" || s == "true" || s == "1" || s == "on"
+        case 21 => s.trim.toShort
+        case 23 => s.trim.toInt
+        case 20 => s.trim.toLong
+        case 700 => s.trim.toFloat
+        case 701 => s.trim.toDouble
+        case 1700 => new java.math.BigDecimal(s.trim)
+        case 1082 => java.sql.Date.valueOf(s.trim)
+        case 1114 | 1184 =>
+          // "yyyy-MM-dd HH:mm:ss[.ffffff]" with an optional zone suffix
+          java.sql.Timestamp.valueOf(s.trim.replaceFirst("[+-]\\d\\d(:?\\d\\d)?$", ""))
+        case 17 =>
+          if (s.startsWith("\\x"))
+            s.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          else bytes
+        case _ => s // unknown/text/varchar: bind as string
+      }
+    }
+  }
+
+  /** A typed placeholder value per OID, used only to derive a Describe
+    * schema before real values are bound. */
+  private def zeroValue(oid: Int): Any = oid match {
+    case 16 => false
+    case 21 => 0.toShort
+    case 23 => 0
+    case 20 => 0L
+    case 700 => 0f
+    case 701 => 0d
+    case 1700 => java.math.BigDecimal.ZERO
+    case 1082 => java.sql.Date.valueOf("1970-01-01")
+    case 1114 | 1184 => java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+    case 17 => Array.empty[Byte]
+    case _ => ""
+  }
 
   private def writeCString(b: DataOutputStream, s: String): Unit = {
     b.write(s.getBytes(UTF_8)); b.writeByte(0)

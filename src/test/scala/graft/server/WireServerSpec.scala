@@ -164,6 +164,104 @@ class WireServerSpec extends SparkTestBase {
     }
   }
 
+  test("extended protocol binds typed text parameters") {
+    withServer { conn =>
+      val res = conn.queryExtended(
+        "SELECT $1 + 1 AS i, $2 * 2 AS l, upper($3) AS s, $4 / 2 AS d, " +
+          "NOT $5 AS b, $6 AS n, $7 AS dt",
+        Seq(
+          23 -> Some("41"), 20 -> Some("100"), 25 -> Some("abc"),
+          701 -> Some("3.5"), 16 -> Some("t"), 23 -> None,
+          1082 -> Some("1998-12-01")))
+      assert(res.rows == Vector(Vector(
+        Some("42"), Some("200"), Some("ABC"), Some("1.75"), Some("f"),
+        None, Some("1998-12-01"))))
+      assert(res.tag == "SELECT 1")
+    }
+  }
+
+  test("a placeholder used twice binds one value to both sites") {
+    withServer { conn =>
+      val res = conn.queryExtended(
+        "SELECT n_name FROM nation WHERE n_nationkey BETWEEN $1 AND $1 + 2 " +
+          "ORDER BY n_nationkey",
+        Seq(23 -> Some("5")))
+      assert(res.rows.map(_.head.get) ==
+        Vector("NATION_5", "NATION_6", "NATION_7"))
+    }
+  }
+
+  test("dollar-digit inside a string literal is not a placeholder") {
+    withServer { conn =>
+      val res = conn.queryExtended(
+        "SELECT '$1' AS lit, $1 AS bound", Seq(23 -> Some("9")))
+      assert(res.rows == Vector(Vector(Some("$1"), Some("9"))))
+    }
+  }
+
+  test("parameters bind against the registered tables") {
+    withServer { conn =>
+      val res = conn.queryExtended(
+        "SELECT count(*) AS c FROM nation WHERE n_regionkey = $1",
+        Seq(20 -> Some("2")))
+      assert(res.rows.head.head.get == "5")
+    }
+  }
+
+  test("Execute max-rows suspends the portal and resumes across fetches") {
+    withServer { conn =>
+      val res = conn.queryExtended(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey", maxRows = 7)
+      assert(res.rows.map(_.head.get.toInt) == (0 until 25).toVector)
+      assert(res.tag == "SELECT 25") // cumulative count across suspensions
+    }
+  }
+
+  test("binary-format fixed-width parameters decode") {
+    withServer { conn =>
+      def be4(v: Int) =
+        java.nio.ByteBuffer.allocate(4).putInt(v).array()
+      def be8(v: Double) =
+        java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+      val res = conn.queryExtended(
+        "SELECT $1 * 2 AS i, $2 + 0.5 AS d",
+        binaryParams = Seq(23 -> Some(be4(21)), 701 -> Some(be8(1.25))))
+      assert(res.rows == Vector(Vector(Some("42"), Some("1.75"))))
+    }
+  }
+
+  test("Describe statement reports parameter OIDs and result fields") {
+    withServer { conn =>
+      val (oids, fields) = conn.describeStatement(
+        "SELECT n_name FROM nation WHERE n_nationkey = $1 AND n_name <> $2",
+        Seq(20, 25))
+      assert(oids == Vector(20, 25))
+      assert(fields.map(_._1) == Vector("n_name"))
+      assert(fields.map(_._2) == Vector(25))
+    }
+  }
+
+  test("bind with too few parameters errors; connection stays usable") {
+    withServer { conn =>
+      val e = intercept[WireClient.ServerError] {
+        conn.queryExtended(
+          "SELECT $1 + $2 AS v", Seq(23 -> Some("1")))
+      }
+      assert(e.sqlState == "08P01")
+      assert(conn.query("SELECT 3 AS v").head.rows.head.head.get == "3")
+    }
+  }
+
+  test("an unparseable parameter value errors at bind, not execute") {
+    withServer { conn =>
+      val e = intercept[WireClient.ServerError] {
+        conn.queryExtended("SELECT $1 AS v", Seq(23 -> Some("not-a-number")))
+      }
+      assert(e.sqlState == "22P02")
+      assert(conn.query("SELECT 4 AS v").head.rows.head.head.get == "4")
+    }
+  }
+
   test("wire round-trip DataFrame matches direct execution") {
     Tables.register(spark, sf0001)
     val sql = "SELECT n_regionkey, count(*) AS nations FROM nation " +
