@@ -1326,6 +1326,190 @@ final class LakeDataset private (
     m.version
   }
 
+  /** Merge a DIVERGED branch into this namespace (the non-fast-forward
+    * case [[mergeBranch]] refuses): a squash rebase-merge. The branch's
+    * net state change since its fork point is computed, checked pairwise
+    * against every commit this namespace made since the fork with the
+    * same conflict matrix concurrent writers use, and applied as ONE
+    * commit (`merge_branch(name)` — Merge kind, so later conflicters see
+    * it at full strictness). The branch itself is left untouched.
+    *
+    * Stable-rowid discipline across the merge:
+    *  - branch fragments whose rowids all predate the fork
+    *    (copy-on-write rewrites of fork data) are adopted verbatim —
+    *    fork-level deletion vectors and the change feed keep addressing
+    *    them exactly;
+    *  - branch-append fragments (rowids claimed after the fork) are
+    *    adopted verbatim when this namespace made no claims of its own,
+    *    and otherwise re-based onto a fresh rowid range in a bounded
+    *    Spark job over ONLY those fragments (per-row arithmetic, no
+    *    shuffle) — the two divergent histories claimed overlapping
+    *    ranges for different rows, so one side must move;
+    *  - a branch fragment MIXING pre- and post-fork rowids (the branch
+    *    compacted fork data together with its own appends) is refused —
+    *    merge before compacting on the branch.
+    *
+    * Refused (CommitConflictException) rather than silently merged:
+    * matrix conflicts (e.g. both sides deleted from the same fragment),
+    * both sides changing schema, branch tombstones on branch-appended
+    * rows while a rowid re-base is needed, and a branch DV purge racing
+    * target DV changes. Fragment ids from the branch are always remapped
+    * onto fresh target ids (both sides allocate from the fork point, so
+    * ids collide even when rowids do not). */
+  def mergeBranchRebase(name: String): Long = {
+    val dir = branchesDir.resolve(name)
+    require(io.exists(dir), s"no branch $name")
+    val meta = io.readString(dir.resolve("branch.json"))
+    val forkedFrom = """"forkedFrom"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(meta).get.group(1)
+    val forkV = """"forkVersion"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(meta).get.group(1).toLong
+    require(forkedFrom == namespaceId,
+      s"branch $name forked from $forkedFrom, not $namespaceId")
+    refresh()
+    if (m.version == forkV) return mergeBranch(name) // pure fast-forward
+
+    def branchManifest(v: Long): Manifest =
+      LakeDataset.decodeManifest(io, rootPath,
+        Manifest.fromJson(io.readString(dir.resolve(Manifest.versionFileName(v)))))
+    val branchVersions = io.listNames(dir)
+      .filter(f => f.startsWith("v") && f.endsWith(".json"))
+      .map(Manifest.versionOfFileName).filter(_ > forkV).sorted
+    if (branchVersions.isEmpty) return m.version // nothing to merge
+    val fork = loadV(forkV)
+    val bh = branchManifest(branchVersions.last)
+
+    // Pairwise matrix check: every branch op (my side) against every
+    // target op committed since the fork (other side) — the exact check a
+    // concurrent writer's rebase would run, applied across namespaces.
+    val branchOps = branchVersions.map { v =>
+      val w = branchManifest(v)
+      (w.operation, LakeDataset.kindOf(w.operation), w.touchedFragmentIds.toSet)
+    }
+    val targetOps = (forkV + 1 to m.version).map { v =>
+      val w = loadV(v)
+      (w.operation, LakeDataset.kindOf(w.operation), w.touchedFragmentIds.toSet)
+    }
+    for ((bop, bk, bt) <- branchOps; (top, tk, tt) <- targetOps)
+      if (LakeDataset.conflicts(bk, bt, tk, tt))
+        throw new CommitConflictException(
+          s"branch $name op '$bop' conflicts with $namespaceId op '$top' " +
+            s"committed since fork v$forkV")
+
+    // Net branch delta vs the fork point.
+    val forkIds = fork.fragments.map(_.id).toSet
+    val headIds = bh.fragments.map(_.id).toSet
+    val branchAdds = bh.fragments.filterNot(f => forkIds.contains(f.id))
+    val branchRemovedIds = forkIds.filterNot(headIds.contains)
+    val dvAdds = bh.deletionFiles.filterNot(fork.deletionFiles.contains)
+    val dvRemoved = fork.deletionFiles.filterNot(bh.deletionFiles.contains)
+    if (dvRemoved.nonEmpty && m.deletionFiles != fork.deletionFiles)
+      throw new CommitConflictException(
+        s"branch $name purged deletion vectors while $namespaceId changed " +
+          "its own — merge the DV states manually (re-branch and replay)")
+    val schemaChanged = bh.fields != fork.fields
+    if (schemaChanged && m.fields != fork.fields)
+      throw new CommitConflictException(
+        s"both $namespaceId and branch $name changed the schema since " +
+          s"fork v$forkV — re-branch and replay the schema change")
+
+    withOpRetry(OpKind.Merge, 5, touched = branchRemovedIds) {
+      // Rowid disposition per added fragment, from a rowid-only columnar
+      // scan of just the branch-added files (min/max of one long column).
+      val targetClaimed = m.nextRowId > fork.nextRowId
+      val branchClaimed = bh.nextRowId > fork.nextRowId
+      val needRebase = targetClaimed && branchClaimed
+      val ranges: Map[String, (Long, Long)] =
+        if (branchAdds.isEmpty) Map.empty
+        else {
+          val files = branchAdds.map(f => rootPath.resolve(f.file).toString)
+          spark.read
+            .schema(new StructType().add(RowIdCol, LongType))
+            .parquet(files: _*)
+            .groupBy(input_file_name().as("_f"))
+            .agg(min(col(RowIdCol)).as("_lo"), max(col(RowIdCol)).as("_hi"))
+            .collect()
+            .map(r => (fileBaseName(r.getString(0)),
+              (r.getLong(1), r.getLong(2))))
+            .toMap
+        }
+      def rangeOf(f: Fragment): (Long, Long) =
+        ranges.getOrElse(fileBaseName(f.file),
+          throw new IllegalStateException(s"no rowid range for ${f.file}"))
+      val (preserved, toRebase) =
+        if (!needRebase) (branchAdds, Nil)
+        else branchAdds.partition(f => rangeOf(f)._2 < fork.nextRowId)
+      toRebase.foreach { f =>
+        if (rangeOf(f)._1 < fork.nextRowId)
+          throw new CommitConflictException(
+            s"branch $name fragment ${f.file} mixes pre- and post-fork " +
+              "rowids (branch-side compaction across the fork line) — " +
+              "merge before compacting on the branch")
+      }
+      if (dvAdds.nonEmpty && toRebase.nonEmpty) {
+        // new tombstones may address branch-append rowids that are about
+        // to move; verify they all predate the fork
+        val dvMax = spark.read
+          .parquet(dvAdds.map(f => rootPath.resolve(f).toString): _*)
+          .agg(max(col(RowIdCol))).collect()(0).getLong(0)
+        if (dvMax >= fork.nextRowId)
+          throw new CommitConflictException(
+            s"branch $name tombstones rows it appended after the fork " +
+              "while a rowid re-base is required — purge deletes on the " +
+              "branch before merging")
+      }
+
+      val fieldsAfter = if (schemaChanged) bh.fields else m.fields
+      val manForStage = m.copy(fields = fieldsAfter,
+        maxFieldId = math.max(m.maxFieldId, bh.maxFieldId))
+      // Re-base branch-append rowids: fresh contiguous-claim arithmetic,
+      // one narrow job over only the re-based fragments.
+      val rebaseBase = m.nextRowId
+      val (rebasedFrags, rebasedMaxRid) =
+        if (toRebase.isEmpty) (Nil, m.nextRowId - 1)
+        else {
+          val files = toRebase.map(f => rootPath.resolve(f.file).toString)
+          val phys = spark.read
+            .schema(LakeDataset.physicalSchema(
+              bh.copy(fields = fieldsAfter)))
+            .parquet(files: _*)
+            .withColumn(RowIdCol,
+              col(RowIdCol) - lit(fork.nextRowId) + lit(rebaseBase))
+          stageFragments(phys, manForStage)
+        }
+      // Preserved branch fragments: metadata adopt with fresh ids (file
+      // bytes, stats, blooms, value-sets all carry over unchanged).
+      // stageFragments assigned (maxFragmentId, maxFragmentId+n]; continue.
+      var nextFid =
+        rebasedFrags.map(_.id).maxOption.getOrElse(manForStage.maxFragmentId)
+      val adopted = preserved.map { f =>
+        nextFid += 1
+        f.copy(id = nextFid)
+      }
+      val preservedMaxRid =
+        if (!needRebase && branchClaimed) bh.nextRowId - 1 else m.nextRowId - 1
+      commit(manForStage.copy(
+        version = m.version + 1,
+        fragments = m.fragments.filterNot(f =>
+          branchRemovedIds.contains(f.id)) ++ rebasedFrags ++ adopted,
+        maxFragmentId = nextFid,
+        nextRowId = math.max(m.nextRowId,
+          math.max(rebasedMaxRid, preservedMaxRid) + 1),
+        deletionFiles =
+          m.deletionFiles.filterNot(dvRemoved.contains) ++ dvAdds,
+        deletedRowCount = math.max(0L,
+          m.deletedRowCount + (bh.deletedRowCount - fork.deletedRowCount)),
+        parentVersion = Some(m.version),
+        createdMs = System.currentTimeMillis(),
+        operation = s"merge_branch($name)",
+        touchedFragmentIds = branchRemovedIds.toSeq.sorted))
+    }
+    m.version
+  }
+
+  private def fileBaseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
   // ------------------------------------------------------- secondary index
 
   /** Build per-fragment bloom filters on `cols` (high-cardinality point-

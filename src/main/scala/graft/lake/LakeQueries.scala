@@ -484,9 +484,12 @@ object LakeQueries {
   /** Branch scenario (Git/Nessie model over the manifest store — beyond
     * the reference's immutable tags): fork a branch, run DML on it while
     * main stays frozen, fast-forward merge, then prove divergence is
-    * refused. Every output is derivable from `nation`, so DuckDB states
-    * the expected counts — hash-equal iff branch isolation, the merge, and
-    * the ff-only guard all behaved. */
+    * refused by --ff-only and RESOLVED by the squash rebase-merge
+    * ([[LakeDataset.mergeBranchRebase]]: net branch delta, conflict-matrix
+    * checked, branch-append rowids re-based onto a fresh range). Every
+    * output is derivable from `nation`, so DuckDB states the expected
+    * counts — hash-equal iff branch isolation, both merges, and the
+    * ff-only guard all behaved. */
   val branchDemo: Q = Q(
     "lake_branch",
     """WITH d AS (SELECT count(*) AS nd FROM nation WHERE n_regionkey = 2),
@@ -495,7 +498,8 @@ object LakeQueries {
       |  CAST(n.total - d.nd + 3 AS BIGINT) AS branch_rows,
       |  CAST(n.total AS BIGINT) AS main_during,
       |  CAST(n.total - d.nd + 3 AS BIGINT) AS main_after_merge,
-      |  CAST(1 AS BIGINT) AS ff_rejected
+      |  CAST(1 AS BIGINT) AS ff_rejected,
+      |  CAST(n.total - d.nd + 5 AS BIGINT) AS main_after_rebase
       |FROM d, n""".stripMargin) { (s, dir) =>
     val root = Files.createTempDirectory(s"lake-br-${UUID.randomUUID()}")
       .toString
@@ -532,10 +536,15 @@ object LakeQueries {
     val rejected =
       try { ds.mergeBranch("risky"); 0L }
       catch { case _: CommitConflictException => 1L }
+    // the diverged histories DO merge via the squash rebase: risky's
+    // appended row joins main's post-fork append, rowids re-based
+    ds.mergeBranchRebase("risky")
+    val mainAfterRebase = ds.read().count()
     import s.implicits._
-    Seq((mainBefore, branchRows, mainDuring, mainAfter, rejected))
+    Seq((mainBefore, branchRows, mainDuring, mainAfter, rejected,
+        mainAfterRebase))
       .toDF("main_before", "branch_rows", "main_during", "main_after_merge",
-        "ff_rejected")
+        "ff_rejected", "main_after_rebase")
   }
 
   def all: Seq[Q] =

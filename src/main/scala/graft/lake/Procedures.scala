@@ -110,11 +110,16 @@ object LakeProcedures {
       }
       case "merge_branch" => new LakeProc("merge_branch", Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("name", StringType).build())) {
+        ProcedureParameter.in("name", StringType).build(),
+        // rebase=true: squash rebase-merge for diverged histories
+        // (mergeBranchRebase); default stays the --ff-only contract
+        ProcedureParameter.in("rebase", BooleanType)
+          .defaultValue("false").build())) {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val (tbl, ds) = open(input.getUTF8String(0))
           val b = input.getUTF8String(1).toString
-          ds.mergeBranch(b)
+          val rebase = !input.isNullAt(2) && input.getBoolean(2)
+          if (rebase) ds.mergeBranchRebase(b) else ds.mergeBranch(b)
           summary(tbl, s"merge_branch($b)", ds)
         }
       }

@@ -149,6 +149,118 @@ class BranchSpec extends SparkTestBase {
     assert(pinned == Set(1L, 2L))
   }
 
+  // ------------------------------------------------ rebase (squash) merge
+
+  private def rowids(ds: LakeDataset): Seq[Long] =
+    ds.readFragments(ds.manifest, ds.manifest.fragments, withRowId = true)
+      .select(LakeDataset.RowIdCol).collect().map(_.getLong(0)).toSeq
+
+  test("rebase merge lands diverged append/append with disjoint rowids") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.append(rows(10L -> "b1"))
+    br.append(rows(11L -> "b2"))
+    ds.append(rows(99L -> "m1")) // divergence: both claim post-fork rowids
+    intercept[CommitConflictException] { ds.mergeBranch("dev") } // ff refuses
+    ds.mergeBranchRebase("dev")
+    assert(ids(ds) == Set(1L, 2L, 10L, 11L, 99L))
+    val rids = rowids(ds)
+    assert(rids.distinct.size == rids.size, s"rowid collision: $rids")
+    // branch itself is untouched and still readable
+    assert(ids(br.refresh()) == Set(1L, 2L, 10L, 11L))
+    // merge is one commit with the Merge op recorded
+    assert(ds.manifest.operation == "merge_branch(dev)")
+  }
+
+  test("rebase merge adopts branch fragments verbatim when main made no claims") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.append(rows(10L -> "b1"))
+    // main diverges with a DV delete — no rowid claims, no fragment rewrite
+    ds.delete("id = 2", useDeletionVectors = true)
+    ds.mergeBranchRebase("dev")
+    assert(ids(ds) == Set(1L, 10L))
+  }
+
+  test("rebase merge replays a branch CoW delete; main appends survive") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.delete("id = 1") // CoW rewrite of the fork fragment
+    ds.append(rows(99L -> "m1"))
+    ds.mergeBranchRebase("dev")
+    assert(ids(ds) == Set(2L, 99L))
+  }
+
+  test("rebase merge replays branch tombstones against shared fork rowids") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.delete("id = 2", useDeletionVectors = true)
+    ds.append(rows(99L -> "m1"))
+    ds.mergeBranchRebase("dev")
+    assert(ids(ds) == Set(1L, 99L))
+  }
+
+  test("rebase merge refuses when both sides deleted from one fragment") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.delete("id = 1")
+    ds.delete("id = 2") // same fork fragment: CoW rewrite on both sides
+    val e = intercept[CommitConflictException] { ds.mergeBranchRebase("dev") }
+    assert(e.getMessage.contains("conflicts with"))
+  }
+
+  test("rebase merge adopts a branch-only schema change") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.addColumns(StructType(Seq(StructField("extra", StringType))))
+    br.append(spark.createDataFrame(
+      java.util.Arrays.asList(Row(10L, "b", "E")),
+      StructType(schema.fields :+ StructField("extra", StringType)))
+      .coalesce(1))
+    ds.append(rows(99L -> "m1"))
+    ds.mergeBranchRebase("dev")
+    val out = ds.read().collect().map(r =>
+      (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(out == Map(1L -> None, 2L -> None, 99L -> None, 10L -> Some("E")))
+  }
+
+  test("rebase merge refuses when both sides changed the schema") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.addColumns(StructType(Seq(StructField("bcol", StringType))))
+    ds.addColumns(StructType(Seq(StructField("mcol", StringType))))
+    val e = intercept[CommitConflictException] { ds.mergeBranchRebase("dev") }
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("rebase merge refuses a branch compaction across the fork line") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.append(rows(10L -> "b1"))
+    br.compact(targetRows = 1 << 20) // folds fork rows + branch appends
+    ds.append(rows(99L -> "m1"))     // forces a rowid re-base
+    val e = intercept[CommitConflictException] { ds.mergeBranchRebase("dev") }
+    assert(e.getMessage.contains("compact"))
+  }
+
+  test("rebase merge with no divergence is a fast-forward") {
+    val ds = makeDs()
+    ds.createBranch("dev")
+    val br = ds.checkoutBranch("dev")
+    br.append(rows(10L -> "b1"))
+    ds.mergeBranchRebase("dev")
+    assert(ids(ds) == Set(1L, 2L, 10L))
+    assert(ds.version == br.refresh().version) // ff copied version files
+  }
+
   test("branch from a historical version forks the old content") {
     val ds = makeDs()
     val oldV = ds.version

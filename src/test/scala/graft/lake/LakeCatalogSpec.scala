@@ -167,6 +167,28 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(spark.sql("CALL lakecat.system.branches('br.t')").collect().isEmpty)
   }
 
+  test("CALL merge_branch(rebase => true) merges a diverged branch") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.rb")
+    spark.sql("CREATE TABLE lakecat.rb.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO lakecat.rb.t VALUES (1, 'a')")
+    spark.sql("CALL lakecat.system.create_branch('rb.t', 'work')")
+    val ds = LakeDataset.open(spark, s"$root/rb/t")
+    val br = ds.checkoutBranch("work")
+    import spark.implicits._
+    br.append(Seq((2L, "b")).toDF("id", "v").coalesce(1))
+    spark.sql("INSERT INTO lakecat.rb.t VALUES (3, 'm')") // diverge
+    // default (--ff-only) refuses the diverged merge
+    val e = intercept[Exception] {
+      spark.sql("CALL lakecat.system.merge_branch('rb.t', 'work')")
+    }
+    assert(e.getMessage.contains("fast-forward"))
+    spark.sql(
+      "CALL lakecat.system.merge_branch('rb.t', 'work', rebase => true)")
+    assert(spark.sql("SELECT sum(id) FROM lakecat.rb.t").head().getLong(0)
+      == 6)
+  }
+
   test("catalog reads prune fragments like the path-based door") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.pr")
