@@ -151,5 +151,70 @@ object Multimodal {
         floor(col("height") * col("scale")).cast("int").as("out_h"))
   }
 
-  def all: Seq[Q] = Seq(decodeFeatures, audioFeatures, frameSample, resize)
+  /** Per-image perceptual hash over a corpus with planted duplicate
+    * structure: ~1 image "scene" per 40 docs, each doc carrying either
+    * the scene image verbatim, a bilinear 1.5× upscale, or a +18
+    * brightness edit ([[Images.phash64]], real PNG encode→decode→DCT per
+    * row inside `mapPartitions`). Output is (doc, scene, variant, hash) —
+    * the MultimodalSpec pins that edits stay within a small Hamming
+    * radius of their scene and distinct scenes stay far. */
+  val phash = Q.noOracle("mm_phash") { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      // variant derives from the BLOCK index (doc_id / 40), not doc_id
+      // itself: scene = id % 40 makes id % 5 constant per scene (40 ≡ 0
+      // mod 5), which would leave some scenes with only edited copies
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(40)).as("scene"),
+        pmod(floor(col("doc_id") / 40), lit(5)).as("variant"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, scene, variant) =>
+          val base = Images.wavePng(scene, 96, 72)
+          val payload = variant match {
+            case 3 => Images.resizePng(base, 144, 108)
+            case 4 => Images.brightenPng(base, 18)
+            case _ => base
+          }
+          (id, scene, variant, Images.phash64(payload))
+        }
+      }
+      .toDF("doc_id", "scene", "variant", "phash")
+  }
+
+  /** Image near-duplicate detection over [[phash]]: 8 bands of 8 bits
+    * bucket the corpus (pigeonhole-complete for Hamming ≤ 7 — same shape
+    * as SimHash text dedup), candidate pairs from the per-band equi-join
+    * only, verified with a codegen'd `bit_count(xor)`. Summary output:
+    * distinct near-dup pairs and docs involved, at threshold 6. Never an
+    * all-pairs product — at 100 TB the band join shuffles 16-byte rows
+    * and hot buckets cap like the text-dedup path. */
+  val phashNearDup = Q.noOracle("mm_phash_neardup") { (s, dir) =>
+    val hashes = phash.run(s, dir).select("doc_id", "phash")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      count_distinct(col("doc_a")).as("n_left"),
+      count_distinct(col("doc_b")).as("n_right"))
+  }
+
+  def all: Seq[Q] =
+    Seq(decodeFeatures, audioFeatures, frameSample, resize, phash,
+      phashNearDup)
 }

@@ -69,4 +69,47 @@ class MultimodalSpec extends SparkTestBase {
     // bilinear resample of a constant image is the same constant
     assert(math.abs(bright - (200 + 100 + 50) / (3.0 * 255.0)) < 1e-12)
   }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("phash: identical bytes hash identically; edits stay near, scenes far") {
+    val scenes = (0L until 12L).map(s => s -> Images.wavePng(s, 96, 72)).toMap
+    // determinism + identity
+    scenes.foreach { case (s, png) =>
+      assert(Images.phash64(png) == Images.phash64(Images.wavePng(s, 96, 72)))
+    }
+    // a resize and a brightness edit are perceptual near-dups
+    scenes.foreach { case (_, png) =>
+      val h = Images.phash64(png)
+      assert(hamming(h, Images.phash64(Images.resizePng(png, 144, 108))) <= 6)
+      assert(hamming(h, Images.phash64(Images.brightenPng(png, 18))) <= 6)
+    }
+    // distinct scenes are far apart — pairwise, not just on average
+    val hs = scenes.toSeq.map { case (s, png) => s -> Images.phash64(png) }
+    for ((sa, ha) <- hs; (sb, hb) <- hs if sa < sb)
+      assert(hamming(ha, hb) > 10,
+        s"scenes $sa/$sb too close: ${hamming(ha, hb)}")
+  }
+
+  test("phash operator groups scene variants; near-dup summary is exact") {
+    val hashes = Multimodal.phash.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(hashes.nonEmpty)
+    // every doc's hash is within the edit radius of its scene's base hash
+    val base = hashes.collect { case (id, scene, h) if (id / 40) % 5 <= 2 =>
+      scene -> h }.toMap
+    hashes.foreach { case (_, scene, h) =>
+      assert(hamming(base(scene), h) <= 6) }
+    // the band join is COMPLETE for the ≤6 threshold (8 bands of 8 bits:
+    // pigeonhole guarantees a shared band through Hamming 7), so the
+    // operator's pair count must equal the brute-force all-pairs count
+    val hs = hashes.map { case (id, _, h) => (id, h) }
+    val expectPairs = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && hamming(ha, hb) <= 6
+    } yield 1L).sum
+    assert(expectPairs > 0)
+    val row = Multimodal.phashNearDup.run(spark, sf0001).collect().head
+    assert(row.getLong(0) == expectPairs, s"got ${row.getLong(0)}, want $expectPairs")
+  }
 }
