@@ -759,7 +759,8 @@ final class LakeDataset private (
     * (when `insertNotMatched`). Returns (matchedRows, insertedRows). */
   def mergeInsert(source: DataFrame, keys: Seq[String],
       updateMatched: Boolean = true,
-      insertNotMatched: Boolean = true): (Long, Long) = {
+      insertNotMatched: Boolean = true,
+      extraProps: Map[String, String] = Map.empty): (Long, Long) = {
     val fieldNames = m.fields.map(_.name)
     require(keys.forall(source.columns.contains), "source missing key columns")
     // A duplicate source key would multiply each matched target row in the
@@ -837,8 +838,30 @@ final class LakeDataset private (
     var nid = m.maxFragmentId
     newFrags = newFrags.map { f => nid += 1; f.copy(id = nid) }
     commitRewrite(OpKind.Merge, touchedIds, newFrags, "merge",
-      nextRowIdOpt = Some(nextRid))
+      nextRowIdOpt = Some(nextRid), extraProps = extraProps)
     (matched, inserted)
+  }
+
+  /** Exactly-once micro-batch UPSERT for Structured Streaming's
+    * `foreachBatch` — the merge twin of [[appendStreamingBatch]]: the
+    * rewritten/inserted fragments and the `(queryKey, batchId)` high-water
+    * mark land in ONE manifest swap, so an at-least-once batch replay is
+    * detected and skipped. A batch that changes nothing still advances
+    * the mark (metadata-only commit). Returns false when the batch was
+    * already committed. Single-writer-per-queryKey is the posture, as
+    * with any Structured Streaming sink. */
+  def upsertStreamingBatch(source: DataFrame, keys: Seq[String],
+      queryKey: String, batchId: Long): Boolean = {
+    val key = s"streaming.$queryKey.lastBatchId"
+    refresh()
+    if (m.properties.get(key).exists(_.toLong >= batchId)) return false
+    mergeInsert(source, keys, extraProps = Map(key -> batchId.toString))
+    refresh()
+    // all-duplicate/no-op batch: mergeInsert returned without a commit —
+    // record the mark so the replay-detection contract still holds
+    if (!m.properties.get(key).exists(_.toLong >= batchId))
+      setProperties(Map(key -> batchId.toString))
+    true
   }
 
   /** Merge `props` into the manifest properties (metadata-only commit).
@@ -2014,7 +2037,8 @@ final class LakeDataset private (
   private[lake] def commitRewrite(kind: OpKind.Value, touchedIds: Set[Long],
       newFrags0: Seq[Fragment], op: String, nextRowIdOpt: Option[Long] = None,
       attempts: Int = 5, clearDeletes: Boolean = false,
-      foldedDeletes: Seq[String] = Nil): Unit = {
+      foldedDeletes: Seq[String] = Nil,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     var left = attempts
     var newFrags = newFrags0
     while (true) {
@@ -2046,6 +2070,7 @@ final class LakeDataset private (
           nextRowId = nextRowIdOpt.getOrElse(m.nextRowId),
           deletionFiles = if (clearDeletes) Nil else m.deletionFiles,
           deletedRowCount = if (clearDeletes) 0L else m.deletedRowCount,
+          properties = m.properties ++ extraProps,
           parentVersion = Some(m.version),
           createdMs = System.currentTimeMillis(),
           operation = op,

@@ -32,14 +32,63 @@ object LakeSink {
   def appendTo(root: String, queryKey: String = "default",
       branch: Option[String] = None): (DataFrame, Long) => Unit = {
     (df, batchId) =>
-      val spark = df.sparkSession
-      val ds = branch match {
-        case Some(b) => LakeDataset.openBranch(spark, root, b)
-        case None =>
-          if (LakeDataset.exists(root)) LakeDataset.open(spark, root)
-          else LakeDataset.create(spark, root, df.schema)
-      }
-      ds.appendStreamingBatch(df, queryKey, batchId)
+      openOrCreate(df, root, branch)
+        .appendStreamingBatch(df, queryKey, batchId)
       ()
+  }
+
+  /** Deduplicating append sink: each micro-batch is anti-joined on
+    * `keys` against the CURRENT table state before landing, so
+    * duplicates survive neither within a batch, across batches, across
+    * STREAM RESTARTS WITH A FRESH CHECKPOINT, nor across different
+    * queries feeding one table — cases `dropDuplicates` state cannot
+    * cover, because that state is private to one query's checkpoint.
+    * The lake itself is the dedup state: durable, shared, and exactly
+    * as old as the data.
+    *
+    * Scale posture: the anti-join reads ONLY the key columns of the
+    * target (columnar projection; one fixed-width digest per row when
+    * keyed on a content hash) and shuffles keys, not documents — the
+    * same shape as batch exact-dedup. Replayed batches skip before any
+    * join work. Exactly-once: data + high-water mark in one commit via
+    * [[LakeDataset.appendStreamingBatch]]. */
+  def dedupAppendTo(root: String, keys: Seq[String],
+      queryKey: String = "default",
+      branch: Option[String] = None): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      val ds = openOrCreate(df, root, branch)
+      val mark = s"streaming.$queryKey.lastBatchId"
+      val replayed =
+        ds.manifest.properties.get(mark).exists(_.toLong >= batchId)
+      if (!replayed) {
+        val existing = ds.read().select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
+        val fresh = df.dropDuplicates(keys).join(existing, keys, "left_anti")
+        ds.appendStreamingBatch(fresh, queryKey, batchId)
+      }
+      ()
+  }
+
+  /** Exactly-once UPSERT sink: each micro-batch merge-inserts on `keys`
+    * (update matched, insert new) with the batch high-water mark in the
+    * same commit ([[LakeDataset.upsertStreamingBatch]]) — the
+    * foreachBatch CDC-apply pattern with lake-side replay protection. */
+  def upsertTo(root: String, keys: Seq[String],
+      queryKey: String = "default",
+      branch: Option[String] = None): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      openOrCreate(df, root, branch)
+        .upsertStreamingBatch(df, keys, queryKey, batchId)
+      ()
+  }
+
+  private def openOrCreate(df: DataFrame, root: String,
+      branch: Option[String]): LakeDataset = {
+    val spark = df.sparkSession
+    branch match {
+      case Some(b) => LakeDataset.openBranch(spark, root, b)
+      case None =>
+        if (LakeDataset.exists(root)) LakeDataset.open(spark, root)
+        else LakeDataset.create(spark, root, df.schema)
+    }
   }
 }

@@ -83,4 +83,70 @@ class LakeSinkSpec extends SparkTestBase {
     ds.mergeBranch("ingest")
     assert(ds.read().count() == 3)
   }
+
+  test("dedup sink drops duplicates across restarts with fresh checkpoints") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir()
+
+    // first query run lands events 1..3
+    val s1 = MemoryStream[EventStream.Event]
+    val q1 = s1.toDF().writeStream
+      .foreachBatch(LakeSink.dedupAppendTo(root, Seq("event_id"), "dd"))
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      s1.addData(ev(1, 100, 1), ev(2, 200, 1), ev(2, 200, 1)) // in-batch dup
+      q1.processAllAvailable()
+      s1.addData(ev(3, 300, 2), ev(1, 100, 1)) // cross-batch dup
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(LakeDataset.open(spark, root).read().count() == 3)
+
+    // SECOND query run, FRESH checkpoint (batch ids restart at 0):
+    // dropDuplicates state is gone, but the lake anti-join still holds
+    val s2 = MemoryStream[EventStream.Event]
+    val q2 = s2.toDF().writeStream
+      .foreachBatch(LakeSink.dedupAppendTo(root, Seq("event_id"), "dd2"))
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      s2.addData(ev(2, 200, 1), ev(4, 400, 2)) // 2 already in the table
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ds = LakeDataset.open(spark, root)
+    assert(ds.read().select("event_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("upsert sink applies updates exactly once; replays are skipped") {
+    import spark.implicits._
+    val root = tmpDir()
+    val b0 = Seq(ev(1, 100, 1), ev(2, 200, 1)).toDF()
+    val ds = LakeDataset.create(spark, root, b0.schema)
+    val sink = LakeSink.upsertTo(root, Seq("event_id"), "up")
+
+    sink(b0, 0L)
+    // batch 1 updates event 2's user and inserts event 3
+    sink(Seq(ev(2, 200, 9), ev(3, 300, 2)).toDF(), 1L)
+    val after = LakeDataset.open(spark, root).read()
+      .select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 9L, 3L -> 2L))
+
+    // replay of batch 1 with DIFFERENT (stale) content must be skipped
+    sink(Seq(ev(2, 200, 777)).toDF(), 1L)
+    val after2 = LakeDataset.open(spark, root).read()
+      .select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2 == after)
+
+    // an empty (no-op) batch still advances the high-water mark
+    sink(Seq.empty[EventStream.Event].toDF(), 2L)
+    val ds2 = LakeDataset.open(spark, root)
+    assert(ds2.manifest.properties("streaming.up.lastBatchId") == "2")
+    assert(!ds2.upsertStreamingBatch(
+      Seq(ev(9, 900, 9)).toDF(), Seq("event_id"), "up", 2L))
+  }
 }
