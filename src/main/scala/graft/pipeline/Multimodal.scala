@@ -192,29 +192,78 @@ object Multimodal {
     * all-pairs product — at 100 TB the band join shuffles 16-byte rows
     * and hot buckets cap like the text-dedup path. */
   val phashNearDup = Q.noOracle("mm_phash_neardup") { (s, dir) =>
-    val hashes = phash.run(s, dir).select("doc_id", "phash")
-    val banded = hashes.select(col("doc_id"), col("phash"),
+    nearDupSummary(phash.run(s, dir), "phash", maxHamming = 6)
+  }
+
+  /** Banded Hamming near-dup over any 64-bit perceptual hash column:
+    * 8 bands of 8 bits bucket the corpus (pigeonhole-complete through
+    * Hamming 7), candidate pairs come only from the per-band equi-join,
+    * verified with codegen'd `bit_count(xor)`. Shared by the image and
+    * audio paths — and by any future modality that hashes to 64 bits. */
+  private[pipeline] def bandedNearDup(hashes: org.apache.spark.sql.DataFrame,
+      hashCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val banded = hashes.select(col("doc_id"), col(hashCol),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL))
+          shiftright(col(hashCol), b * 8).bitwiseAND(lit(0xffL))
             .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("phash"),
+      .select(col("doc_id"), col(hashCol),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.as("a"); val b = banded.as("b")
-    val pairs = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .filter(col("hamming") <= 6)
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
-    pairs.agg(
-      count(lit(1)).as("n_pairs"),
-      count_distinct(col("doc_a")).as("n_left"),
-      count_distinct(col("doc_b")).as("n_right"))
+  }
+
+  private def nearDupSummary(hashes: org.apache.spark.sql.DataFrame,
+      hashCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame =
+    bandedNearDup(hashes.select("doc_id", hashCol), hashCol, maxHamming)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_distinct(col("doc_a")).as("n_left"),
+        count_distinct(col("doc_b")).as("n_right"))
+
+  /** Per-audio spectral fingerprint over a corpus with planted duplicate
+    * structure, mirroring [[phash]]: ~1 chord "track" per 40 docs, each
+    * doc carrying the track verbatim, at 0.6× gain, or at 0.8× gain
+    * ([[Audio.afp64]] — real WAV encode→decode→band energies per row).
+    * 36 tracks, the chord generator's full period: beyond it seeds
+    * repeat chords, which would plant cross-track exact dups. */
+  val audioFp = Q.noOracle("mm_audiofp") { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(36)).as("track"),
+        pmod(floor(col("doc_id") / 36), lit(5)).as("variant"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, track, variant) =>
+          val base = Audio.chordWav(track, 2048)
+          val payload = variant match {
+            case 3 => Audio.gainWav(base, 0.6)
+            case 4 => Audio.gainWav(base, 0.8)
+            case _ => base
+          }
+          (id, track, variant, Audio.afp64(payload))
+        }
+      }
+      .toDF("doc_id", "track", "variant", "afp")
+  }
+
+  /** Audio near-dup summary at Hamming ≤ 6 over [[audioFp]] — identical
+    * machinery to the image path, different modality kernel. */
+  val audioFpNearDup = Q.noOracle("mm_audiofp_neardup") { (s, dir) =>
+    nearDupSummary(audioFp.run(s, dir), "afp", maxHamming = 6)
   }
 
   def all: Seq[Q] =
     Seq(decodeFeatures, audioFeatures, frameSample, resize, phash,
-      phashNearDup)
+      phashNearDup, audioFp, audioFpNearDup)
 }

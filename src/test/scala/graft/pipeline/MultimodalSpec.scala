@@ -112,4 +112,40 @@ class MultimodalSpec extends SparkTestBase {
     val row = Multimodal.phashNearDup.run(spark, sf0001).collect().head
     assert(row.getLong(0) == expectPairs, s"got ${row.getLong(0)}, want $expectPairs")
   }
+
+  test("audio fingerprint: gain-invariant, deterministic, chords discriminate") {
+    val tracks = (0L until 36L).map(s => s -> Audio.chordWav(s, 2048)).toMap
+    tracks.foreach { case (s, wav) =>
+      val h = Audio.afp64(wav)
+      assert(h == Audio.afp64(Audio.chordWav(s, 2048))) // deterministic
+      // uniform gain scales every band energy equally: sign bits hold
+      assert(hamming(h, Audio.afp64(Audio.gainWav(wav, 0.6))) <= 2)
+      assert(hamming(h, Audio.afp64(Audio.gainWav(wav, 0.8))) <= 2)
+    }
+    // discrimination is statistical, not pairwise-guaranteed: chords
+    // sharing 2 of 3 notes legitimately land close
+    val hs = tracks.toSeq.map { case (s, w) => Audio.afp64(w) }
+    val cross = for (a <- hs; b <- hs if a != b) yield hamming(a, b)
+    assert(cross.sum.toDouble / cross.size > 15.0)
+  }
+
+  test("audio near-dup operator pair count matches brute force") {
+    val hashes = Multimodal.audioFp.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(hashes.nonEmpty)
+    // same-track variants stay within the edit radius
+    val base = hashes.collect { case (id, track, h) if (id / 36) % 5 <= 2 =>
+      track -> h }.toMap
+    hashes.foreach { case (_, track, h) =>
+      assert(hamming(base(track), h) <= 2) }
+    val hs = hashes.map { case (id, _, h) => (id, h) }
+    val expectPairs = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && hamming(ha, hb) <= 6
+    } yield 1L).sum
+    assert(expectPairs > 0)
+    val row = Multimodal.audioFpNearDup.run(spark, sf0001).collect().head
+    assert(row.getLong(0) == expectPairs,
+      s"got ${row.getLong(0)}, want $expectPairs")
+  }
 }
