@@ -141,16 +141,20 @@ object Audio {
         val binEnd = math.min(len / 2, math.floor(hi / binHzStep).toInt)
         var e = 0.0
         while (bin <= binEnd) {
-          val w = 2 * math.Pi * bin / len
-          var re = 0.0; var im = 0.0
+          // Goertzel recurrence: |DFT bin|² with ONE cosine per bin and a
+          // single multiply-add per sample — the naive per-sample
+          // cos/sin form was ~450k trig calls per document and made this
+          // the bench's slowest operator (6.6 s at sf0.1; Goertzel is the
+          // textbook fix for sparse-bin DFTs)
+          val c = 2.0 * math.cos(2 * math.Pi * bin / len)
+          var s1 = 0.0; var s2 = 0.0
           var i = 0
           while (i < len) {
-            val s = samples(off + i)
-            re += s * math.cos(w * i)
-            im -= s * math.sin(w * i)
+            val s0 = samples(off + i) + c * s1 - s2
+            s2 = s1; s1 = s0
             i += 1
           }
-          e += re * re + im * im
+          e += s1 * s1 + s2 * s2 - c * s1 * s2
           bin += 1
         }
         energies(b) = e

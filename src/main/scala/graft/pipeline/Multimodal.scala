@@ -172,9 +172,11 @@ object Multimodal {
       .as[(Long, Long, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, scene, variant) =>
-          val base = Images.wavePng(scene, 96, 72)
+          // 64×48 frames: the hash area-averages to 9×8 anyway, and PNG
+          // encode/decode per row is this operator's whole cost
+          val base = Images.wavePng(scene, 64, 48)
           val payload = variant match {
-            case 3 => Images.resizePng(base, 144, 108)
+            case 3 => Images.resizePng(base, 96, 72)
             case 4 => Images.brightenPng(base, 18)
             case _ => base
           }
