@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ddl.DdlQueries
 import graft.lake.LakeQueries
-import graft.pipeline.{Ann, Assemble, Cluster, Curate, Dedup, Fts, Multimodal, QualityModel, TextOps}
+import graft.pipeline.{Ann, Assemble, Bpe, Cluster, Curate, Dedup, Fts, Multimodal, QualityModel, TextOps}
 import graft.queries.{Events, Extra, RefSql, Rel, Tpch, TpchMore}
 import graft.server.WireQueries
 
@@ -18,7 +18,7 @@ object SparkEntry {
       TextOps.all ++ Curate.all ++ Dedup.all ++ Ann.all ++ Fts.all ++
       Cluster.all ++
       Multimodal.all ++ LakeQueries.all ++ DdlQueries.all ++ Assemble.all ++
-      QualityModel.all ++ WireQueries.all
+      QualityModel.all ++ Bpe.all ++ WireQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

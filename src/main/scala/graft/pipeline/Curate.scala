@@ -269,5 +269,55 @@ object Curate {
         sum("n_chars").cast("long").as("chars_kept"))
   }
 
-  def all: Seq[Q] = Seq(hashSample, split, tokenBudget, chunk, pack, mix)
+  /** Temperature-scaled source mixing (the multilingual/data-mixing
+    * rebalancing recipe — sample shares ∝ countᵅ with α = 1/2, the
+    * square-root temperature of Lample & Conneau 2019 / mT5): instead of
+    * equal shares ([[mix]]), each source's target share is proportional
+    * to √count, shrinking the gap between head and tail sources without
+    * flattening it. Keep rate rₛ ∝ √cntₛ / cntₛ, normalized so the
+    * largest rate is exactly 65536 (the most over-sampled-relative-to-
+    * target source anchors the scale and keeps everything it can).
+    *
+    * Exactness across engines: √ is a correctly-rounded IEEE operation,
+    * so `floor(sqrt(exact integer))` agrees bit-for-bit between Spark
+    * and DuckDB; everything after it is integer multiply/divide. Same
+    * 100 TB shape as [[mix]] — a per-source rate table broadcast onto a
+    * narrow per-row hash filter. */
+  val mixTemp = Q(
+    "curate_mix_temp",
+    """WITH counts AS (
+      |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      |ratios AS (
+      |  SELECT source, cnt,
+      |    (CAST(floor(sqrt(cnt)) AS BIGINT) * 65536) // cnt AS ratio
+      |  FROM counts),
+      |rates AS (
+      |  SELECT source,
+      |    CAST((65536 * ratio) // (max(ratio) OVER ()) AS BIGINT) AS rate16
+      |  FROM ratios)
+      |SELECT d.source, r.rate16,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+      |FROM documents d JOIN rates r ON d.source = r.source
+      |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+      |    AS INT) < r.rate16
+      |GROUP BY d.source, r.rate16""".stripMargin) { (s, dir) =>
+    val counts = docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("cnt"))
+    val ratios = counts.select(col("source"), col("cnt"),
+      expr("(CAST(floor(sqrt(cnt)) AS BIGINT) * 65536) div cnt").as("ratio"))
+    val maxR = ratios.agg(max("ratio").as("max_ratio"))
+    val rates = ratios.crossJoin(broadcast(maxR))
+      .select(col("source"),
+        expr("(65536 * ratio) div max_ratio").as("rate16"))
+    docs(s, dir)
+      .join(broadcast(rates), "source")
+      .filter(hash16 < col("rate16"))
+      .groupBy("source", "rate16")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").cast("long").as("chars_kept"))
+  }
+
+  def all: Seq[Q] =
+    Seq(hashSample, split, tokenBudget, chunk, pack, mix, mixTemp)
 }
