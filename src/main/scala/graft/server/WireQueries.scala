@@ -59,7 +59,54 @@ object WireQueries {
     } finally server.close()
   }
 
+  private val extendedSql =
+    """SELECT o_orderpriority,
+      |       count(*) AS n_orders,
+      |       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_c
+      |FROM orders
+      |WHERE o_custkey BETWEEN 10 AND 500 AND o_orderstatus = 'O'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** The same query phrased with $n placeholders for the EXTENDED cycle:
+    * Parse/Bind/Describe/Execute with three typed parameters. */
+  private val extendedParamSql =
+    """SELECT o_orderpriority,
+      |       count(*) AS n_orders,
+      |       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_c
+      |FROM orders
+      |WHERE o_custkey BETWEEN $1 AND $2 AND o_orderstatus = $3
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Extended-protocol round trip with parameter binding: the oracle runs
+    * the literal SQL, the engine runs the $n form with the values bound
+    * through Bind — hash-equal iff placeholder rewrite, typed binding,
+    * portal execution, and framing all agree with the literal plan. */
+  def extendedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val server = new WireServer(spark, port = 0, Tables.register(_, sfDir))
+    try {
+      val conn = new WireClient.Conn("127.0.0.1", server.boundPort)
+      try {
+        val res = conn.queryExtended(extendedParamSql,
+          Seq(20 -> Some("10"), 20 -> Some("500"), 25 -> Some("O")),
+          maxRows = 2) // exercise portal suspension on the way
+        val decoders = res.fields.map { case (_, oid) => decoder(oid) }
+        val schema = StructType(res.fields.zip(decoders).map {
+          case ((name, _), (dt, _)) => StructField(name, dt)
+        })
+        val rows = res.rows.map { r =>
+          Row.fromSeq(r.zip(decoders).map {
+            case (cell, (_, dec)) => cell.map(dec).orNull
+          })
+        }
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+      } finally conn.close()
+    } finally server.close()
+  }
+
   val all: Seq[Q] = Seq(
-    Q("wire_roundtrip", roundtripSql)((s, dir) => roundtrip(s, dir, roundtripSql))
+    Q("wire_roundtrip", roundtripSql)((s, dir) => roundtrip(s, dir, roundtripSql)),
+    Q("wire_extended", extendedSql)((s, dir) => extendedRoundtrip(s, dir))
   )
 }
