@@ -2593,14 +2593,57 @@ final class LakeDataset private (
     val missing = man.fields.map(_.name)
       .filterNot(n => df.columns.exists(resolver(_, n)))
     require(missing.isEmpty, s"append missing columns: $missing")
-    df.select(man.fields.map(f =>
+    withCheckConstraints(df, man).select(man.fields.map(f =>
       col(f.name).cast(DataType.fromJson(f.dataType)).as(physName(f.id))): _*)
   }
 
   private def toPhysicalPreservingRowId(df: DataFrame, man: Manifest): DataFrame =
-    df.select(man.fields.map(f =>
+    withCheckConstraints(df, man).select(man.fields.map(f =>
       col(f.name).cast(DataType.fromJson(f.dataType)).as(physName(f.id)))
       :+ col(RowIdCol): _*)
+
+  /** Inline CHECK-constraint enforcement (Delta's CheckInvariant shape):
+    * each declared constraint becomes a row-level `assert_true` inside
+    * the write job itself — a violating row aborts the write BEFORE any
+    * commit, with zero extra data passes. Applied on the logical frame,
+    * so constraint SQL uses logical column names, and at every staging
+    * chokepoint: append, overwrite, update SET values, merge, rewrites. */
+  private def withCheckConstraints(df: DataFrame, man: Manifest): DataFrame =
+    checkConstraintsOf(man).foldLeft(df) { case (d, (name, sql)) =>
+      // SQL CHECK semantics: NULL evaluates as PASS (unknown ≠ violation),
+      // hence the inner coalesce-to-true before assert_true
+      d.where(coalesce(
+        assert_true(coalesce(expr(sql), lit(true)),
+          lit(s"CHECK constraint '$name' violated: $sql")),
+        lit(true)))
+    }
+
+  private def checkConstraintsOf(man: Manifest): Seq[(String, String)] =
+    man.properties.toSeq.collect {
+      case (k, v) if k.startsWith("constraint.check.") =>
+        (k.stripPrefix("constraint.check."), v)
+    }.sortBy(_._1)
+
+  /** Declare a CHECK constraint (reference table_constraint.go enforces
+    * NOT NULL/PK on its SQL tables; this is the lake-table analogue,
+    * Delta `ALTER TABLE ADD CONSTRAINT` parity). Existing rows are
+    * validated FIRST — a constraint the current data violates is refused
+    * — then the declaration commits as a metadata-only schema-op; every
+    * later write enforces it inline. */
+  def addCheckConstraint(name: String, constraintSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"), s"invalid constraint name '$name'")
+    val bad = read().filter(!expr(constraintSql)).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"existing data violates CHECK '$name' ($constraintSql): ${bad.head}")
+    setProperties(Map(s"constraint.check.$name" -> constraintSql))
+  }
+
+  def dropCheckConstraint(name: String): Unit =
+    removeProperties(Seq(s"constraint.check.$name"))
+
+  /** Declared CHECK constraints, name → SQL. */
+  def checkConstraints: Map[String, String] = checkConstraintsOf(m).toMap
 
   /** Write a physical-schema df as fragment files; returns the fragments
     * (with per-file zonemap stats from one re-read job) and the max rowid
@@ -2620,9 +2663,17 @@ final class LakeDataset private (
     } catch {
       case e: Throwable =>
         // a failed write leaves a stage-*/_temporary tree; drop it so
-        // aborted operations don't accumulate dead staging dirs
-        try io.deleteRecursive(stage)
-        catch { case scala.util.control.NonFatal(_) => () }
+        // aborted operations don't accumulate dead staging dirs. Killed
+        // tasks can still be flushing _temporary files while we delete —
+        // FileOutputCommitter races its own cleanup the same way — so
+        // retry until the tree stays gone.
+        var attempts = 0
+        while (attempts < 5 && io.exists(stage)) {
+          try io.deleteRecursive(stage)
+          catch { case scala.util.control.NonFatal(_) => () }
+          attempts += 1
+          if (io.exists(stage)) Thread.sleep(200L * attempts)
+        }
         throw e
     }
     val parts = io.listNames(stage)
