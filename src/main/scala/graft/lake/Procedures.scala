@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   val Names: Seq[String] = Seq("optimize_zorder", "compact", "vacuum",
-    "create_branch", "merge_branch", "drop_branch", "branches", "history")
+    "create_branch", "merge_branch", "drop_branch", "branches", "history",
+    "add_check", "drop_check")
 
   /** One-row result surface for a maintenance call. */
   private final case class ResultScan(schema: StructType,
@@ -121,6 +122,27 @@ object LakeProcedures {
           val rebase = !input.isNullAt(2) && input.getBoolean(2)
           if (rebase) ds.mergeBranchRebase(b) else ds.mergeBranch(b)
           summary(tbl, s"merge_branch($b)", ds)
+        }
+      }
+      case "add_check" => new LakeProc("add_check", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("expr", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          val n = input.getUTF8String(1).toString
+          ds.addCheckConstraint(n, input.getUTF8String(2).toString)
+          summary(tbl, s"add_check($n)", ds)
+        }
+      }
+      case "drop_check" => new LakeProc("drop_check", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          val n = input.getUTF8String(1).toString
+          ds.dropCheckConstraint(n)
+          summary(tbl, s"drop_check($n)", ds)
         }
       }
       case "drop_branch" => new LakeProc("drop_branch", Array(

@@ -344,6 +344,33 @@ object Rel {
         sum(round(col("l_value") * 100).cast("long")).as("prior_value_cents"))
   }
 
+  /** The LEFT OUTER stream-stream interval join in BATCH mode: every
+    * purchase keeps a row — n_prior = 0 for touchpoint-less conversions,
+    * the rows the inner form drops (EventStream.intervalJoinOuter; the
+    * streaming run holds each purchase until both watermarks pass, then
+    * emits it with nulls — EventStreamSpec proves batch ≡ streaming). */
+  val evIntervalJoinOuter = Q(
+    "ev_interval_join_outer",
+    """SELECT r.event_id AS purchase_id, r.user_id,
+      |  CAST(count(l.user_id) AS BIGINT) AS n_prior,
+      |  CAST(coalesce(sum(CAST(round(l.value * 100) AS BIGINT)), 0)
+      |    AS BIGINT) AS prior_value_cents
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') r
+      |LEFT JOIN (SELECT * FROM events
+      |           WHERE event_type IN ('view', 'click')) l
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |  AND l.ts >= r.ts - INTERVAL 30 MINUTE
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    graft.streaming.EventStream.intervalJoinOuter(
+        ev.filter(col("event_type").isin("view", "click")),
+        ev.filter(col("event_type") === "purchase"))
+      .groupBy(col("r_id").as("purchase_id"), col("r_user").as("user_id"))
+      .agg(count(col("l_user")).as("n_prior"),
+        coalesce(sum(round(col("l_value") * 100).cast("long")), lit(0L))
+          .as("prior_value_cents"))
+  }
+
   /** Exact percentiles (linear interpolation): Spark `percentile` and
     * DuckDB `quantile_cont` both implement the R-7 estimator, so the
     * interpolated values agree bit-for-bit on the same doubles; BIGINT
@@ -525,6 +552,7 @@ object Rel {
     dateFuncs, regexFuncs,
     window, rollup, groupingSets, distinctQ, limitOffset, values, evJson,
     evDay, explainQ,
-    evWindowAgg, evIntervalJoin, evAsofJoin, percentiles, approxPercentile,
+    evWindowAgg, evIntervalJoin, evIntervalJoinOuter, evAsofJoin,
+    percentiles, approxPercentile,
     pivotQ, unpivotQ, bitwise)
 }

@@ -71,6 +71,28 @@ object EventStream {
       col("l_ts") >= col("r_ts") - expr(s"INTERVAL $beforeMinutes MINUTES"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]], but
+    * every right-side event (the preserved side, e.g. a purchase) emits
+    * even when NO left-side event precedes it in the window — the "which
+    * conversions had no touchpoint" question an inner join cannot ask.
+    * In streaming, Spark holds the preserved row until BOTH watermarks
+    * pass its window (only then is "no match" final) and emits it with
+    * nulls; batch is a plain left_outer with the same condition — one
+    * declaration, both modes, state still watermark-bounded. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+      beforeMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    r.join(l, col("l_user") === col("r_user") &&
+      col("l_ts") <= col("r_ts") &&
+      col("l_ts") >= col("r_ts") - expr(s"INTERVAL $beforeMinutes MINUTES"),
+      "left_outer")
+  }
+
   /** Gap-based sessionization with mapGroupsWithState-family custom state:
     * a session closes when no event arrives within `gapMinutes` (event
     * time, enforced by watermark timeout). */

@@ -91,6 +91,28 @@ class CheckConstraintSpec extends SparkTestBase {
     assert(reopened.refresh().read().count() == 3)
   }
 
+  test("CALL add_check / drop_check through the SQL catalog") {
+    val root = Files.createTempDirectory("ck-cat-").toString
+    spark.conf.set("spark.sql.catalog.ckcat", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ckcat.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ckcat.c")
+      spark.sql("CREATE TABLE ckcat.c.t (id BIGINT, v BIGINT)")
+      spark.sql("INSERT INTO ckcat.c.t VALUES (1, 10)")
+      spark.sql("CALL ckcat.system.add_check('c.t', 'v_pos', 'v > 0')")
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO ckcat.c.t VALUES (2, -1)")
+      }
+      assert(exMsg(e).contains("v_pos"))
+      spark.sql("CALL ckcat.system.drop_check('c.t', 'v_pos')")
+      spark.sql("INSERT INTO ckcat.c.t VALUES (2, -1)")
+      assert(spark.sql("SELECT count(*) FROM ckcat.c.t").head().getLong(0) == 2)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ckcat")
+      spark.conf.unset("spark.sql.catalog.ckcat.root")
+    }
+  }
+
   private def exMsg(e: Throwable): String = {
     var c: Throwable = e
     val sb = new StringBuilder

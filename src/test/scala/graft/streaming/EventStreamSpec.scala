@@ -83,6 +83,47 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join emits matchless purchases after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      EventStream.Event(1, ts("2026-01-01 00:05:00"), 1, "view", 1.0),
+      EventStream.Event(2, ts("2026-01-01 00:20:00"), 1, "view", 2.0))
+    val purchases = Seq(
+      EventStream.Event(10, ts("2026-01-01 00:25:00"), 1, "purchase", 99.0),
+      EventStream.Event(11, ts("2026-01-01 02:00:00"), 1, "purchase", 50.0), // no prior in 30 min
+      EventStream.Event(12, ts("2026-01-01 00:30:00"), 3, "purchase", 7.0))  // user with no views
+
+    val lStream = MemoryStream[EventStream.Event]
+    val rStream = MemoryStream[EventStream.Event]
+    val q = EventStream.intervalJoinOuter(lStream.toDF(), rStream.toDF())
+      .writeStream.format("memory").queryName("ijo")
+      .outputMode("append").start()
+    try {
+      lStream.addData(views: _*)
+      rStream.addData(purchases: _*)
+      q.processAllAvailable()
+      // outer results are final only once BOTH watermarks pass: push them
+      lStream.addData(EventStream.Event(90, ts("2026-01-01 09:00:00"), 9, "view", 0.0))
+      rStream.addData(EventStream.Event(91, ts("2026-01-01 09:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      lStream.addData(EventStream.Event(92, ts("2026-01-01 12:00:00"), 9, "view", 0.0))
+      rStream.addData(EventStream.Event(93, ts("2026-01-01 12:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      def norm(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("r_id"),
+          Option(r.getAs[Any]("l_value")).map(_.asInstanceOf[Double]))
+      val streamed = spark.table("ijo")
+        .filter(col("r_id") < 90).collect().map(norm).toSet
+      val batch = EventStream.intervalJoinOuter(views.toDF(), purchases.toDF())
+        .collect().map(norm).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // the matchless purchases ARE present, with null left side
+      assert(batch.contains((11L, None)) && batch.contains((12L, None)))
+      assert(batch.contains((10L, Some(1.0))) && batch.contains((10L, Some(2.0))))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the gap via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
