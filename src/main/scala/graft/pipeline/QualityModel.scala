@@ -93,13 +93,26 @@ object QualityModel {
     * never saw. Hash-keyed split (the [[Curate]] discipline) so train
     * membership is stable across runs, engines, and re-shards. */
   val qualityModel: Q = Q.noOracle("text_quality_model") { (s, dir) =>
+    // cached: the weak-label gate join feeds the size probe, training,
+    // and scoring — one materialization instead of three (the session
+    // hygiene sweep between registry queries releases it)
     val labeled = weakLabeled(s, dir)
       .withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
           .cast("long") % 5)
+      .cache()
+    // train-on-sample, score-everywhere (the documented 100 TB posture):
+    // the tree needs tens of thousands of labeled docs, not the corpus —
+    // a second hash bucket caps the training set so the registry cost
+    // stays flat as SF grows, with the same deterministic membership
+    val sample = conv(substring(md5(col("doc_id").cast("string")), 5, 4),
+      16, 10).cast("long") % 65536
+    val trainCap = 40000
     val train80 = labeled.filter(col("bucket") =!= 0)
+    val trainRows = train80.count()
+    val rate = math.min(65536L, 65536L * trainCap / math.max(1L, trainRows))
     val holdout = labeled.filter(col("bucket") === 0)
-    val model = train(train80)
+    val model = train(train80.filter(sample < rate))
     score(model, holdout)
       .select(col("label").cast("int").as("label"), col("pred_keep"))
       .groupBy("label", "pred_keep")

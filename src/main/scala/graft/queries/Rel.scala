@@ -434,12 +434,16 @@ object Rel {
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("CAST(round(approx_percentile(l_quantity, 0.5, 100000) * 100)" +
-          " AS BIGINT)").as("p50_qty_c"),
-        expr("CAST(round(approx_percentile(l_quantity, 0.95, 100000) * 100)" +
-          " AS BIGINT)").as("p95_qty_c"),
+        // one sketch serves both l_quantity quantiles (array form) —
+        // two scalar calls built two identical GK states per group
+        expr("approx_percentile(l_quantity, array(0.5D, 0.95D), 100000)")
+          .as("qty_qs"),
         expr("CAST(round(approx_percentile(l_extendedprice, 0.9, 100000)" +
           " * 100) AS BIGINT)").as("p90_price_c"))
+      .select(col("l_returnflag"),
+        expr("CAST(round(qty_qs[0] * 100) AS BIGINT)").as("p50_qty_c"),
+        expr("CAST(round(qty_qs[1] * 100) AS BIGINT)").as("p95_qty_c"),
+        col("p90_price_c"))
       .orderBy("l_returnflag")
   }
 
