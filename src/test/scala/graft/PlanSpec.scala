@@ -120,4 +120,30 @@ class PlanSpec extends SparkTestBase {
           s"${q.name}: corpus joined via sort-merge")
       }
   }
+
+  test("perceptual near-dup candidates come from equi-joins, never products") {
+    // the banded Hamming join must plan as an equi-join on (band, key) —
+    // a nested-loop/cartesian here is the all-pairs blowup the banding
+    // exists to prevent, and it would go quadratic at corpus scale
+    Seq(graft.pipeline.Multimodal.phashNearDup,
+        graft.pipeline.Multimodal.audioFpNearDup)
+      .foreach { q =>
+        val plan = q.run(spark, sf0001).queryExecution.sparkPlan
+        val products = plan.collect {
+          case j: BroadcastNestedLoopJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        }
+        assert(products.isEmpty,
+          s"${q.name}: non-equi join in plan:\n${products.mkString("\n")}")
+      }
+  }
+
+  test("outer interval join keeps its range condition out of a product") {
+    val plan = graft.queries.Rel.evIntervalJoinOuter.run(spark, sf0001)
+      .queryExecution.sparkPlan
+    val products = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(products.isEmpty, "interval join planned as cartesian product")
+  }
 }
