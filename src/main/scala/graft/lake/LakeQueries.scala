@@ -547,8 +547,57 @@ object LakeQueries {
         "ff_rejected", "main_after_rebase")
   }
 
+  /** CHECK-constraint scenario, oracle-checked: load nation, declare
+    * `n_regionkey < 5` (holds — nation has regions 0-4), prove a
+    * violating append aborts WITHOUT committing (count and version
+    * unchanged), land a valid append, then drop the constraint and land
+    * the previously-refused rows. Every output derives from `nation`, so
+    * DuckDB states the expected counts — hash-equal iff declare-time
+    * validation, inline enforcement, abort atomicity, and drop all
+    * behaved. */
+  val constraintDemo: Q = Q(
+    "lake_constraint",
+    """WITH n AS (SELECT count(*) AS total FROM nation)
+      |SELECT CAST(n.total AS BIGINT) AS loaded,
+      |  CAST(1 AS BIGINT) AS violation_refused,
+      |  CAST(n.total AS BIGINT) AS after_refusal,
+      |  CAST(n.total + 2 AS BIGINT) AS after_valid,
+      |  CAST(n.total + 4 AS BIGINT) AS after_drop
+      |FROM n""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-ck-${UUID.randomUUID()}")
+      .toString
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val ds = LakeDataset.create(s, root, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))))
+    ds.append(nation.coalesce(1))
+    val loaded = ds.read().count()
+    ds.addCheckConstraint("region_range", "n_regionkey < 5")
+    def row(k: Int, r: Int) = Row(Integer.valueOf(k), s"X$k", Integer.valueOf(r))
+    def frame(rows: Row*) =
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), ds.schema)
+        .coalesce(1)
+    val vBefore = ds.version
+    val refused =
+      try { ds.append(frame(row(200, 9), row(201, 9))); 0L }
+      catch { case _: Exception => 1L }
+    val afterRefusal = ds.refresh().read().count()
+    require(ds.version == vBefore, "aborted write must not commit")
+    ds.append(frame(row(100, 1), row(101, 2)))
+    val afterValid = ds.read().count()
+    ds.dropCheckConstraint("region_range")
+    ds.append(frame(row(200, 9), row(201, 9)))
+    val afterDrop = ds.read().count()
+    import s.implicits._
+    Seq((loaded, refused, afterRefusal, afterValid, afterDrop))
+      .toDF("loaded", "violation_refused", "after_refusal", "after_valid",
+        "after_drop")
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
       catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
-      spatialKnn, spatialRange, branchDemo)
+      spatialKnn, spatialRange, branchDemo, constraintDemo)
 }
