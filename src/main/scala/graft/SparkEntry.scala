@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ddl.DdlQueries
-import graft.lake.LakeQueries
+import graft.lake.{LakeQueries, StreamIngestQueries}
 import graft.pipeline.{Ann, Assemble, Bpe, Cluster, Curate, Dedup, Fts, Multimodal, QualityModel, TextOps}
 import graft.queries.{Events, Extra, RefSql, RefTpcds, Rel, Tpch, TpchMore}
 import graft.server.WireQueries
@@ -17,7 +17,8 @@ object SparkEntry {
       RefSql.all ++ RefTpcds.all ++
       TextOps.all ++ Curate.all ++ Dedup.all ++ Ann.all ++ Fts.all ++
       Cluster.all ++
-      Multimodal.all ++ LakeQueries.all ++ DdlQueries.all ++ Assemble.all ++
+      Multimodal.all ++ LakeQueries.all ++ StreamIngestQueries.all ++
+      DdlQueries.all ++ Assemble.all ++
       QualityModel.all ++ Bpe.all ++ WireQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
