@@ -454,7 +454,49 @@ object Ann {
     topKPerQuery(scored)
   }
 
+  /** Semantic-contamination threshold (×1e4 cosine): same calibration
+    * note as [[SemDedupE4]] — this synthetic corpus tops out near 0.51;
+    * a real pipeline with a trained embedder runs ~0.9+. */
+  val DecontamE4 = 4000
+  private val DecontamEvalMod = 10
+
+  private val embedDecontamOracle =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |ev AS (SELECT * FROM e WHERE vec_id % $DecontamEvalMod = 0),
+       |tr AS (SELECT * FROM e WHERE vec_id % $DecontamEvalMod != 0)
+       |SELECT tr.vec_id,
+       |  CAST(max(CAST(round(list_cosine_similarity(tr.v, ev.v) * 10000)
+       |    AS BIGINT)) AS BIGINT) AS max_sim_e4,
+       |  max(CAST(round(list_cosine_similarity(tr.v, ev.v) * 10000)
+       |    AS BIGINT)) >= $DecontamE4 AS contaminated
+       |FROM tr, ev GROUP BY 1""".stripMargin
+
+  /** Embedding-based eval-set decontamination — the SEMANTIC complement
+    * of the word-8-gram check (`text_decontam`): a training item whose
+    * embedding sits within cosine ε of ANY eval item is a paraphrase-level
+    * leak n-gram overlap can't see (the contamination mode SemDeDup-style
+    * audits target). The eval side is a benchmark corpus — small by
+    * nature — so it broadcasts and the scan is ONE narrow pass over
+    * training shards computing a running max per row; no shuffle touches
+    * the training side. Fixed-point threshold, both engines decide
+    * identically. */
+  val embedDecontam = Q("dedup_embed_decontam", embedDecontamOracle) {
+    (s, dir) =>
+      val e = emb(s, dir)
+      val ev = e.filter(col("vec_id") % DecontamEvalMod === 0)
+        .select(col("embedding").as("ev_emb"))
+      val tr = e.filter(col("vec_id") % DecontamEvalMod =!= 0)
+      tr.join(broadcast(ev))
+        .withColumn("sim_e4",
+          round(call_function("cosine_sim", col("embedding"), col("ev_emb"))
+            * 10000).cast("long"))
+        .groupBy("vec_id")
+        .agg(max("sim_e4").as("max_sim_e4"))
+        .withColumn("contaminated", col("max_sim_e4") >= DecontamE4)
+  }
+
   def all: Seq[Q] =
     Seq(brute, lsh, ivf, ivfExhaustive, hnsw, prefiltered, nearDupPairs,
-      semantic)
+      semantic, embedDecontam)
 }
