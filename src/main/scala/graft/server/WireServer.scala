@@ -206,10 +206,22 @@ final class WireServer(
           val nResFmts = readShort(body, pos)
           val resFmts = Vector.tabulate(nResFmts)(i =>
             readShort(body, pos + 2 + i * 2))
-          val prep = statements.getOrElse(stmt, Prepared("", Vector.empty))
-          if (resFmts.exists(_ == 1)) {
+          val prepOpt = statements.get(stmt)
+          val prep = prepOpt.getOrElse(Prepared("", Vector.empty))
+          if (prepOpt.isEmpty && stmt.nonEmpty) {
+            // binding a never-parsed NAMED statement is a protocol error —
+            // silently binding "" would turn a dropped Parse failure into
+            // a successful empty result (the pg error, SQLSTATE 26000)
+            portals.remove(portal)
+            sendError(out, "26000",
+              s"prepared statement \"$stmt\" does not exist")
+          } else if (resFmts.exists(_ == 1)) {
+            portals.remove(portal)
             sendError(out, "0A000", "binary result format not supported")
           } else if (nParams < prep.paramOids.length) {
+            // a failed Bind must not leave the prior portal under this
+            // name executable — Execute would resume the WRONG query
+            portals.remove(portal)
             sendError(out, "08P01",
               s"bind supplies $nParams parameters, " +
                 s"statement needs ${prep.paramOids.length}")
@@ -226,7 +238,9 @@ final class WireServer(
               portals(portal) = new Portal(prep.sql, args)
               msg(out, '2') { _ => () }                        // BindComplete
             } catch {
-              case NonFatal(e) => sendError(out, "22P02", exMessage(e))
+              case NonFatal(e) =>
+                portals.remove(portal)
+                sendError(out, "22P02", exMessage(e))
             }
           }
 
