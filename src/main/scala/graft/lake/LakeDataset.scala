@@ -487,6 +487,47 @@ final class LakeDataset private (
     applied
   }
 
+  /** Deduplicating exactly-once micro-batch append: `df` is anti-joined on
+    * `keys` against the CURRENT table state INSIDE the commit retry loop.
+    * The commit is a create-if-absent CAS on the next version file, so a
+    * success proves no other writer landed between the anti-join's manifest
+    * snapshot and the publish; when a concurrent commit does land first, the
+    * CAS fails, [[withOpRetry]] refreshes the manifest, and the anti-join is
+    * REBUILT against the refreshed state before the next attempt — two
+    * queries racing the same key cannot both land it (the losing racer
+    * re-checks and drops the now-duplicate rows). Returns false when the
+    * `(queryKey, batchId)` high-water mark shows a replay. */
+  def dedupAppendStreamingBatch(df: DataFrame, keys: Seq[String],
+      queryKey: String, batchId: Long): Boolean = {
+    val key = s"streaming.$queryKey.lastBatchId"
+    var applied = false
+    val incoming = df.dropDuplicates(keys)
+    withOpRetry(OpKind.Append, 5) {
+      if (m.properties.get(key).exists(_.toLong >= batchId)) {
+        applied = false
+      } else {
+        val existing = read().select(keys.map(col): _*).distinct()
+        val fresh = incoming.join(existing, keys, "left_anti")
+        val base = m.nextRowId
+        val (frags, maxRid) =
+          stageFragments(toPhysical(fresh, m)
+            .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
+        commit(m.copy(
+          version = m.version + 1,
+          fragments = m.fragments ++ frags,
+          maxFragmentId = m.maxFragmentId + frags.size,
+          nextRowId = math.max(m.nextRowId, maxRid + 1),
+          properties = m.properties + (key -> batchId.toString),
+          parentVersion = Some(m.version),
+          createdMs = System.currentTimeMillis(),
+          operation = s"append_stream_dedup($queryKey,$batchId)",
+          touchedFragmentIds = Nil))
+        applied = true
+      }
+    }
+    applied
+  }
+
   /** Two-phase ("detached") append: phase 1 writes the fragment files
     * without committing (long-running ingest, durable once staged); phase 2
     * commits the manifest swap. Mirrors the reference's detached
@@ -2887,7 +2928,8 @@ object LakeDataset {
 
   private[lake] def kindOf(operation: String): OpKind.Value =
     operation.takeWhile(_ != '(') match {
-      case "append" | "append_detached" | "append_stream" | "create" =>
+      case "append" | "append_detached" | "append_stream" |
+          "append_stream_dedup" | "create" =>
         OpKind.Append
       case "delete" | "update" | "update_mor" | "merge_mor" =>
         OpKind.DeleteUpdate

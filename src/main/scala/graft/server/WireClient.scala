@@ -196,13 +196,15 @@ object WireClient {
       (paramOids, fields)
     }
 
-    private def send(typ: Char)(write: DataOutputStream => Unit): Unit = {
+    private[server] def send(typ: Char)(write: DataOutputStream => Unit): Unit = {
       val body = new java.io.ByteArrayOutputStream()
       write(new DataOutputStream(body))
       out.writeByte(typ)
       out.writeInt(4 + body.size())
       body.writeTo(out)
     }
+
+    private[server] def flushOut(): Unit = out.flush()
 
     override def close(): Unit = {
       try { out.writeByte('X'); out.writeInt(4); out.flush() }
@@ -233,7 +235,7 @@ object WireClient {
       }
     }
 
-    private def readMessage(): (Char, Array[Byte]) = {
+    private[server] def readMessage(): (Char, Array[Byte]) = {
       val typ = in.readByte().toChar
       val len = in.readInt()
       val body = new Array[Byte](len - 4)
@@ -281,7 +283,7 @@ object WireClient {
     out.result()
   }
 
-  private def parseError(b: Array[Byte]): ServerError = {
+  private[server] def parseError(b: Array[Byte]): ServerError = {
     var pos = 0
     var state = ""; var message = ""
     while (pos < b.length && b(pos) != 0) {

@@ -164,6 +164,19 @@ final class WireServer(
     // Extended-protocol state: prepared statements and bound portals.
     val statements = mutable.Map.empty[String, Prepared]
     val portals = mutable.Map.empty[String, Portal]
+    // After an ErrorResponse mid extended cycle the protocol requires the
+    // backend to DISCARD further extended messages until Sync — a
+    // pipelining driver has already sent Describe/Execute for the failed
+    // Bind and must not receive spurious NoData/EmptyQueryResponse for
+    // them. Set by extErr, cleared by Sync (and by a simple Query, which
+    // ends its own cycle with ReadyForQuery).
+    var syncError = false
+    def extErr(code: String, message: String): Unit = {
+      sendError(out, code, message)
+      syncError = true
+    }
+    val maxPortals =
+      spark.conf.get("spark.graft.wire.maxPortals", "64").toInt
 
     var open = true
     while (open) {
@@ -173,8 +186,11 @@ final class WireServer(
       val len = in.readInt()
       val body = new Array[Byte](len - 4)
       in.readFully(body)
-      typ match {
+      if (syncError && "PBDECH".contains(typ)) {
+        // skip-until-Sync: message consumed, no reply
+      } else typ match {
         case 'Q' =>
+          syncError = false
           val sql = cString(body, 0)._1
           simpleQuery(out, sql)
           readyForQuery(out); out.flush()
@@ -213,18 +229,26 @@ final class WireServer(
             // silently binding "" would turn a dropped Parse failure into
             // a successful empty result (the pg error, SQLSTATE 26000)
             portals.remove(portal)
-            sendError(out, "26000",
+            extErr("26000",
               s"prepared statement \"$stmt\" does not exist")
           } else if (resFmts.exists(_ == 1)) {
             portals.remove(portal)
-            sendError(out, "0A000", "binary result format not supported")
+            extErr("0A000", "binary result format not supported")
           } else if (nParams < prep.paramOids.length) {
             // a failed Bind must not leave the prior portal under this
             // name executable — Execute would resume the WRONG query
             portals.remove(portal)
-            sendError(out, "08P01",
+            extErr("08P01",
               s"bind supplies $nParams parameters, " +
                 s"statement needs ${prep.paramOids.length}")
+          } else if (!portals.contains(portal) && portals.size >= maxPortals) {
+            // resource guard: each suspended portal pins a toLocalIterator
+            // (an active Spark job's worth of state); a client binding
+            // unboundedly many without draining gets a clean resource
+            // error (SQLSTATE 53000) instead of exhausting the executor
+            extErr("53000",
+              s"too many open portals (max $maxPortals); " +
+                "Close or drain existing portals first")
           } else {
             try {
               val args = raw.result().zipWithIndex.map { case (bytes, i) =>
@@ -240,7 +264,7 @@ final class WireServer(
             } catch {
               case NonFatal(e) =>
                 portals.remove(portal)
-                sendError(out, "22P02", exMessage(e))
+                extErr("22P02", exMessage(e))
             }
           }
 
@@ -271,7 +295,7 @@ final class WireServer(
                 if (df.schema.isEmpty) msg(out, 'n') { _ => () }
                 else rowDescription(out, df.schema)
               } catch {
-                case NonFatal(e) => sendError(out, "42601", exMessage(e))
+                case NonFatal(e) => extErr("42601", exMessage(e))
               }
           }
 
@@ -280,16 +304,20 @@ final class WireServer(
           val maxRows = readInt(body, p1)
           portals.get(portal).filter(_.sql.trim.nonEmpty) match {
             case None => msg(out, 'I') { _ => () }             // EmptyQueryResponse
-            case Some(p) => executePortal(out, p, maxRows)
+            case Some(p) =>
+              if (!executePortal(out, p, maxRows)) syncError = true
           }
 
         case 'C' => // Close statement/portal
           val kind = body(0).toChar
           val (name, _) = cString(body, 1)
-          if (kind == 'S') statements.remove(name) else portals.remove(name)
+          if (kind == 'S') statements.remove(name)
+          else portals.remove(name).foreach(_.release())
           msg(out, '3') { _ => () }                            // CloseComplete
 
-        case 'S' => readyForQuery(out); out.flush()            // Sync
+        case 'S' =>                                            // Sync
+          syncError = false
+          readyForQuery(out); out.flush()
         case 'H' => out.flush()                                // Flush
         case 'X' => open = false                               // Terminate
         case 'F' | 'd' | 'c' | 'f' =>
@@ -307,37 +335,51 @@ final class WireServer(
   private final case class Prepared(sql: String, paramOids: Vector[Int])
 
   /** A bound portal. Holds the result iterator across Execute messages so
-    * a max-rows Execute can suspend and a later one resume. */
+    * a max-rows Execute can suspend and a later one resume. Once run to
+    * completion, `completedTag` records the final CommandComplete tag — a
+    * later Execute on the same portal answers with that tag idempotently
+    * instead of re-running the statement (re-running DML twice on a client
+    * retry would be a silent double-write). */
   private final class Portal(val sql: String, val args: Map[String, Any]) {
     var it: java.util.Iterator[org.apache.spark.sql.Row] = _
     var schema: StructType = _
     var rowsSent: Long = 0
+    var completedTag: String = _
+    /** Drop iterator state (explicit Close): releases the toLocalIterator
+      * and any partition buffers it still references. */
+    def release(): Unit = {
+      it match {
+        case c: AutoCloseable => try c.close() catch { case NonFatal(_) => }
+        case _ => ()
+      }
+      it = null
+    }
   }
 
   /** Extended-protocol Execute: stream up to `maxRows` (0 = all) rows off
     * the portal's iterator; PortalSuspended if the limit hit with rows
-    * remaining, CommandComplete when drained. */
+    * remaining, CommandComplete when drained. Returns false when an error
+    * was sent (the caller enters skip-until-Sync). */
   private def executePortal(
-      out: DataOutputStream, p: Portal, maxRows: Int): Unit = {
+      out: DataOutputStream, p: Portal, maxRows: Int): Boolean = {
     try {
+      if (p.completedTag != null) {
+        // already run to completion: idempotent CommandComplete only
+        commandComplete(out, p.completedTag); return true
+      }
       if (p.it == null) {
-        if (p.args.isEmpty) {
-          // no parameters: full statement surface (DDL/COPY via the bridge)
-          val df = graft.ddl.SqlBridge.execute(spark, p.sql)
-          p.schema = df.schema
-          if (p.schema.isEmpty) { df.collect(); p.it = null }
-          else p.it = df.toLocalIterator()
-          if (p.schema.isEmpty) {
-            commandComplete(out, commandTag(p.sql, -1)); return
-          }
-        } else {
-          val df = spark.sql(p.sql, p.args)
-          p.schema = df.schema
-          if (p.schema.isEmpty) {
-            df.collect(); commandComplete(out, commandTag(p.sql, -1)); return
-          }
-          p.it = df.toLocalIterator()
+        val df =
+          if (p.args.isEmpty)
+            // no parameters: full statement surface (DDL/COPY via the bridge)
+            graft.ddl.SqlBridge.execute(spark, p.sql)
+          else spark.sql(p.sql, p.args)
+        p.schema = df.schema
+        if (p.schema.isEmpty) {
+          df.collect()
+          p.completedTag = commandTag(p.sql, -1)
+          commandComplete(out, p.completedTag); return true
         }
+        p.it = df.toLocalIterator()
       }
       var n = 0L
       while (p.it.hasNext && (maxRows <= 0 || n < maxRows)) {
@@ -346,9 +388,14 @@ final class WireServer(
       }
       p.rowsSent += n
       if (p.it.hasNext) msg(out, 's') { _ => () }              // PortalSuspended
-      else commandComplete(out, commandTag(p.sql, p.rowsSent))
+      else {
+        p.completedTag = commandTag(p.sql, p.rowsSent)
+        p.release()
+        commandComplete(out, p.completedTag)
+      }
+      true
     } catch {
-      case NonFatal(e) => sendStatementError(out, e)
+      case NonFatal(e) => sendStatementError(out, e); false
     }
   }
 
@@ -542,26 +589,47 @@ final class WireServer(
     ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
       ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
 
-  /** Rewrite `$1..$n` placeholders (outside string literals / quoted
-    * identifiers) to Spark named parameter markers `:p1..:pn`; returns the
-    * rewritten SQL and the highest placeholder index seen. Dollar-quoted
-    * strings ($tag$...$tag$) are not parsed — Spark SQL has no such
-    * literal, so a statement using one fails at parse, not silently. */
+  /** Rewrite `$1..$n` placeholders (outside string literals, quoted
+    * identifiers, and SQL comments) to Spark named parameter markers
+    * `:p1..:pn`; returns the rewritten SQL and the highest placeholder
+    * index seen. `--` line comments and (nested) bracketed comments pass
+    * through untouched — a `$1`-shaped token inside a comment must not
+    * inflate the statement's parameter count. Dollar-quoted strings
+    * ($tag$...$tag$) are not parsed — Spark SQL has no such literal, so a
+    * statement using one fails at parse, not silently. */
   private def rewriteParams(sql: String): (String, Int) = {
     val out = new StringBuilder(sql.length)
     var i = 0
     var inSingle = false
     var inDouble = false
+    var inLine = false   // -- to end of line
+    var blockDepth = 0   // /* */, nested per pg & Spark
     var maxIdx = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      c match {
+      if (inLine) {
+        if (c == '\n') inLine = false
+        out.append(c)
+      } else if (blockDepth > 0) {
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          blockDepth -= 1; out.append("*/"); i += 1
+        } else if (c == '/' && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '*') {
+          blockDepth += 1; out.append("/*"); i += 1
+        } else out.append(c)
+      } else c match {
         case '\'' if !inDouble =>
           if (inSingle && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
             out.append("''"); i += 1
           } else { inSingle = !inSingle; out.append(c) }
         case '"' if !inSingle =>
           inDouble = !inDouble; out.append(c)
+        case '-' if !inSingle && !inDouble && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '-' =>
+          inLine = true; out.append("--"); i += 1
+        case '/' if !inSingle && !inDouble && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '*' =>
+          blockDepth = 1; out.append("/*"); i += 1
         case '$' if !inSingle && !inDouble && i + 1 < sql.length &&
             sql.charAt(i + 1).isDigit =>
           var j = i + 1

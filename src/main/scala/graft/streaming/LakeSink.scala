@@ -51,20 +51,17 @@ object LakeSink {
     * keyed on a content hash) and shuffles keys, not documents — the
     * same shape as batch exact-dedup. Replayed batches skip before any
     * join work. Exactly-once: data + high-water mark in one commit via
-    * [[LakeDataset.appendStreamingBatch]]. */
+    * [[LakeDataset.dedupAppendStreamingBatch]], whose anti-join runs
+    * INSIDE the commit-CAS retry loop — a concurrent query landing the
+    * same key between our snapshot and our commit fails our CAS, and the
+    * anti-join is rebuilt against the refreshed table state, so cross-
+    * query racing duplicates cannot both land. */
   def dedupAppendTo(root: String, keys: Seq[String],
       queryKey: String = "default",
       branch: Option[String] = None): (DataFrame, Long) => Unit = {
     (df, batchId) =>
-      val ds = openOrCreate(df, root, branch)
-      val mark = s"streaming.$queryKey.lastBatchId"
-      val replayed =
-        ds.manifest.properties.get(mark).exists(_.toLong >= batchId)
-      if (!replayed) {
-        val existing = ds.read().select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
-        val fresh = df.dropDuplicates(keys).join(existing, keys, "left_anti")
-        ds.appendStreamingBatch(fresh, queryKey, batchId)
-      }
+      openOrCreate(df, root, branch)
+        .dedupAppendStreamingBatch(df, keys, queryKey, batchId)
       ()
   }
 

@@ -262,6 +262,119 @@ class WireServerSpec extends SparkTestBase {
     }
   }
 
+  test("after an extended-cycle error the server skips until Sync") {
+    withServer { conn =>
+      // pipelined: Parse + failing Bind (too few params) + Describe +
+      // Execute + Sync, all before reading. Per the protocol the server
+      // must answer ParseComplete, ErrorResponse, then DISCARD the
+      // Describe and Execute (no NoData / EmptyQueryResponse) until Sync.
+      conn.send('P') { b =>
+        b.writeByte(0)
+        b.write("SELECT $1 + $2 AS v".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        b.writeByte(0)
+        b.writeShort(2); b.writeInt(23); b.writeInt(23)
+      }
+      conn.send('B') { b =>
+        b.writeByte(0); b.writeByte(0)
+        b.writeShort(0)
+        b.writeShort(1)                      // only one of two params
+        b.writeInt(1); b.write("7".getBytes)
+        b.writeShort(0)
+      }
+      conn.send('D') { b => b.writeByte('P'); b.writeByte(0) }
+      conn.send('E') { b => b.writeByte(0); b.writeInt(0) }
+      conn.send('S') { _ => () }
+      conn.flushOut()
+      val replies = Iterator.continually(conn.readMessage())
+        .takeWhile(_._1 != 'Z').map(_._1).toVector
+      assert(replies == Vector('1', 'E'),
+        s"expected ParseComplete + ErrorResponse only, got $replies")
+      // connection is clean after Sync
+      assert(conn.query("SELECT 11 AS v").head.rows.head.head.get == "11")
+    }
+  }
+
+  test("placeholders inside SQL comments are not parameters") {
+    withServer { conn =>
+      val res = conn.queryExtended(
+        "SELECT $1 AS v -- ignore $2 here\n /* and /* $3 */ here */",
+        Seq(23 -> Some("5")))
+      assert(res.rows.head.head.get == "5")
+    }
+  }
+
+  test("re-Execute of a completed DML portal does not run it twice") {
+    withServer { conn =>
+      conn.query("CREATE DATABASE IF NOT EXISTS wire_portal; USE wire_portal")
+      try {
+        conn.query("CREATE TABLE pt ( A INTEGER )")
+        // Parse+Bind an INSERT portal, Execute it twice in one cycle
+        conn.send('P') { b =>
+          b.writeByte(0)
+          b.write("INSERT INTO pt VALUES (1)".getBytes)
+          b.writeByte(0); b.writeShort(0)
+        }
+        conn.send('B') { b =>
+          b.writeByte(0); b.writeByte(0)
+          b.writeShort(0); b.writeShort(0); b.writeShort(0)
+        }
+        conn.send('E') { b => b.writeByte(0); b.writeInt(0) }
+        conn.send('E') { b => b.writeByte(0); b.writeInt(0) }
+        conn.send('S') { _ => () }
+        conn.flushOut()
+        val replies = Iterator.continually(conn.readMessage())
+          .takeWhile(_._1 != 'Z').map(_._1).toVector
+        // ParseComplete, BindComplete, CommandComplete, CommandComplete
+        assert(replies == Vector('1', '2', 'C', 'C'), s"got $replies")
+        assert(conn.query("SELECT count(*) AS c FROM pt").head
+          .rows.head.head.get == "1")
+      } finally conn.query(
+        "USE default; DROP DATABASE IF EXISTS wire_portal CASCADE")
+    }
+  }
+
+  test("binding more portals than the cap errors cleanly") {
+    // the cap is read per-connection at message-loop entry, so a conf set
+    // before connecting applies to the new connection
+    val prev = spark.conf.getOption("spark.graft.wire.maxPortals")
+    spark.conf.set("spark.graft.wire.maxPortals", "2")
+    try withServer { conn =>
+      conn.send('P') { b =>
+        b.writeByte(0)
+        b.write("SELECT 1 AS v".getBytes)
+        b.writeByte(0); b.writeShort(0)
+      }
+      Seq("pa", "pb", "pc").foreach { name =>
+        conn.send('B') { b =>
+          b.write(name.getBytes); b.writeByte(0)   // named portal
+          b.writeByte(0)                           // unnamed statement
+          b.writeShort(0); b.writeShort(0); b.writeShort(0)
+        }
+      }
+      conn.send('S') { _ => () }
+      conn.flushOut()
+      var err: Option[WireClient.ServerError] = None
+      var binds = 0
+      var done = false
+      while (!done) {
+        val (typ, body) = conn.readMessage()
+        typ match {
+          case '2' => binds += 1
+          case 'E' => err = Some(WireClient.parseError(body))
+          case 'Z' => done = true
+          case _ => ()
+        }
+      }
+      assert(binds == 2)
+      assert(err.exists(_.sqlState == "53000"), s"got $err")
+      // connection survives
+      assert(conn.query("SELECT 9 AS v").head.rows.head.head.get == "9")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.wire.maxPortals", v)
+      case None => spark.conf.unset("spark.graft.wire.maxPortals")
+    }
+  }
+
   test("wire round-trip DataFrame matches direct execution") {
     Tables.register(spark, sf0001)
     val sql = "SELECT n_regionkey, count(*) AS nations FROM nation " +

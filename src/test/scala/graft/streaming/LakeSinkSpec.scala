@@ -120,6 +120,29 @@ class LakeSinkSpec extends SparkTestBase {
       .toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("dedup append rebuilds the anti-join when a concurrent commit races it") {
+    import spark.implicits._
+    val root = tmpDir()
+    val b0 = Seq(ev(1, 100, 1)).toDF()
+    val ds1 = LakeDataset.create(spark, root, b0.schema)
+
+    // ds2 opens a handle BEFORE ds1's commit: its manifest snapshot is
+    // stale, exactly the state a second query racing the first would see
+    val ds2 = LakeDataset.open(spark, root)
+    assert(ds1.dedupAppendStreamingBatch(b0, Seq("event_id"), "qa", 0L))
+
+    // ds2's in-body anti-join initially runs against the stale (empty)
+    // snapshot, so event 1 passes it — but the commit CAS fails against
+    // ds1's already-published version, the retry refreshes the manifest,
+    // and the anti-join is rebuilt: event 1 must NOT land twice
+    val b1 = Seq(ev(1, 100, 1), ev(2, 200, 2)).toDF()
+    assert(ds2.dedupAppendStreamingBatch(b1, Seq("event_id"), "qb", 0L))
+
+    val ids = LakeDataset.open(spark, root).read()
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"duplicate landed: $ids")
+  }
+
   test("upsert sink applies updates exactly once; replays are skipped") {
     import spark.implicits._
     val root = tmpDir()
