@@ -34,10 +34,16 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Planning-only gates stay in CORRECTNESS/Verify but out of the timed
+    // loop: ref_tpcds_plan re-plans 99 queries driver-side (~2.4 s, 4% of
+    // the r5 wall) and measures the planner, not the engine (r5 verdict
+    // nit #3). An explicit SPARK_GRAFT_ONLY filter still selects it.
+    val untimed = Set("ref_tpcds_plan")
     // optional filter for targeted perf iteration: comma-separated names
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(names =>
+    val selected = only.fold(
+      SparkEntry.queries.view.filterKeys(!untimed.contains(_)).toMap)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Deterministic TPC-DS slice generator, one definition for BOTH engines.
+  *
+  * The reference ships the full TPC-DS corpus (cases/tpcds/query/queryN.sql,
+  * cases/tpcds/tpcds.sql) but cannot execute most of it; `ref_tpcds_plan`
+  * already proves this engine PLANS all 99. This module closes the last
+  * gap — executing a representative slice with DuckDB oracles — by
+  * generating every needed table from ONE list of portable SQL
+  * expressions over a row index `id`:
+  *
+  *   - Spark side: `spark.range(n).selectExpr(col AS expr...)` per table,
+  *     registered as temp views in an isolated session.
+  *   - DuckDB side: the same expressions verbatim, as a WITH-prelude
+  *     `name AS (SELECT expr AS col, ... FROM (SELECT range AS id FROM
+  *     range(n)))` prepended to the query text.
+  *
+  * Because both engines evaluate the identical integer/date arithmetic,
+  * the inputs match bit-for-bit and the query outputs compare exactly.
+  * Schemas come from the reference's official DDL (RefTpcds.tables());
+  * every DECIMAL money column is generated as BIGINT cents — exact in
+  * both engines and immune to the driver hasher's decimal asymmetry.
+  * Expression dialect rules (each construct validated in both engines):
+  * simple CASE, `%` on non-negative BIGINT, CAST(floor(x/y) AS BIGINT)
+  * for integer division, `||` concat, lpad, substr, year/month/day,
+  * DATE literal + INT days.
+  */
+object TpcdsGen {
+
+  /** Rows per generated table — small enough that verify stays fast, big
+    * enough that every slice query has non-trivial matching groups. */
+  val rows: Map[String, Long] = Map(
+    "date_dim" -> 2191L, // 1998-01-01 .. 2003-12-31, covers month_seq 1176..1247
+    "time_dim" -> 1440L, // one row per minute of day
+    "item" -> 1000L,
+    "store" -> 12L,
+    "customer" -> 2000L,
+    "customer_address" -> 1500L,
+    "customer_demographics" -> 700L,
+    "household_demographics" -> 144L,
+    "promotion" -> 50L,
+    "web_site" -> 6L,
+    "catalog_page" -> 60L,
+    "store_sales" -> 60000L,
+    "web_sales" -> 20000L,
+    "catalog_sales" -> 15000L,
+    "store_returns" -> 6000L,
+    "catalog_returns" -> 2000L,
+    "web_returns" -> 2000L)
+
+  private val BaseDate = "CAST('1998-01-01' AS DATE)"
+
+  /** Integer division, portable: DuckDB `/` on ints is float division and
+    * its double→int CAST rounds (Spark truncates), so always floor. */
+  private def div(a: String, b: Long) = s"CAST(floor(($a)/$b) AS BIGINT)"
+
+  /** Simple-CASE pick from a string pool, keyed by a 0-based expr. */
+  private def pick(key: String, pool: Seq[String]): String =
+    pool.zipWithIndex.map { case (v, i) => s"WHEN $i THEN '$v'" }
+      .mkString(s"CASE CAST($key AS INT) ", " ", " END")
+
+  // ------------------------------------------------------- semantic pools
+  // Category/class/brand wiring satisfies the slice queries' literal
+  // predicates (q53/q89 AND-ed category+class+brand lists, q98 categories).
+  private val cats = Seq("Books", "Children", "Electronics", "Men",
+    "Sports", "Shoes", "Women", "Music", "Jewelry")
+  private val classPools = Seq(
+    Seq("personal", "reference", "history", "arts"),          // Books
+    Seq("portable", "school-uniforms", "toddlers", "newborn"),// Children
+    Seq("self-help", "audio", "cameras", "dvd"),              // Electronics
+    Seq("pants", "shirts", "accessories", "casual"),          // Men
+    Seq("tennis", "baseball", "fitness", "camping"),          // Sports
+    Seq("womens", "mens", "kids", "athletic"),                // Shoes
+    Seq("fragrances", "dresses", "maternity", "swimwear"),    // Women
+    Seq("classical", "rock", "pop", "country"),               // Music
+    Seq("birdal", "diamonds", "gold", "pendants"))            // Jewelry
+  private val brandPools = Seq(
+    Seq("scholaramalgamalg #14", "scholaramalgamalg #7"),     // Books
+    Seq("exportiunivamalg #9", "childbrand #2"),              // Children
+    Seq("scholaramalgamalg #9", "electrobrand #4"),           // Electronics
+    Seq("importoamalg #1", "menbrand #6"),                    // Men
+    Seq("sportbrand #3", "fieldbrand #8"),                    // Sports
+    Seq("shoebrand #5", "trackbrand #2"),                     // Shoes
+    Seq("amalgimporto #1", "womenbrand #4"),                  // Women
+    Seq("edu packscholar #1", "exportiimporto #1"),           // Music
+    Seq("jewelbrand #7", "gembrand #1"))                      // Jewelry
+
+  /** Nested pick: outer key selects the category, inner key the element of
+    * that category's pool. */
+  private def pickNested(outer: String, inner: String,
+      pools: Seq[Seq[String]]): String =
+    pools.zipWithIndex.map { case (pool, i) =>
+      s"WHEN $i THEN ${pick(inner, pool)}"
+    }.mkString(s"CASE CAST($outer AS INT) ", " ", " END")
+
+  // q8's zip IN-list is huge; generate most addresses inside it. First nine
+  // values appear in the list, last three do not.
+  private val zips = Seq("47602", "16704", "35863", "28577", "83910",
+    "36201", "58412", "48162", "28055", "10000", "20000", "30000")
+  private val states =
+    Seq("TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL")
+  // store zips share 2-digit prefixes with the first four address zips
+  private val storeZips = Seq("47100", "16750", "35999", "28500")
+  private val storeNames = // q96 filters s_store_name='ese'
+    Seq("ought", "able", "pri", "ese", "anti", "cally", "ation", "eing")
+  private val cities =
+    Seq("Midway", "Fairview", "Oakland", "Five Points", "Centerville")
+  private val maritals = Seq("M", "S", "D", "W", "U")
+  private val educations = Seq("Primary", "Secondary", "College",
+    "2 yr Degree", "4 yr Degree", "Advanced Degree", "Unknown")
+
+  /** Semantic column overrides: table → column → portable expr over `id`.
+    * Columns not listed fall back to type defaults (deterministic filler).
+    */
+  private val overrides: Map[String, Map[String, String]] = {
+    val dDate = s"$BaseDate + CAST(id AS INT)"
+    Map(
+      "date_dim" -> Map(
+        "d_date_sk" -> "id",
+        "d_date" -> dDate,
+        "d_year" -> s"CAST(year($dDate) AS INT)",
+        "d_moy" -> s"CAST(month($dDate) AS INT)",
+        "d_dom" -> s"CAST(day($dDate) AS INT)",
+        // official convention: month_seq anchored so Nov 1998 = 1186
+        "d_month_seq" ->
+          s"CAST((year($dDate) - 1900) * 12 + month($dDate) - 1 AS INT)",
+        "d_week_seq" -> s"CAST(${div("id", 7)} AS INT)",
+        "d_qoy" ->
+          s"CAST(${div(s"month($dDate) - 1", 3)} + 1 AS INT)",
+        // 1998-01-01 is a Thursday; Sunday=0 convention → 4
+        "d_dow" -> "CAST((id + 4) % 7 AS INT)"),
+      "time_dim" -> Map(
+        "t_time_sk" -> "id",
+        "t_time" -> "CAST(id * 60 AS INT)",
+        "t_hour" -> s"CAST(${div("id", 60)} AS INT)",
+        "t_minute" -> "CAST(id % 60 AS INT)",
+        "t_second" -> "CAST(0 AS INT)"),
+      "item" -> Map(
+        "i_item_sk" -> "id",
+        "i_item_id" -> "'ITEM_' || lpad(CAST(id AS STRING), 6, '0')",
+        "i_item_desc" -> "'desc of item ' || CAST(id AS STRING)",
+        "i_current_price" -> "100 + (id * 7919) % 9900", // cents
+        "i_manufact_id" -> "CAST(id % 900 AS INT)", // q3 filters = 816
+        "i_manager_id" -> "CAST(id % 100 AS INT)",
+        "i_category" -> pick("id % 9", cats),
+        "i_category_id" -> "CAST(id % 9 + 1 AS INT)",
+        "i_class" -> pickNested("id % 9", s"${div("id", 9)} % 4", classPools),
+        "i_class_id" -> s"CAST((id % 9) * 4 + ${div("id", 9)} % 4 AS INT)",
+        "i_brand" -> pickNested("id % 9", s"${div("id", 9)} % 2", brandPools),
+        "i_brand_id" -> s"CAST((id % 9) * 10 + ${div("id", 9)} % 2 AS INT)"),
+      "store" -> Map(
+        "s_store_sk" -> "id",
+        "s_store_id" -> "'STORE_' || lpad(CAST(id AS STRING), 2, '0')",
+        "s_store_name" -> pick("id % 8", storeNames),
+        "s_company_name" -> pick("id % 3", Seq("Unknown", "ese", "bar")),
+        "s_city" -> pick("id % 5", cities),
+        "s_county" -> pick("id % 4",
+          Seq("Ziebach County", "Williamson County", "Walker County",
+            "Daviess County")),
+        "s_state" -> pick("id % 8", states),
+        "s_zip" -> pick("id % 4", storeZips),
+        "s_number_employees" -> "CAST(200 + id * 9 AS INT)",
+        "s_gmt_offset" -> "-500"), // cents-free: BIGINT fixed -5.00
+      "customer" -> Map(
+        "c_customer_sk" -> "id",
+        "c_customer_id" -> "'CUST_' || lpad(CAST(id AS STRING), 6, '0')",
+        "c_current_addr_sk" -> "(id * 13 + 7) % 1500",
+        "c_preferred_cust_flag" -> pick("id % 2", Seq("Y", "N")),
+        "c_first_name" -> "'Fn' || CAST(id % 97 AS STRING)",
+        "c_last_name" -> "'Ln_' || lpad(CAST(id AS STRING), 6, '0')",
+        "c_current_cdemo_sk" -> "(id * 17 + 3) % 700",
+        "c_current_hdemo_sk" -> "(id * 11 + 1) % 144",
+        "c_birth_year" -> "CAST(1930 + id % 60 AS INT)"),
+      "customer_address" -> Map(
+        "ca_address_sk" -> "id",
+        "ca_address_id" -> "'ADDR_' || lpad(CAST(id AS STRING), 6, '0')",
+        "ca_state" -> pick("id % 8", states),
+        "ca_zip" -> pick("id % 12", zips),
+        "ca_city" -> pick("id % 5", cities),
+        "ca_county" -> pick("id % 4",
+          Seq("Ziebach County", "Williamson County", "Walker County",
+            "Daviess County")),
+        "ca_country" -> "'United States'",
+        "ca_gmt_offset" -> "-500"),
+      "customer_demographics" -> Map(
+        "cd_demo_sk" -> "id",
+        "cd_gender" -> pick("id % 2", Seq("M", "F")),
+        "cd_marital_status" -> pick(s"${div("id", 2)} % 5", maritals),
+        "cd_education_status" -> pick(s"${div("id", 10)} % 7", educations),
+        "cd_purchase_estimate" -> "CAST(500 + (id % 10) * 500 AS INT)",
+        "cd_credit_rating" -> pick("id % 4",
+          Seq("Low Risk", "Good", "High Risk", "Unknown")),
+        "cd_dep_count" -> "CAST(id % 7 AS INT)"),
+      "household_demographics" -> Map(
+        "hd_demo_sk" -> "id",
+        "hd_income_band_sk" -> "id % 20",
+        "hd_buy_potential" -> pick("id % 3",
+          Seq(">10000", "5001-10000", "0-500")),
+        "hd_dep_count" -> "CAST(id % 10 AS INT)",
+        "hd_vehicle_count" -> "CAST(id % 5 AS INT)"),
+      "promotion" -> Map(
+        "p_promo_sk" -> "id",
+        "p_promo_id" -> "'PROMO_' || lpad(CAST(id AS STRING), 3, '0')",
+        "p_channel_email" -> pick("id % 2", Seq("N", "Y")),
+        "p_channel_event" -> pick(s"${div("id", 2)} % 2", Seq("N", "Y")),
+        "p_channel_dmail" -> pick("id % 2", Seq("Y", "N"))),
+      "web_site" -> Map(
+        "web_site_sk" -> "id",
+        "web_site_id" -> "'WEB_' || lpad(CAST(id AS STRING), 2, '0')",
+        "web_name" -> "'site_' || CAST(id AS STRING)"),
+      "catalog_page" -> Map(
+        "cp_catalog_page_sk" -> "id",
+        "cp_catalog_page_id" -> "'PAGE_' || lpad(CAST(id AS STRING), 3, '0')"),
+      "store_sales" -> Map(
+        "ss_sold_date_sk" -> "(id * 37 + 11) % 2191",
+        "ss_sold_time_sk" -> "(id * 1021 + 7) % 1440",
+        "ss_item_sk" -> "id % 1000",
+        "ss_customer_sk" -> "(id * 29 + 3) % 2000",
+        "ss_cdemo_sk" -> "(id * 41 + 5) % 700",
+        "ss_hdemo_sk" -> "(id * 23 + 1) % 144",
+        "ss_addr_sk" -> "(id * 19) % 1500",
+        "ss_store_sk" -> "(id * 31) % 12",
+        "ss_promo_sk" -> "(id * 43) % 50",
+        "ss_ticket_number" -> div("id", 3), // ~3 lines per ticket
+        "ss_quantity" -> "CAST(1 + id % 100 AS INT)",
+        // money columns: deterministic pseudo-random cents
+        "ss_sales_price" -> "(id * 7919 + 13) % 20000",
+        "ss_list_price" -> "(id * 6971 + 29) % 25000",
+        "ss_ext_sales_price" -> "(id * 104729 + 17) % 2000000",
+        "ss_ext_list_price" -> "(id * 104723 + 19) % 2500000",
+        "ss_coupon_amt" -> "(id * 3001) % 5000",
+        "ss_ext_discount_amt" -> "(id * 2003) % 40000",
+        "ss_wholesale_cost" -> "(id * 1009) % 10000",
+        "ss_ext_wholesale_cost" -> "(id * 1013) % 1000000",
+        "ss_ext_tax" -> "(id * 503) % 16000",
+        "ss_net_paid" -> "(id * 7013) % 1900000",
+        "ss_net_paid_inc_tax" -> "(id * 7019) % 1950000",
+        "ss_net_profit" -> "(id * 7907) % 300000 - 100000"),
+      "web_sales" -> Map(
+        "ws_sold_date_sk" -> "(id * 37 + 5) % 2191",
+        "ws_sold_time_sk" -> "(id * 59 + 3) % 1440",
+        "ws_item_sk" -> "id % 1000",
+        "ws_order_number" -> "id",
+        "ws_web_site_sk" -> "id % 6",
+        "ws_bill_customer_sk" -> "(id * 29 + 7) % 2000",
+        "ws_quantity" -> "CAST(1 + id % 100 AS INT)",
+        "ws_sales_price" -> "(id * 6151 + 7) % 20000",
+        "ws_ext_sales_price" -> "(id * 104717 + 23) % 2000000",
+        "ws_net_profit" -> "(id * 7901) % 300000 - 100000"),
+      "catalog_sales" -> Map(
+        "cs_sold_date_sk" -> "(id * 37 + 29) % 2191",
+        "cs_item_sk" -> "id % 1000",
+        "cs_order_number" -> "id",
+        "cs_catalog_page_sk" -> "id % 60",
+        "cs_bill_customer_sk" -> "(id * 29 + 11) % 2000",
+        "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
+        "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
+        "cs_net_profit" -> "(id * 7883) % 300000 - 100000"),
+      "store_returns" -> Map(
+        "sr_returned_date_sk" -> "(id * 37 + 23) % 2191",
+        "sr_item_sk" -> "id % 1000",
+        "sr_ticket_number" -> div("id", 2),
+        "sr_customer_sk" -> "(id * 29 + 13) % 2000",
+        "sr_store_sk" -> "id % 12",
+        "sr_return_quantity" -> "CAST(1 + id % 20 AS INT)",
+        "sr_return_amt" -> "(id * 3571) % 50000",
+        "sr_net_loss" -> "(id * 2713) % 40000"),
+      "catalog_returns" -> Map(
+        "cr_returned_date_sk" -> "(id * 37 + 31) % 2191",
+        "cr_item_sk" -> "id % 1000",
+        "cr_order_number" -> "id * 7 % 15000",
+        "cr_catalog_page_sk" -> "id % 60",
+        "cr_return_amount" -> "(id * 3581) % 50000",
+        "cr_net_loss" -> "(id * 2719) % 40000"),
+      "web_returns" -> Map(
+        "wr_returned_date_sk" -> "(id * 37 + 41) % 2191",
+        // wr joins web_sales on (item, order): order o has item o%1000,
+        // so derive the item FROM the order number → every return matches
+        "wr_order_number" -> "(id * 11) % 20000",
+        "wr_item_sk" -> "((id * 11) % 20000) % 1000",
+        "wr_return_amt" -> "(id * 3593) % 50000",
+        "wr_net_loss" -> "(id * 2729) % 40000"))
+  }
+
+  /** Type-default expr for a column with no semantic override; `ci` varies
+    * the values across columns so accidental cross-column equality doesn't
+    * create degenerate joins. */
+  private def defaultExpr(dt: DataType, ci: Int): String = dt match {
+    case _: DecimalType => s"(id * 31 + $ci * 7) % 10000" // BIGINT cents
+    case IntegerType => s"CAST((id * 13 + $ci) % 101 AS INT)"
+    case LongType => s"(id * 7 + $ci) % 1009"
+    case ShortType => s"CAST((id + $ci) % 7 AS SMALLINT)"
+    case DoubleType | FloatType => s"CAST((id + $ci) % 10 AS DOUBLE)"
+    case DateType => s"$BaseDate + CAST((id * 11 + $ci) % 2191 AS INT)"
+    case _ => s"'x' || CAST((id + $ci) % 53 AS STRING)"
+  }
+
+  /** (column, expr) list for one table, DDL order. */
+  def columns(table: String): Seq[(String, String)] = {
+    val schema = ddlSchemas(table)
+    val ov = overrides.getOrElse(table, Map.empty)
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> ov.getOrElse(f.name, defaultExpr(f.dataType, i))
+    }.toSeq
+  }
+
+  private lazy val ddlSchemas: Map[String, StructType] =
+    RefTpcds.tables().toMap
+
+  /** Register every slice table as a temp view in `s` (call on an isolated
+    * `newSession()` — the generated names must not shadow the shared TPC-H
+    * views). */
+  def register(s: SparkSession): Unit =
+    rows.foreach { case (t, n) =>
+      s.range(n).selectExpr(
+        columns(t).map { case (c, e) => s"$e AS $c" }: _*)
+        .createOrReplaceTempView(t)
+    }
+
+  /** DuckDB WITH-prelude defining the same tables from the same exprs. */
+  def duckPrelude(tables: Seq[String]): String =
+    tables.map { t =>
+      val cols = columns(t)
+        .map { case (c, e) => s"$e AS $c" }.mkString(",\n    ")
+      s"$t AS (\n  SELECT $cols\n  FROM (SELECT range AS id FROM range(${rows(t)})))"
+    }.mkString("WITH ", ",\n", "\n")
+}
