@@ -164,11 +164,19 @@ object Ann {
     GraftFunctions.register(e.sparkSession)
     // deterministic init: the NumClusters lowest vec_ids, numbered by rank
     // (not monotonically_increasing_id, whose contiguity after limit() is an
-    // implementation accident)
-    var centroids = e.orderBy("vec_id").limit(NumClusters)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("int").as("cluster"),
-        col("embedding").as("centroid"))
+    // implementation accident). Rank via a broadcast θ-self-join over the
+    // NumClusters seed rows — not a partition-less row_number window,
+    // which would be a single-partition WindowExec in the plan
+    val seeds = e.orderBy("vec_id").limit(NumClusters)
+      .select(col("vec_id"), col("embedding"))
+    val ranks = seeds.select(col("vec_id").as("seed_id"))
+      .crossJoin(broadcast(seeds.select(col("vec_id").as("lower_id"))))
+      .filter(col("lower_id") <= col("seed_id"))
+      .groupBy("seed_id")
+      .agg((count(lit(1)) - 1).cast("int").as("cluster"))
+    var centroids = seeds
+      .join(broadcast(ranks), col("vec_id") === col("seed_id"))
+      .select(col("cluster"), col("embedding").as("centroid"))
     var assign: DataFrame = null
     (1 to iterations).foreach { _ =>
       assign = assignClusters(e, centroids)

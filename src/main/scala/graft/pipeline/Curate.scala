@@ -114,12 +114,18 @@ object Curate {
       .groupBy("n_chars")
       .agg(count(lit(1)).as("n_docs"),
         sum(floor((col("n_chars") + 3) / 4).cast("long")).as("toks"))
+    // cumulative-from-longest as a broadcast θ-self-join over the bucket
+    // aggregates (cum_toks(b) = Σ toks of buckets ≥ b) instead of a
+    // partition-less window: same result on the distinct bucket keys, but
+    // no single-partition WindowExec — the buckets frame is tiny
+    // (hundreds of rows) while the join stays parallel
+    val buckets = per.select(col("n_chars").as("nc2"), col("toks").as("toks2"))
+    val totals = per.agg(sum("toks").as("all_toks"))
     val cum = per
-      .withColumn("cum_toks",
-        sum("toks").over(Window.orderBy(col("n_chars").desc)
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("all_toks",
-        sum("toks").over(Window.partitionBy()))
+      .join(broadcast(buckets), col("nc2") >= col("n_chars"))
+      .groupBy("n_chars", "n_docs", "toks")
+      .agg(sum("toks2").as("cum_toks"))
+      .crossJoin(broadcast(totals))
     cum.filter(col("cum_toks") <= col("all_toks") * 0.25)
       .agg(sum("n_docs").cast("long").as("n_docs_kept"),
         sum("toks").cast("long").as("tokens_kept"),

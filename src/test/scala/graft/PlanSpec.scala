@@ -146,4 +146,25 @@ class PlanSpec extends SparkTestBase {
     }
     assert(products.isEmpty, "interval join planned as cartesian product")
   }
+
+  test("no production query plan contains a partition-less Window") {
+    // A Window with an empty partitionSpec moves ALL rows to one partition
+    // — a driver-shaped sort at 100 TB. r5 verdict flagged the warning in
+    // the test log; the two operator-code sites (Curate token budget, Ann
+    // IVF seed ranking) were rewritten as broadcast θ-self-joins. This pin
+    // keeps the declarative families clean.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import graft.queries.{Events, Extra, Rel, Tpcds, Tpch, TpchMore}
+    import graft.pipeline.{Curate, TextOps}
+    val families = Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++
+      Events.all ++ Curate.all ++ TextOps.all ++ Tpcds.all
+    families.foreach { q =>
+      val unpartitioned = q.run(spark, sf0001)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(unpartitioned.isEmpty,
+        s"${q.name} plans a partition-less Window: $unpartitioned")
+    }
+  }
 }
