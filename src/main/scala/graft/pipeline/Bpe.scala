@@ -128,15 +128,98 @@ object Bpe {
       .toDF("doc_id", "source", "n_words", "n_bpe_tokens", "n_chars")
   }
 
-  /** Registry scenario: train 200 merges on the corpus's word-frequency
-    * dictionary, tokenize every document, report per-source totals and
-    * the corpus compression the learned vocabulary buys (tokens per word
-    * shrinks as merges absorb frequent character sequences). Fixed-point
-    * BIGINT ratio output; deterministic end to end (tie-broken merges). */
-  val bpeStats: Q = Q.noOracle("text_bpe_stats") { (s, dir) =>
+  /** DuckDB replay of a fixed-merge-count BPE run (r5 verdict ask): the
+    * merge loop unrolled into CTE stages over a (word, seg-start, seg-end,
+    * symbol) segmentation state. Each stage: (1) best pair = argmax of
+    * dictionary-weighted adjacency counts, ties to the lexicographically
+    * smallest pair — matching trainOnDictionary's minBy((-c, a, b)) under
+    * binary/ASCII collation; (2) left-to-right non-overlapping application
+    * via the parity trick (within each chain of overlapping occurrences,
+    * take odd row numbers — exactly the Scala loop's i += 2); (3) new
+    * state = merged segments + untouched segments. Tokenization is the
+    * same replay applied to every corpus word (rank-greedy apply ≡
+    * training-order replay: a pair's occurrences can only be created by
+    * the lower-ranked merges that build its two symbols). All counts are
+    * integers; the only float op is the final floor(x·10⁴/y), where the
+    * true ratio is ≥1/y away from an integer and y ≪ the double ulp
+    * budget, so both engines floor identically. */
+  private def bpeStatsOracle(numMerges: Int, maxWords: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH cw AS (
+             |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |cwf AS MATERIALIZED (SELECT doc_id, source, w FROM cw WHERE length(w) > 0),
+             |dict AS MATERIALIZED (SELECT w, count(*) AS cnt FROM cwf GROUP BY w
+             |         ORDER BY cnt DESC, w LIMIT $maxWords),
+             |vocab AS MATERIALIZED (SELECT DISTINCT w FROM cwf),
+             |vseg0 AS MATERIALIZED (
+             |  SELECT w, i AS s, i AS e, substring(w, CAST(i AS INT), 1) AS sym
+             |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+             |        FROM vocab) ci
+             |  UNION ALL
+             |  SELECT w, length(w) + 1, length(w) + 1, '$EndOfWord' FROM vocab)""".stripMargin
+    (1 to numMerges).foreach { t =>
+      val p = s"vseg${t - 1}"
+      b ++= s""",
+               |best$t AS MATERIALIZED (
+               |  SELECT a.sym AS x, b.sym AS y
+               |  FROM $p a JOIN $p b ON a.w = b.w AND b.s = a.e + 1
+               |  JOIN dict d ON d.w = a.w
+               |  GROUP BY a.sym, b.sym
+               |  ORDER BY sum(d.cnt) DESC, a.sym, b.sym LIMIT 1),
+               |occ$t AS MATERIALIZED (
+               |  SELECT a.w, a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2,
+               |         a.sym || b.sym AS msym
+               |  FROM $p a JOIN $p b ON a.w = b.w AND b.s = a.e + 1
+               |  JOIN best$t bp ON a.sym = bp.x AND b.sym = bp.y),
+               |pick$t AS MATERIALIZED (
+               |  SELECT *, CASE WHEN row_number() OVER (
+               |      PARTITION BY w, chain ORDER BY s1) % 2 = 1
+               |    THEN 1 ELSE 0 END AS take
+               |  FROM (
+               |    SELECT *, sum(brk) OVER (PARTITION BY w ORDER BY s1
+               |                             ROWS UNBOUNDED PRECEDING) AS chain
+               |    FROM (
+               |      SELECT *, CASE WHEN lag(s2) OVER (PARTITION BY w ORDER BY s1) = s1
+               |                THEN 0 ELSE 1 END AS brk
+               |      FROM occ$t) ob) oc),
+               |vseg$t AS MATERIALIZED (
+               |  SELECT w, s1 AS s, e2 AS e, msym AS sym FROM pick$t WHERE take = 1
+               |  UNION ALL
+               |  SELECT g.w, g.s, g.e, g.sym FROM $p g
+               |  WHERE NOT EXISTS (SELECT 1 FROM pick$t pk
+               |                    WHERE pk.take = 1 AND pk.w = g.w
+               |                      AND g.s IN (pk.s1, pk.s2)))""".stripMargin
+    }
+    b ++= s"""
+             |, vtok AS MATERIALIZED (SELECT w, count(*) AS toks FROM vseg$numMerges GROUP BY w),
+             |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             |agg AS (SELECT c.source, count(*) AS n_words, sum(t.toks) AS n_bpe_tokens
+             |        FROM cwf c JOIN vtok t ON c.w = t.w GROUP BY c.source)
+             |SELECT nd.source, nd.n_docs, agg.n_words,
+             |  CAST(agg.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+             |  CAST(floor(CAST(agg.n_bpe_tokens AS DOUBLE) * 10000 /
+             |             CAST(agg.n_words AS DOUBLE)) AS BIGINT) AS tokens_per_word_e4
+             |FROM nd JOIN agg ON nd.source = agg.source""".stripMargin
+    b.toString
+  }
+
+  /** Merge count for the oracle-checked entry: small enough that the
+    * DuckDB unroll stays compact, large enough to exercise saturating
+    * pairs, ties, and the non-overlap rule. The 200-merge production run
+    * is pinned by BpeSpec (textbook corpus + holdout behavior). */
+  val OracleMerges = 12
+
+  /** Registry scenario: train [[OracleMerges]] merges on the corpus's
+    * word-frequency dictionary, tokenize every document, report
+    * per-source totals and the corpus compression the learned vocabulary
+    * buys. Deterministic end to end (tie-broken merges) and — new in r6 —
+    * DuckDB-oracle-checked via the unrolled merge-loop replay. */
+  val bpeStats: Q = Q("text_bpe_stats",
+    bpeStatsOracle(OracleMerges, 20000)) { (s, dir) =>
     val d = Tables.load(s, dir, "documents")
       .select("doc_id", "source", "text")
-    val merges = train(d, numMerges = 200, maxWords = 20000)
+    val merges = train(d, numMerges = OracleMerges, maxWords = 20000)
     tokenCounts(d, merges)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -172,30 +172,163 @@ object Cluster {
     (lastAssign, inertias.toSeq)
   }
 
-  /** Rows-only registry entry: per-cluster summary after Iters iterations —
-    * size, dominant label, label purity (how well unsupervised clusters
-    * recover the generator's labels), mean similarity to centroid. Pinned
-    * by ClusterSpec; not portable SQL (iterative). */
-  val kmeansQ: Q = Q.noOracle("cluster_kmeans") { (s, dir) =>
+  // ------------------------------------------- oracle-checked full Lloyd
+  // A fixed 3-iteration Lloyd run made EXACTLY replayable across engines
+  // (r5 verdict ask): quantize embeddings to integers (round(v·1000)),
+  // keep centroids integer through every mean update (round(sum/count)),
+  // and compute cosine as CAST(dot AS DOUBLE)/(sqrt(n_v)·sqrt(n_c)) —
+  // every intermediate is either an exact integer (<2^53, any summation
+  // order) or a single correctly-rounded IEEE op, so Spark and DuckDB
+  // produce bit-identical similarities, identical argmax assignments, and
+  // identical centroids at every iteration. Negative-half rounding agrees
+  // too (both round half away from zero — verified on both engines).
+  val FixedIters = 3
+
+  /** One exactly-replayable Lloyd run over quantized embeddings; returns
+    * the final (vec_id, cluster) assignment. Centroid state is k·dim
+    * integers on the driver per iteration — bounded, corpus-independent,
+    * same shape as [[kmeans]]. */
+  def kmeansFixed(s: SparkSession, e: DataFrame, k: Int = K,
+      iters: Int = FixedIters): DataFrame = {
+    import graft.Materialize.PinOps
+    val eq = e.select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000).cast("long")).as("qv"))
+      .withColumn("n",
+        aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .pinned() // read k+1 times (seeds + per-iteration passes)
+    var cent: Seq[(Int, Array[Long])] = eq.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("qv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val centSchema = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("cqv", ArrayType(LongType, containsNull = false)),
+      StructField("cn", LongType, nullable = false)))
+    def centDf(cs: Seq[(Int, Array[Long])]): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(cs.map { case (c, v) =>
+        Row(c, v.toSeq, v.map(x => x * x).sum)
+      }: _*), centSchema)
+    def assignFixed(cs: Seq[(Int, Array[Long])]): DataFrame =
+      eq.crossJoin(broadcast(centDf(cs)))
+        .withColumn("dot", aggregate(
+          zip_with(col("qv"), col("cqv"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+        .withColumn("sim", col("dot").cast("double") /
+          (sqrt(col("n").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"))
+    var assigned: DataFrame = null
+    (1 to iters).foreach { t =>
+      assigned = assignFixed(cent)
+      if (t < iters) {
+        val means = assigned.join(eq.select(col("vec_id"), col("qv")), "vec_id")
+          .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "q")))
+          .groupBy("cluster", "pos")
+          .agg(round(sum("q").cast("double") / count(lit(1)).cast("double"))
+            .cast("long").as("q"))
+          .collect()
+          .groupBy(_.getInt(0))
+        cent = cent.map { case (c, old) =>
+          means.get(c) match {
+            case Some(rows) if rows.nonEmpty =>
+              val v = old.clone()
+              rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
+              (c, v)
+            case _ => (c, old) // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    assigned
+  }
+
+  /** DuckDB replay of the same run: the iteration loop unrolled into CTEs
+    * (cq0 → a1 → cq1 → a2 → … ), every expression mirroring the Spark
+    * arithmetic op-for-op. */
+  private def kmeansFixedOracle(k: Int, iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH eq AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id, sum(q*q) AS n FROM eq GROUP BY vec_id),
+             |cq0 AS (SELECT CAST(vec_id AS INT) AS cluster, pos, q
+             |        FROM eq WHERE vec_id < $k)""".stripMargin
+    (1 to iters).foreach { t =>
+      val prev = s"cq${t - 1}"
+      b ++= s""",
+               |a$t AS (
+               |  SELECT vec_id, cluster FROM (
+               |    SELECT s.vec_id, s.cluster,
+               |      row_number() OVER (PARTITION BY s.vec_id
+               |                         ORDER BY s.sim DESC, s.cluster) AS rn
+               |    FROM (
+               |      SELECT e.vec_id, c.cluster,
+               |        CAST(sum(e.q * c.q) AS DOUBLE) /
+               |          (sqrt(CAST(n1.n AS DOUBLE)) * sqrt(CAST(cn.n AS DOUBLE))) AS sim
+               |      FROM eq e
+               |      JOIN $prev c ON e.pos = c.pos
+               |      JOIN nrm n1 ON n1.vec_id = e.vec_id
+               |      JOIN (SELECT cluster, sum(q*q) AS n FROM $prev GROUP BY cluster) cn
+               |        ON cn.cluster = c.cluster
+               |      GROUP BY e.vec_id, c.cluster, n1.n, cn.n) s) r
+               |  WHERE rn = 1)""".stripMargin
+      if (t < iters)
+        b ++= s""",
+                 |cq$t AS (
+                 |  SELECT o.cluster, o.pos, COALESCE(m.q, o.q) AS q
+                 |  FROM $prev o LEFT JOIN (
+                 |    SELECT a.cluster, e.pos,
+                 |      CAST(round(CAST(sum(e.q) AS DOUBLE) /
+                 |                 CAST(count(*) AS DOUBLE)) AS BIGINT) AS q
+                 |    FROM a$t a JOIN eq e ON a.vec_id = e.vec_id
+                 |    GROUP BY a.cluster, e.pos) m
+                 |  ON m.cluster = o.cluster AND m.pos = o.pos)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT s.cluster, s.size, d.dominant_label,
+             |  CAST(round(CAST(d.n AS DOUBLE) * 10000 / CAST(s.size AS DOUBLE)) AS BIGINT)
+             |    AS purity_c
+             |FROM (SELECT cluster, count(*) AS size FROM a$iters GROUP BY cluster) s
+             |JOIN (
+             |  SELECT cluster, label AS dominant_label, n FROM (
+             |    SELECT c.*, row_number() OVER (PARTITION BY cluster
+             |                                   ORDER BY n DESC, label) AS rn
+             |    FROM (SELECT a.cluster, e.label, count(*) AS n
+             |          FROM a$iters a JOIN embeddings e ON a.vec_id = e.vec_id
+             |          GROUP BY a.cluster, e.label) c) t WHERE rn = 1) d
+             |ON s.cluster = d.cluster""".stripMargin
+    b.toString
+  }
+
+  /** Oracle-checked end-to-end k-means: per-cluster summary (size,
+    * dominant generator label, purity) after the fixed 3-iteration
+    * quantized Lloyd run — DuckDB replays all three iterations exactly.
+    * The float-kernel [[kmeans]] stays the production path (same plan
+    * shape, codegen'd cosine); ClusterSpec pins the two agree on sf0.001
+    * cluster structure. */
+  val kmeansQ: Q = Q("cluster_kmeans",
+    kmeansFixedOracle(K, FixedIters)) { (s, dir) =>
     val e = emb(s, dir)
-    val (assigned, _) = kmeans(s, e, trackInertia = false)
+    val assigned = kmeansFixed(s, e.select("vec_id", "embedding"))
     val withLabel = assigned.join(e.select("vec_id", "label"), "vec_id")
-    val labelCounts = withLabel.groupBy("cluster", "label")
+    val dominant = withLabel.groupBy("cluster", "label")
       .agg(count(lit(1)).as("n"))
-    val dominant = labelCounts
       .withColumn("rn", row_number().over(
         Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("label").as("dominant_label"),
         col("n").as("dominant_n"))
-    withLabel.groupBy("cluster")
-      .agg(count(lit(1)).as("size"),
-        (round(avg(col("sim")) * 10000)).cast("long").as("mean_sim_c"))
+    withLabel.groupBy("cluster").agg(count(lit(1)).as("size"))
       .join(dominant, "cluster")
       .withColumn("purity_c",
-        (round(col("dominant_n") * lit(10000.0) / col("size"))).cast("long"))
-      .select("cluster", "size", "dominant_label", "purity_c", "mean_sim_c")
-      .orderBy("cluster")
+        round(col("dominant_n").cast("double") * 10000 /
+          col("size").cast("double")).cast("long"))
+      .select("cluster", "size", "dominant_label", "purity_c")
   }
 
   val all: Seq[Q] = Seq(assignQ, stepQ, kmeansQ)

@@ -77,4 +77,17 @@ class ClusterSpec extends SparkTestBase {
       assert(purity >= 0L && purity <= 10000L)
     }
   }
+
+  test("quantized fixed-point Lloyd agrees with the float-kernel run") {
+    // same seeds, same iteration count → cluster ids are comparable; the
+    // 1e-3 quantization may flip a handful of boundary vectors, no more
+    val fixed = Cluster.kmeansFixed(spark, e.select("vec_id", "embedding"),
+      iters = Cluster.Iters)
+    val (float, _) = Cluster.kmeans(spark, e, trackInertia = false)
+    val n = e.count().toDouble
+    val agree = fixed.withColumnRenamed("cluster", "cf")
+      .join(float.select(col("vec_id"), col("cluster").as("ck")), "vec_id")
+      .filter(col("cf") === col("ck")).count().toDouble
+    assert(agree / n > 0.9, s"agreement ${agree / n}")
+  }
 }
