@@ -55,10 +55,22 @@ trait LakeIO {
 
 object LakeIO {
   /** Pick the implementation from the root's scheme: URIs go through
-    * Hadoop-FS, bare paths keep the java.nio fast path. */
-  def forRoot(root: String, conf: Configuration = new Configuration())
-      : LakeIO =
-    if (root.contains("://")) new HadoopLakeIO(conf) else NioLakeIO
+    * Hadoop-FS, bare paths keep the java.nio fast path. When no explicit
+    * Configuration is given, the active Spark session's Hadoop conf is
+    * used so `spark.hadoop.*` settings (custom fs impls, object-store
+    * credentials) reach driver-side metadata IO too — a bare
+    * `new Configuration()` would silently drop them. */
+  def forRoot(root: String, conf: Configuration = null): LakeIO =
+    if (!root.contains("://")) NioLakeIO
+    else {
+      val c = Option(conf)
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration))
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession
+          .map(_.sparkContext.hadoopConfiguration))
+        .getOrElse(new Configuration())
+      new HadoopLakeIO(c)
+    }
 
   private[lake] def toNio(p: Path): java.nio.file.Path = {
     val uri = p.toUri

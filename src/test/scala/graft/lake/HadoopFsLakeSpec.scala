@@ -7,15 +7,21 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The lake over a SCHEME'D root (`file://...`): every metadata/sidecar
-  * operation routes through [[HadoopLakeIO]] (org.apache.hadoop.fs
-  * .FileSystem) instead of java.nio — the portability seam that makes the
-  * same code run against hdfs:// or s3a:// roots. Exercises the core op
-  * matrix end-to-end, plus commit atomicity under injected races. */
-class HadoopFsLakeSpec extends SparkTestBase {
+/** The lake over a SCHEME'D root: every metadata/sidecar operation routes
+  * through [[HadoopLakeIO]] (org.apache.hadoop.fs.FileSystem) instead of
+  * java.nio — the portability seam that makes the same code run against
+  * hdfs:// or s3a:// roots. The matrix runs twice: over `file://` (hard-
+  * link atomic publish) and over the registered non-file scheme
+  * `graftfs://testhost` ([[GraftTestFileSystem]]: authority component,
+  * generic rename-if-absent publish branch), proving no `file://`
+  * assumption leaks through path handling. */
+abstract class SchemedLakeSpecBase extends SparkTestBase {
 
-  private def tmpRoot(): String =
-    "file://" + Files.createTempDirectory("lake-hfs-").toString
+  /** e.g. "file://" or "graftfs://testhost" — prepended to a fresh tmp dir. */
+  protected def schemePrefix: String
+
+  protected def tmpRoot(): String =
+    schemePrefix + Files.createTempDirectory("lake-hfs-").toString
 
   private val schema = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -28,7 +34,7 @@ class HadoopFsLakeSpec extends SparkTestBase {
     spark.createDataFrame(data, schema).coalesce(1)
   }
 
-  test("CRUD + time travel + vacuum over a file:// root") {
+  test(s"CRUD + time travel + vacuum over a $schemePrefix root") {
     val root = tmpRoot()
     val ds = LakeDataset.create(spark, root, schema)
     assert(ds.io.isInstanceOf[HadoopLakeIO], "scheme'd root must use Hadoop IO")
@@ -60,7 +66,7 @@ class HadoopFsLakeSpec extends SparkTestBase {
     assert(ds.read().count() == 1)
   }
 
-  test("reopen, schema evolution, detached txns over a file:// root") {
+  test(s"reopen, schema evolution, detached txns over a $schemePrefix root") {
     val root = tmpRoot()
     val ds = LakeDataset.create(spark, root, schema)
     ds.append(rows((1, "a", 1.0)))
@@ -84,7 +90,7 @@ class HadoopFsLakeSpec extends SparkTestBase {
     assert(ds2.detachedStatus(id) == "unknown")
   }
 
-  test("DSv2 read/write + FTS index over a file:// root") {
+  test(s"DSv2 read/write + FTS index over a $schemePrefix root") {
     val root = tmpRoot()
     // no column named "score": FtsIndex.search appends its own score column
     rows((1, "spark table scan", 1.0), (2, "other text entirely", 2.0))
@@ -101,7 +107,7 @@ class HadoopFsLakeSpec extends SparkTestBase {
     assert(hits.headOption.contains(1L))
   }
 
-  test("chunked manifest over a file:// root: skip, distribute, slim-resolve") {
+  test(s"chunked manifest over a $schemePrefix root: skip, distribute, slim-resolve") {
     spark.conf.set("spark.graft.manifestChunkThreshold", "2")
     spark.conf.set("spark.graft.manifestChunkSize", "2")
     try {
@@ -138,7 +144,7 @@ class HadoopFsLakeSpec extends SparkTestBase {
     }
   }
 
-  test("commit publish is conflict-safe under an injected race") {
+  test(s"commit publish is conflict-safe under an injected race ($schemePrefix)") {
     val root = tmpRoot()
     val ds = LakeDataset.create(spark, root, schema)
     ds.append(rows((1, "a", 1.0)))
@@ -166,6 +172,12 @@ class HadoopFsLakeSpec extends SparkTestBase {
     assert(manNames.forall(n => n.startsWith("v") && n.endsWith(".json")),
       manNames.toString)
   }
+}
+
+/** The matrix over `file://` (NioLakeIO-equivalent hard-link publish,
+  * reached through the Hadoop seam). */
+class HadoopFsLakeSpec extends SchemedLakeSpecBase {
+  protected def schemePrefix: String = "file://"
 
   test("rename-if-absent publish path rejects the loser (non-file branch)") {
     // Drive HadoopLakeIO's generic (non-hard-link) publish branch directly:
@@ -179,5 +191,26 @@ class HadoopFsLakeSpec extends SparkTestBase {
       io.publishAtomic(target, """{"v": 2}"""))
     assert(io.readString(target) == """{"v": 1}""")
     assert(io.listNames(target.getParent) == Seq("v1.json"))
+  }
+}
+
+/** The same matrix over `graftfs://testhost` — a registered non-file
+  * scheme with an authority. Every publish in these tests goes through
+  * the generic rename-if-absent branch (the s3a-analogue path), and every
+  * Spark fragment read/write resolves the custom scheme from the session
+  * Hadoop conf — which also pins the LakeIO.forRoot default-conf fix
+  * (a bare `new Configuration()` would not know `fs.graftfs.impl`). */
+class GraftFsLakeSpec extends SchemedLakeSpecBase {
+  GraftTestFileSystem.register(spark.sparkContext.hadoopConfiguration)
+
+  protected def schemePrefix: String = "graftfs://testhost"
+
+  test("authority survives qualification and listing") {
+    val root = tmpRoot()
+    val ds = LakeDataset.create(spark, root, schema =
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    val q = ds.io.absolute(new org.apache.hadoop.fs.Path(root))
+    assert(q.toUri.getScheme == "graftfs", q.toString)
+    assert(q.toUri.getAuthority == "testhost", q.toString)
   }
 }
