@@ -9,8 +9,10 @@ import scala.collection.mutable
 /** Minimal PostgreSQL-protocol client — the test/round-trip counterpart of
   * [[WireServer]], speaking the same public v3 framing from the frontend
   * side (startup → simple query → terminate). Kept deliberately dumb: raw
-  * message framing, text-format results only, no TLS/auth/extended-protocol
-  * features, so a server bug cannot hide behind a lenient client library.
+  * message framing, text-format results only, no TLS, so a server bug
+  * cannot hide behind a lenient client library. Speaks the three auth
+  * exchanges the server offers: trust, cleartext password, and
+  * SCRAM-SHA-256 (with server-signature verification on the final step).
   */
 object WireClient {
 
@@ -25,7 +27,8 @@ object WireClient {
       extends RuntimeException(s"$sqlState: $message")
 
   final class Conn(host: String, port: Int, user: String = "graft",
-      database: String = "graft") extends AutoCloseable {
+      database: String = "graft", password: String = "")
+      extends AutoCloseable {
     private val socket = new Socket(host, port)
     socket.setTcpNoDelay(true)
     private val in = new DataInputStream(
@@ -215,14 +218,62 @@ object WireClient {
     // ------------------------------------------------------------ plumbing
 
     private def drainUntilReady(): Unit = {
+      // SCRAM frontend state across the R-message exchange
+      var scramNonce = ""
+      var scramBare = ""
+      var expectServerSig: Option[String] = None
       var ready = false
       while (!ready) {
         val (typ, body) = readMessage()
         typ match {
           case 'R' =>
             val code = readInt(body, 0)
-            if (code != 0)
-              throw new IOException(s"unsupported auth request $code")
+            code match {
+              case 0 => () // AuthenticationOk
+              case 3 =>    // AuthenticationCleartextPassword
+                send('p') { b =>
+                  b.write(password.getBytes(UTF_8)); b.writeByte(0)
+                }
+                flushOut()
+              case 10 =>   // AuthenticationSASL — start SCRAM-SHA-256
+                scramNonce = WireAuth.freshNonce(
+                  new java.security.SecureRandom())
+                scramBare = s"n=,r=$scramNonce"
+                val first = ("n,," + scramBare).getBytes(UTF_8)
+                send('p') { b =>
+                  b.write(WireAuth.Mechanism.getBytes(UTF_8)); b.writeByte(0)
+                  b.writeInt(first.length); b.write(first)
+                }
+                flushOut()
+              case 11 =>   // AuthenticationSASLContinue — server-first
+                val serverFirst = new String(body, 4, body.length - 4, UTF_8)
+                val a = WireAuth.attrs(serverFirst)
+                val fullNonce = a('r')
+                if (!fullNonce.startsWith(scramNonce))
+                  throw new IOException("server tampered with SCRAM nonce")
+                val salted = WireAuth.saltedPassword(
+                  password, WireAuth.unb64(a('s')), a('i').toInt)
+                val noProof = s"c=biws,r=$fullNonce" // biws = b64("n,,")
+                val authMessage =
+                  scramBare + "," + serverFirst + "," + noProof
+                val ck = WireAuth.clientKey(salted)
+                val proof = WireAuth.xor(ck,
+                  WireAuth.hmac(WireAuth.storedKey(ck), authMessage))
+                expectServerSig = Some(WireAuth.b64(
+                  WireAuth.hmac(WireAuth.serverKey(salted), authMessage)))
+                val fin =
+                  (noProof + s",p=${WireAuth.b64(proof)}").getBytes(UTF_8)
+                send('p') { b => b.write(fin) }
+                flushOut()
+              case 12 =>   // AuthenticationSASLFinal — verify the server
+                val v = WireAuth.attrs(
+                  new String(body, 4, body.length - 4, UTF_8)).get('v')
+                if (v != expectServerSig)
+                  throw new IOException(
+                    "SCRAM server signature mismatch — not the real server")
+              case other =>
+                throw new IOException(s"unsupported auth request $other")
+            }
           case 'S' =>
             val (k, p) = cString(body, 0); val (v, _) = cString(body, p)
             parameters(k) = v

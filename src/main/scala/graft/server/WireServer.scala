@@ -41,7 +41,12 @@ import org.apache.spark.sql.types._
   * one partition's rows in memory, not the result (the 100 TB posture for
   * a wire interface: the client is the sink, partitions arrive in order).
   *
-  * Binds 127.0.0.1 only; auth is trust (the reference's dev posture).
+  * Binds 127.0.0.1 only. Auth is trust by default (the reference's dev
+  * posture — its psql-wire setup configures no auth either); set
+  * `spark.graft.wire.auth` to "password" (AuthenticationCleartextPassword)
+  * or "scram-sha-256" (the RFC 7677 SASL exchange psql speaks, with
+  * mock-auth for unknown users) against the `spark.graft.wire.users`
+  * credential list.
   */
 final class WireServer(
     spark: SparkSession,
@@ -133,8 +138,11 @@ final class WireServer(
       }
     }
 
-    // Trust auth + session preamble.
-    msg(out, 'R') { b => b.writeInt(0) }                       // AuthenticationOk
+    // Authentication (trust / cleartext password / SCRAM-SHA-256) then the
+    // session preamble. authenticate() sends AuthenticationOk on success.
+    if (!authenticate(in, out, params.getOrElse("user", ""))) {
+      out.flush(); return
+    }
     paramStatus(out, "server_version", "16.0 (graft)")
     paramStatus(out, "server_encoding", "UTF8")
     paramStatus(out, "client_encoding",
@@ -156,6 +164,135 @@ final class WireServer(
     out.flush()
     try handleMessages(s, in, out)
     finally cancelKeys.remove((pid, secret))
+  }
+
+  // ------------------------------------------------------------------ auth
+
+  /** Credential store: `spark.graft.wire.users` = "user:password,..." —
+    * dev-grade, like a plaintext pg password file; a real deployment would
+    * load pre-derived SCRAM verifiers instead of passwords. */
+  private def wireUsers: Map[String, String] =
+    spark.conf.get("spark.graft.wire.users", "").split(",").iterator
+      .map(_.trim).filter(_.contains(":"))
+      .map { s =>
+        val i = s.indexOf(':')
+        s.substring(0, i) -> s.substring(i + 1)
+      }.toMap
+
+  private def readTyped(in: DataInputStream): (Char, Array[Byte]) = {
+    val typ = in.readByte().toChar
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    (typ, body)
+  }
+
+  /** Run the auth exchange selected by `spark.graft.wire.auth`
+    * ("trust" default, "password" = AuthenticationCleartextPassword,
+    * "scram-sha-256" = the SASL exchange psql speaks). Returns true and
+    * sends AuthenticationOk on success; sends 28P01 and returns false on
+    * failure. Unknown users go through a mock SCRAM exchange against a
+    * random secret (the PostgreSQL mock-auth idiom), so the error is
+    * indistinguishable from a wrong password — no user enumeration. */
+  private def authenticate(in: DataInputStream, out: DataOutputStream,
+      user: String): Boolean = {
+    def ok(): Boolean = { msg(out, 'R') { b => b.writeInt(0) }; true }
+    def reject(): Boolean = {
+      sendError(out, "28P01",
+        s"""password authentication failed for user "$user"""")
+      false
+    }
+    spark.conf.get("spark.graft.wire.auth", "trust") match {
+      case "trust" => ok()
+
+      case "password" =>
+        msg(out, 'R') { b => b.writeInt(3) } // AuthenticationCleartextPassword
+        out.flush()
+        val (typ, body) = readTyped(in)
+        if (typ != 'p') {
+          sendError(out, "08P01", s"expected PasswordMessage, got '$typ'")
+          false
+        } else if (wireUsers.get(user).contains(cString(body, 0)._1)) ok()
+        else reject()
+
+      case "scram-sha-256" =>
+        msg(out, 'R') { b =>               // AuthenticationSASL: mechanisms
+          b.writeInt(10)
+          writeCString(b, WireAuth.Mechanism)
+          b.writeByte(0)
+        }
+        out.flush()
+        val secret = wireUsers.getOrElse(user,
+          java.util.UUID.randomUUID().toString) // mock-auth for unknown users
+        val (t1, b1) = readTyped(in)
+        if (t1 != 'p') {
+          sendError(out, "08P01", s"expected SASLInitialResponse, got '$t1'")
+          return false
+        }
+        val (mech, p1) = cString(b1, 0)
+        if (mech != WireAuth.Mechanism) {
+          sendError(out, "28000", s"unsupported SASL mechanism $mech")
+          return false
+        }
+        val rlen = readInt(b1, p1)
+        val clientFirst = new String(b1, p1 + 4, rlen, UTF_8)
+        // gs2 header ("n,," — no channel binding) then client-first-bare
+        val gsEnd = clientFirst.indexOf(",,")
+        if (gsEnd < 0) {
+          sendError(out, "08P01", "malformed client-first-message"); return false
+        }
+        val gs2 = clientFirst.substring(0, gsEnd + 2)
+        val bare = clientFirst.substring(gsEnd + 2)
+        val clientNonce = WireAuth.attrs(bare).getOrElse('r', {
+          sendError(out, "08P01", "client-first-message lacks nonce")
+          return false
+        })
+        val salt = new Array[Byte](16)
+        rnd.nextBytes(salt)
+        val salted = WireAuth.saltedPassword(secret, salt, WireAuth.Iterations)
+        val fullNonce = clientNonce + WireAuth.freshNonce(rnd)
+        val serverFirst =
+          s"r=$fullNonce,s=${WireAuth.b64(salt)},i=${WireAuth.Iterations}"
+        msg(out, 'R') { b =>               // AuthenticationSASLContinue
+          b.writeInt(11); b.write(serverFirst.getBytes(UTF_8))
+        }
+        out.flush()
+        val (t2, b2) = readTyped(in)
+        if (t2 != 'p') {
+          sendError(out, "08P01", s"expected SASLResponse, got '$t2'")
+          return false
+        }
+        val clientFinal = new String(b2, UTF_8)
+        val fin = WireAuth.attrs(clientFinal)
+        val proofAt = clientFinal.lastIndexOf(",p=")
+        if (proofAt < 0 || !fin.contains('p') ||
+            !fin.get('r').contains(fullNonce) ||
+            !fin.get('c').contains(WireAuth.b64(gs2.getBytes(UTF_8)))) {
+          sendError(out, "08P01", "malformed client-final-message")
+          return false
+        }
+        val authMessage =
+          bare + "," + serverFirst + "," + clientFinal.substring(0, proofAt)
+        val storedKey = WireAuth.storedKey(WireAuth.clientKey(salted))
+        val recoveredClientKey = WireAuth.xor(
+          WireAuth.unb64(fin('p')),
+          WireAuth.hmac(storedKey, authMessage))
+        if (!java.security.MessageDigest.isEqual(
+            WireAuth.sha256(recoveredClientKey), storedKey)) reject()
+        else {
+          val serverSig =
+            WireAuth.hmac(WireAuth.serverKey(salted), authMessage)
+          msg(out, 'R') { b =>             // AuthenticationSASLFinal
+            b.writeInt(12)
+            b.write(s"v=${WireAuth.b64(serverSig)}".getBytes(UTF_8))
+          }
+          ok()
+        }
+
+      case other =>
+        sendError(out, "0A000", s"unsupported auth mode '$other'")
+        false
+    }
   }
 
   private def handleMessages(s: Socket, in: DataInputStream,

@@ -375,6 +375,63 @@ class WireServerSpec extends SparkTestBase {
     }
   }
 
+  private def withAuth[A](mode: String, users: String)(f: Int => A): A = {
+    spark.conf.set("spark.graft.wire.auth", mode)
+    spark.conf.set("spark.graft.wire.users", users)
+    val server = new WireServer(spark, 0)
+    try f(server.boundPort)
+    finally {
+      server.close()
+      spark.conf.unset("spark.graft.wire.auth")
+      spark.conf.unset("spark.graft.wire.users")
+    }
+  }
+
+  test("cleartext password auth: right password in, wrong password out") {
+    withAuth("password", "alice:s3cret,bob:hunter2") { port =>
+      val conn = new WireClient.Conn("127.0.0.1", port,
+        user = "alice", password = "s3cret")
+      try assert(conn.query("SELECT 1 AS v").head.rows.head.head.get == "1")
+      finally conn.close()
+
+      val bad = intercept[WireClient.ServerError](
+        new WireClient.Conn("127.0.0.1", port,
+          user = "alice", password = "wrong"))
+      assert(bad.sqlState == "28P01")
+    }
+  }
+
+  test("SCRAM-SHA-256: full exchange authenticates, bad/unknown rejected") {
+    withAuth("scram-sha-256", "carol:tops3cret") { port =>
+      // success implies the client also verified the SERVER signature
+      // (Conn throws on a v= mismatch), i.e. mutual authentication
+      val conn = new WireClient.Conn("127.0.0.1", port,
+        user = "carol", password = "tops3cret")
+      try assert(conn.query("SELECT 2 AS v").head.rows.head.head.get == "2")
+      finally conn.close()
+
+      val badPw = intercept[WireClient.ServerError](
+        new WireClient.Conn("127.0.0.1", port,
+          user = "carol", password = "nope"))
+      assert(badPw.sqlState == "28P01")
+
+      // unknown user: mock exchange — same error as a wrong password,
+      // so the failure does not reveal whether the role exists
+      val noUser = intercept[WireClient.ServerError](
+        new WireClient.Conn("127.0.0.1", port,
+          user = "mallory", password = "tops3cret"))
+      assert(noUser.sqlState == "28P01")
+    }
+  }
+
+  test("trust mode (default) still connects with no credentials") {
+    withAuth("trust", "") { port =>
+      val conn = new WireClient.Conn("127.0.0.1", port)
+      try assert(conn.query("SELECT 3 AS v").head.rows.head.head.get == "3")
+      finally conn.close()
+    }
+  }
+
   test("wire round-trip DataFrame matches direct execution") {
     Tables.register(spark, sf0001)
     val sql = "SELECT n_regionkey, count(*) AS nations FROM nation " +
