@@ -11,18 +11,28 @@ import graft.Q
   * `ref_tpcds_plan` proves all 99 reference query files plan end-to-end;
   * this module goes further than the reference can (its engine lacks
   * window functions, set ops, ROLLUP — README feature table) by RUNNING a
-  * representative 13-query slice on deterministic generated data
+  * representative 29-query slice on deterministic generated data
   * ([[TpcdsGen]]) and oracle-checking every row against DuckDB:
   *
-  *   - q3/q42/q55: star joins + agg over date/item predicates
+  *   - q3/q42/q52/q55: star joins + agg over date/item predicates
   *   - q5: three-channel UNION ALL + ROLLUP over sales+returns
   *   - q6: correlated scalar subquery per category + uncorrelated scalar
-  *   - q7: 5-way join over customer_demographics + promotion
+  *   - q7/q26: 5-way join over customer_demographics + promotion
   *   - q8: INTERSECT of zip lists + HAVING, substring join
+  *   - q1/q32: correlated average subqueries (per-store / per-item)
+  *   - q15/q19/q48: OR-of-conjunctions filters, zip/state predicates
+  *   - q34: per-ticket line counts with a HAVING-style band (15..20)
+  *   - q41: item self-correlated EXISTS-style count over color/size combos
+  *   - q43/q59: day-of-week pivot sums; year-over-year weekly ratios
+  *   - q50: sale→return day-lag buckets over a 3-key self-join
   *   - q51: FULL OUTER JOIN of two cumulative-window CTEs
   *   - q53/q89: windowed average over group-by output + ratio filter
+  *   - q61: promotional/total ratio of two single-row subqueries
+  *   - q65: store-average revenue threshold (nested agg-of-agg)
   *   - q79: per-ticket agg then customer join
+  *   - q88: 8 half-hour count subqueries cross-joined to one row
   *   - q96: time_dim/household filter count
+  *   - q97: FULL OUTER store/catalog customer-item overlap counts
   *   - q98: window ratio (class-partitioned revenue share)
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
@@ -45,8 +55,62 @@ object Tpcds {
     raw.trim.stripSuffix(";")
   }
 
-  /** The slice: query number → text patch. */
+  /** The slice: query number → text patch. Additional patch conventions
+    * for the round-6 expansion (all applied identically to both engines):
+    *   - money literals scale ×100 (the slice's money columns are BIGINT
+    *     cents): q48 price/profit ranges, q43/q61 gmt_offset -5/-7 → -500
+    *     (all generated offsets are -500 cents = -5.00)
+    *   - double-quoted aliases → plain identifiers (Spark treats "..." as
+    *     a string literal): q32, q50
+    *   - decimal casts → double (DECIMAL outputs are banned by the driver
+    *     hasher): q61 — the ratio stays exact, one IEEE division of two
+    *     exactly-summed BIGINTs
+    *   - q61 i_category 'Home' → 'Music': the 9-category generator pool
+    *     has no Home; Music keeps the predicate selective
+    *   - q65 ORDER BY gains ss_store_sk: two generated stores share a
+    *     name, so (s_store_name, i_item_desc) does not determine the
+    *     LIMIT cut */
   private val patches: Map[Int, String => String] = Map(
+    1 -> identity,
+    15 -> (t => t.replaceFirst(
+      """,sum\(cs_sales_price\)""", ",sum(cs_sales_price) AS sum_sales")),
+    19 -> identity,
+    26 -> identity,
+    32 -> (t => t.replace(
+      """as "excess discount amount"""", "as excess_discount")),
+    34 -> identity,
+    41 -> identity,
+    43 -> (t => t.replace("s_gmt_offset = -5", "s_gmt_offset = -500")),
+    48 -> (t => t
+      .replaceFirst("""sum \(ss_quantity\)""", "sum(ss_quantity) AS sum_qty")
+      .replace("between 100.00 and 150.00", "between 10000 and 15000")
+      .replace("between 50.00 and 100.00", "between 5000 and 10000")
+      .replace("between 150.00 and 200.00", "between 15000 and 20000")
+      .replace("ss_net_profit between 0 and 2000",
+        "ss_net_profit between 0 and 200000")
+      .replace("ss_net_profit between 150 and 3000",
+        "ss_net_profit between 15000 and 300000")
+      .replace("ss_net_profit between 50 and 25000",
+        "ss_net_profit between 5000 and 2500000")),
+    50 -> (t => t
+      .replace("""as "30 days"""", "as d_le_30")
+      .replace("""as "31-60 days"""", "as d_31_60")
+      .replace("""as "61-90 days"""", "as d_61_90")
+      .replace("""as "91-120 days"""", "as d_91_120")
+      .replace("""as ">120 days"""", "as d_gt_120")),
+    52 -> identity,
+    59 -> (t => t.replaceAll(
+      """([a-z]{3})_sales1/\1_sales2""", "$1_sales1/$1_sales2 AS $1_ratio")),
+    61 -> (t => t
+      .replace("cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100",
+        "cast(promotions as double)/cast(total as double)*100 AS promo_pct")
+      .replace("ca_gmt_offset = -7", "ca_gmt_offset = -500")
+      .replace("s_gmt_offset = -7", "s_gmt_offset = -500")
+      .replace("i_category = 'Home'", "i_category = 'Music'")),
+    65 -> (t => t.replace("order by s_store_name, i_item_desc",
+      "order by s_store_name, i_item_desc, sc.ss_store_sk")),
+    88 -> identity,
+    97 -> identity,
     3 -> identity,
     5 -> (t => t.replace("cast(0 as decimal(7,2))", "cast(0 as bigint)")),
     6 -> identity,

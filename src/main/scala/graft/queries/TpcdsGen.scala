@@ -131,7 +131,10 @@ object TpcdsGen {
         "d_qoy" ->
           s"CAST(${div(s"month($dDate) - 1", 3)} + 1 AS INT)",
         // 1998-01-01 is a Thursday; Sunday=0 convention → 4
-        "d_dow" -> "CAST((id + 4) % 7 AS INT)"),
+        "d_dow" -> "CAST((id + 4) % 7 AS INT)",
+        "d_day_name" -> pick("(id + 4) % 7",
+          Seq("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+            "Friday", "Saturday"))),
       "time_dim" -> Map(
         "t_time_sk" -> "id",
         "t_time" -> "CAST(id * 60 AS INT)",
@@ -150,7 +153,21 @@ object TpcdsGen {
         "i_class" -> pickNested("id % 9", s"${div("id", 9)} % 4", classPools),
         "i_class_id" -> s"CAST((id % 9) * 4 + ${div("id", 9)} % 4 AS INT)",
         "i_brand" -> pickNested("id % 9", s"${div("id", 9)} % 2", brandPools),
-        "i_brand_id" -> s"CAST((id % 9) * 10 + ${div("id", 9)} % 2 AS INT)"),
+        "i_brand_id" -> s"CAST((id % 9) * 10 + ${div("id", 9)} % 2 AS INT)",
+        // q41's correlated-item predicate needs coherent color/units/size
+        // combos: one shared key (id/9 % 8) makes e.g. forest ⇒ Pallet,
+        // and the 4-size pool keyed id/9 % 4 keeps (economy|small) aligned
+        // with the first two color/unit slots.
+        "i_product_name" -> "'product_' || lpad(CAST(id AS STRING), 6, '0')",
+        "i_manufact" -> "'manu_' || CAST(id % 200 AS STRING)",
+        "i_color" -> pick(s"${div("id", 9)} % 8",
+          Seq("forest", "lime", "navy", "slate", "powder", "sky",
+            "maroon", "smoke")),
+        "i_units" -> pick(s"${div("id", 9)} % 8",
+          Seq("Pallet", "Pound", "Gross", "Bunch", "Dozen", "Lb",
+            "Ounce", "Case")),
+        "i_size" -> pick(s"${div("id", 9)} % 4",
+          Seq("economy", "small", "petite", "large"))),
       "store" -> Map(
         "s_store_sk" -> "id",
         "s_store_id" -> "'STORE_' || lpad(CAST(id AS STRING), 2, '0')",
@@ -215,16 +232,21 @@ object TpcdsGen {
         "cp_catalog_page_sk" -> "id",
         "cp_catalog_page_id" -> "'PAGE_' || lpad(CAST(id AS STRING), 3, '0')"),
       "store_sales" -> Map(
-        "ss_sold_date_sk" -> "(id * 37 + 11) % 2191",
+        // A ticket IS one store visit: date, customer, household and store
+        // are TICKET-level attributes (keyed by id/18, 18 lines per
+        // ticket), like the official generator's per-trip structure —
+        // q34-class queries (count lines per ticket between 15 and 20)
+        // are empty under row-keyed attributes.
+        "ss_sold_date_sk" -> s"(${div("id", 18)} * 37 + 11) % 2191",
         "ss_sold_time_sk" -> "(id * 1021 + 7) % 1440",
         "ss_item_sk" -> "id % 1000",
-        "ss_customer_sk" -> "(id * 29 + 3) % 2000",
+        "ss_customer_sk" -> s"(${div("id", 18)} * 29 + 3) % 2000",
         "ss_cdemo_sk" -> "(id * 41 + 5) % 700",
-        "ss_hdemo_sk" -> "(id * 23 + 1) % 144",
+        "ss_hdemo_sk" -> s"(${div("id", 18)} * 23 + 1) % 144",
         "ss_addr_sk" -> "(id * 19) % 1500",
-        "ss_store_sk" -> "(id * 31) % 12",
+        "ss_store_sk" -> s"(${div("id", 18)} * 31) % 12",
         "ss_promo_sk" -> "(id * 43) % 50",
-        "ss_ticket_number" -> div("id", 3), // ~3 lines per ticket
+        "ss_ticket_number" -> div("id", 18),
         "ss_quantity" -> "CAST(1 + id % 100 AS INT)",
         // money columns: deterministic pseudo-random cents
         "ss_sales_price" -> "(id * 7919 + 13) % 20000",
@@ -252,6 +274,11 @@ object TpcdsGen {
         "ws_net_profit" -> "(id * 7901) % 300000 - 100000"),
       "catalog_sales" -> Map(
         "cs_sold_date_sk" -> "(id * 37 + 29) % 2191",
+        // q26 joins bill_cdemo/promo: the default type filler only covers
+        // demo_sk 0..100, which intersects q26's M/W/Unknown demographic
+        // slice in a single row — key them over the full dimension ranges
+        "cs_bill_cdemo_sk" -> "(id * 41 + 5) % 700",
+        "cs_promo_sk" -> "(id * 43 + 1) % 50",
         "cs_item_sk" -> "id % 1000",
         "cs_order_number" -> "id",
         "cs_catalog_page_sk" -> "id % 60",
@@ -259,15 +286,26 @@ object TpcdsGen {
         "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
         "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
         "cs_net_profit" -> "(id * 7883) % 300000 - 100000"),
-      "store_returns" -> Map(
-        "sr_returned_date_sk" -> "(id * 37 + 23) % 2191",
-        "sr_item_sk" -> "id % 1000",
-        "sr_ticket_number" -> div("id", 2),
-        "sr_customer_sk" -> "(id * 29 + 13) % 2000",
-        "sr_store_sk" -> "id % 12",
-        "sr_return_quantity" -> "CAST(1 + id % 20 AS INT)",
-        "sr_return_amt" -> "(id * 3571) % 50000",
-        "sr_net_loss" -> "(id * 2713) % 40000"),
+      "store_returns" -> {
+        // Each return REFERS to a real sale line (official FK shape):
+        // return r returns sale row (r*7)%60000, so ticket/item/customer/
+        // store mirror that line's values and the q50-class join
+        // (ticket+item+customer) matches exactly one sale. Returned date =
+        // sold date + 0..149 days, capped at the calendar end.
+        val sale = "(id * 7) % 60000"
+        val ticket = div(sale, 18)
+        val sold = s"($ticket * 37 + 11) % 2191"
+        Map(
+          "sr_returned_date_sk" -> s"least(2190, $sold + (id % 150))",
+          "sr_item_sk" -> s"($sale) % 1000",
+          "sr_ticket_number" -> ticket,
+          "sr_customer_sk" -> s"($ticket * 29 + 3) % 2000",
+          "sr_store_sk" -> s"($ticket * 31) % 12",
+          "sr_return_quantity" -> "CAST(1 + id % 20 AS INT)",
+          "sr_return_amt" -> "(id * 3571) % 50000",
+          "sr_fee" -> "(id * 1117) % 10000",
+          "sr_net_loss" -> "(id * 2713) % 40000")
+      },
       "catalog_returns" -> Map(
         "cr_returned_date_sk" -> "(id * 37 + 31) % 2191",
         "cr_item_sk" -> "id % 1000",
