@@ -324,6 +324,62 @@ object Curate {
         sum("n_chars").cast("long").as("chars_kept"))
   }
 
+  /** Per-source quota capping (the RefinedWeb/CCNet "per-domain cap"
+    * recipe: no single domain may dominate the corpus). Rank docs inside
+    * each source by a deterministic hash — NOT by arrival order, so the
+    * kept subset is a stable uniform sample of the domain, invariant to
+    * re-shards — and keep the first 10
+    * (the sf0.01 corpus has 25 docs per source, so the cap demonstrably
+    * truncates). The window partitions by source,
+    * so at 100 TB this is one hash-partition exchange keyed on the
+    * (bounded-cardinality) domain column; a skewed mega-domain still
+    * funnels into one task, which is exactly the hot-bucket shape the cap
+    * itself then truncates at k rows. */
+  val domainCap = Q(
+    "curate_domain_cap",
+    """SELECT doc_id, source, rk FROM (
+      |  SELECT doc_id, source, row_number() OVER (
+      |      PARTITION BY source
+      |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+      |        1, 4)) AS INT), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 10""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("source").orderBy(hash16.asc, col("doc_id").asc)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 10)
+  }
+
+  /** Deterministic seeded global shuffle for training order: every doc
+    * gets a shuffle key md5(seed || doc_id), a shard (key mod 64), and a
+    * position within its shard. This is the canonical distributed-shuffle
+    * shape — ONE hash-partition exchange on shard + a per-shard local
+    * sort; no global ordering step, because a training reader consumes
+    * shard files independently. Same seed → same order on any engine,
+    * partitioning, or rerun. */
+  val shuffle = Q(
+    "curate_shuffle",
+    """SELECT doc_id, shard, row_number() OVER (
+      |    PARTITION BY shard ORDER BY h, doc_id) AS pos
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5('shuf42:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |    CAST(concat('0x', substr(md5('shuf42:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS shard
+      |  FROM documents) t""".stripMargin) { (s, dir) =>
+    val h = conv(substring(md5(concat(lit("shuf42:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), h.as("h"), (h % 64).as("shard"))
+    keyed.select(col("doc_id"), col("shard"),
+      row_number().over(
+        Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc))
+        .cast("long").as("pos"))
+  }
+
   def all: Seq[Q] =
-    Seq(hashSample, split, tokenBudget, chunk, pack, mix, mixTemp)
+    Seq(hashSample, split, tokenBudget, chunk, pack, mix, mixTemp,
+      domainCap, shuffle)
 }
