@@ -291,9 +291,27 @@ object FtsIndex {
     val post = perSeg.reduce(_ unionByName _)
       .filter(col("term").isin(distinctTerms: _*))
       .select("_rowid", "term", "positions")
+    // Rarest-term candidate pruning — the positional analogue of
+    // MaxScore's driver list: every phrase hit must contain the rarest
+    // term, so semi-join all postings to ITS rowids before the heavy
+    // position-list aggregation. For a hot+rare phrase ("the zyzzyva")
+    // this keeps the stop word's giant position payload out of the
+    // shuffle entirely. The df probe reads only the `term` column of the
+    // query terms' postings (column pruning skips positions). Broadcast
+    // the candidate set when it is provably small; fall back to a
+    // shuffled semi-join (still positions-free on the probe side) above
+    // the cap.
+    val dfs = post.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = distinctTerms.minBy(t => dfs.getOrElse(t, 0L))
+    val cand = post.filter(col("term") === rarest).select("_rowid")
+    val prunedPost =
+      if (dfs.getOrElse(rarest, 0L) <= 1000000L)
+        post.join(broadcast(cand), Seq("_rowid"), "left_semi")
+      else post.join(cand, Seq("_rowid"), "left_semi")
     // one row per candidate doc: map term -> positions (rowids are unique
     // across chain segments, so the map has one entry per term)
-    val byDoc = post.groupBy("_rowid")
+    val byDoc = prunedPost.groupBy("_rowid")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("tp"))
       .filter(size(col("tp")) === distinctTerms.size)

@@ -244,6 +244,33 @@ class FtsIndexSpec extends SparkTestBase {
     assert(after.contains(910002L))
   }
 
+  test("hot+rare phrase: rarest-term pruning returns exact occurrences") {
+    // skewed corpus: 'common' in every doc (big position payload), the
+    // phrase "zyzzyva common" in exactly three — the semi-join against
+    // the rare term's rowids must not change any result
+    val dir = Files.createTempDirectory("ftsskew-").toString
+    val ds = LakeDataset.create(spark, dir, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType))))
+    import spark.implicits._
+    val filler = (1 to 30).map(i => s"common w$i").mkString(" ")
+    val docs = (0L until 200L).map { i =>
+      val t =
+        if (i % 67 == 0) s"zyzzyva common start $filler"
+        else s"start $filler common end"
+      (i, t)
+    }
+    ds.append(docs.toDF("doc_id", "text").coalesce(2))
+    FtsIndex.build(ds, "text")
+    val hits = FtsIndex.phraseSearch(ds, Seq("zyzzyva", "common"), k = 100)
+      .select("doc_id", "n_occ").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(0L -> 1L, 67L -> 1L, 134L -> 1L))
+    // the hot term alone still phrase-counts against itself correctly
+    val hot = FtsIndex.phraseSearch(ds, Seq("common", "w1"), k = 300)
+    assert(hot.count() == 200)
+  }
+
   test("single-term phrase and repeated-term phrase count correctly") {
     val dir = Files.createTempDirectory("ftsph-").toString
     val ds = LakeDataset.create(spark, dir, StructType(Seq(
