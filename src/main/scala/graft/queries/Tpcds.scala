@@ -11,7 +11,7 @@ import graft.Q
   * `ref_tpcds_plan` proves all 99 reference query files plan end-to-end;
   * this module goes further than the reference can (its engine lacks
   * window functions, set ops, ROLLUP — README feature table) by RUNNING a
-  * representative 29-query slice on deterministic generated data
+  * representative 36-query slice on deterministic generated data
   * ([[TpcdsGen]]) and oracle-checking every row against DuckDB:
   *
   *   - q3/q42/q52/q55: star joins + agg over date/item predicates
@@ -33,6 +33,11 @@ import graft.Q
   *   - q88: 8 half-hour count subqueries cross-joined to one row
   *   - q96: time_dim/household filter count
   *   - q97: FULL OUTER store/catalog customer-item overlap counts
+  *   - q33/q56/q60: three-channel UNION ALL CTEs with IN-subquery item
+  *     slices over gmt-offset addresses
+  *   - q36: ROLLUP gross margin + rank() windows partitioned by grouping()
+  *   - q45: zip-list OR item IN-subquery over web sales
+  *   - q46/q68: bought-city vs current-city two-alias address joins
   *   - q98: window ratio (class-partitioned revenue share)
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
@@ -109,6 +114,20 @@ object Tpcds {
       .replace("i_category = 'Home'", "i_category = 'Music'")),
     65 -> (t => t.replace("order by s_store_name, i_item_desc",
       "order by s_store_name, i_item_desc, sc.ss_store_sk")),
+    33 -> (t => t
+      .replaceAll("""ca_gmt_offset\s+= -5""", "ca_gmt_offset = -500")
+      .replace("order by total_sales", "order by total_sales, i_manufact_id")),
+    36 -> identity,
+    45 -> (t => t.replaceFirst(
+      """sum\(ws_sales_price\)""", "sum(ws_sales_price) AS sum_sales")),
+    46 -> (t => t.replaceAll("""ss_ticket_number(\s*)limit""",
+      "ss_ticket_number, amt, profit$1limit")),
+    56 -> (t => t.replaceAll(
+      """ca_gmt_offset\s+= -6""", "ca_gmt_offset = -500")),
+    60 -> (t => t.replaceAll(
+      """ca_gmt_offset\s+= -5""", "ca_gmt_offset = -500")),
+    68 -> (t => t.replaceAll("""ss_ticket_number(\s*)limit""",
+      "ss_ticket_number, bought_city, extended_price$1limit")),
     88 -> identity,
     97 -> identity,
     3 -> identity,
