@@ -11,7 +11,7 @@ import graft.Q
   * `ref_tpcds_plan` proves all 99 reference query files plan end-to-end;
   * this module goes further than the reference can (its engine lacks
   * window functions, set ops, ROLLUP — README feature table) by RUNNING a
-  * representative 36-query slice on deterministic generated data
+  * representative 41-query slice on deterministic generated data
   * ([[TpcdsGen]]) and oracle-checking every row against DuckDB:
   *
   *   - q3/q42/q52/q55: star joins + agg over date/item predicates
@@ -38,6 +38,10 @@ import graft.Q
   *   - q36: ROLLUP gross margin + rank() windows partitioned by grouping()
   *   - q45: zip-list OR item IN-subquery over web sales
   *   - q46/q68: bought-city vs current-city two-alias address joins
+  *   - q2: cross-channel weekly ratio matrix (year vs year+1, week-join)
+  *   - q21/q22/q82: the inventory fact — before/after pivot ratios,
+  *     4-level ROLLUP averages, quantity-band item lookups
+  *   - q31: county-level quarter-over-quarter web-vs-store growth joins
   *   - q98: window ratio (class-partitioned revenue share)
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
@@ -114,6 +118,19 @@ object Tpcds {
       .replace("i_category = 'Home'", "i_category = 'Music'")),
     65 -> (t => t.replace("order by s_store_name, i_item_desc",
       "order by s_store_name, i_item_desc, sc.ss_store_sk")),
+    2 -> (t => t.replaceAll(
+      """round\(([a-z]{3})_sales1/\1_sales2,2\)""",
+      "round($1_sales1/$1_sales2,2) AS $1_ratio")),
+    31 -> identity,
+    21 -> (t => t.replace("between 0.99 and 1.49", "between 99 and 149")),
+    22 -> (t => t.replace(
+      "order by qoh, i_product_name, i_brand, i_class, i_category",
+      "order by qoh, i_product_name NULLS LAST, i_brand NULLS LAST, " +
+        "i_class NULLS LAST, i_category NULLS LAST")),
+    82 -> (t => t
+      .replace("between 58 and 58+30", "between 5800 and 8800")
+      .replace("i_manufact_id in (259,559,580,485)",
+        "i_manufact_id in (1,2,6,7)")),
     33 -> (t => t
       .replaceAll("""ca_gmt_offset\s+= -5""", "ca_gmt_offset = -500")
       .replace("order by total_sales", "order by total_sales, i_manufact_id")),

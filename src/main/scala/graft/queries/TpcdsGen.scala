@@ -44,6 +44,11 @@ object TpcdsGen {
     "promotion" -> 50L,
     "web_site" -> 6L,
     "catalog_page" -> 60L,
+    "warehouse" -> 5L,
+    // weekly snapshots: 100 weeks (calendar days 499..1192, covering the
+    // q21 pivot window, q22's month_seq 1200..1211 and q82's 2001 window)
+    // × 5 warehouses × 1000 items
+    "inventory" -> 500000L,
     "store_sales" -> 60000L,
     "web_sales" -> 20000L,
     "catalog_sales" -> 15000L,
@@ -231,6 +236,18 @@ object TpcdsGen {
       "catalog_page" -> Map(
         "cp_catalog_page_sk" -> "id",
         "cp_catalog_page_id" -> "'PAGE_' || lpad(CAST(id AS STRING), 3, '0')"),
+      "warehouse" -> Map(
+        "w_warehouse_sk" -> "id",
+        "w_warehouse_id" -> "'WH_' || lpad(CAST(id AS STRING), 2, '0')",
+        "w_warehouse_name" -> "'Ware_' || CAST(id AS STRING)",
+        "w_warehouse_sq_ft" -> "CAST(50000 + id * 7331 AS INT)"),
+      "inventory" -> Map(
+        // every warehouse snapshots every item on the same weekly dates,
+        // so q21's before/after pivot sums see both sides of the window
+        "inv_date_sk" -> s"499 + ${div("id", 5000)} * 7",
+        "inv_item_sk" -> "id % 1000",
+        "inv_warehouse_sk" -> s"${div("id", 1000)} % 5",
+        "inv_quantity_on_hand" -> "CAST((id * 17 + 7) % 1000 AS INT)"),
       "store_sales" -> Map(
         // A ticket IS one store visit: date, customer, household and store
         // are TICKET-level attributes (keyed by id/18, 18 lines per
