@@ -11,7 +11,7 @@ import graft.Q
   * `ref_tpcds_plan` proves all 99 reference query files plan end-to-end;
   * this module goes further than the reference can (its engine lacks
   * window functions, set ops, ROLLUP — README feature table) by RUNNING a
-  * representative 41-query slice on deterministic generated data
+  * representative 46-query slice on deterministic generated data
   * ([[TpcdsGen]]) and oracle-checking every row against DuckDB:
   *
   *   - q3/q42/q52/q55: star joins + agg over date/item predicates
@@ -42,6 +42,11 @@ import graft.Q
   *   - q21/q22/q82: the inventory fact — before/after pivot ratios,
   *     4-level ROLLUP averages, quantity-band item lookups
   *   - q31: county-level quarter-over-quarter web-vs-store growth joins
+  *   - q62/q99: ship-lag day buckets over warehouse x ship_mode x
+  *     web_site / call_center
+  *   - q84: income-band household lookup with coalesced name concat
+  *   - q90: am/pm count ratio via web_page char-count band
+  *   - q93: per-customer net sales after reason-filtered returns
   *   - q98: window ratio (class-partitioned revenue share)
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
@@ -118,6 +123,28 @@ object Tpcds {
       .replace("i_category = 'Home'", "i_category = 'Music'")),
     65 -> (t => t.replace("order by s_store_name, i_item_desc",
       "order by s_store_name, i_item_desc, sc.ss_store_sk")),
+    62 -> (t => t
+      .replace("""as "30 days"""", "as d_le_30")
+      .replace("""as "31-60 days"""", "as d_31_60")
+      .replace("""as "61-90 days"""", "as d_61_90")
+      .replace("""as "91-120 days"""", "as d_91_120")
+      .replace("""as ">120 days"""", "as d_gt_120")
+      .replaceFirst("""substr\(w_warehouse_name,1,20\)\n  ,sm_type""",
+        "substr(w_warehouse_name,1,20) AS wh\n  ,sm_type")),
+    84 -> (t => t.replace("ca_city\t        =  'Woodland'",
+      "ca_city = 'Oakland'")),
+    90 -> (t => t.replace(
+      "cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio",
+      "cast(amc as double)/cast(pmc as double) am_pm_ratio")),
+    93 -> identity,
+    99 -> (t => t
+      .replace("""as "30 days"""", "as d_le_30")
+      .replace("""as "31-60 days"""", "as d_31_60")
+      .replace("""as "61-90 days"""", "as d_61_90")
+      .replace("""as "91-120 days"""", "as d_91_120")
+      .replace("""as ">120 days"""", "as d_gt_120")
+      .replaceFirst("""substr\(w_warehouse_name,1,20\)\n  ,sm_type""",
+        "substr(w_warehouse_name,1,20) AS wh\n  ,sm_type")),
     2 -> (t => t.replaceAll(
       """round\(([a-z]{3})_sales1/\1_sales2,2\)""",
       "round($1_sales1/$1_sales2,2) AS $1_ratio")),

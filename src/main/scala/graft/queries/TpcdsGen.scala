@@ -45,6 +45,11 @@ object TpcdsGen {
     "web_site" -> 6L,
     "catalog_page" -> 60L,
     "warehouse" -> 5L,
+    "ship_mode" -> 10L,
+    "reason" -> 60L,
+    "web_page" -> 10L,
+    "call_center" -> 6L,
+    "income_band" -> 20L,
     // weekly snapshots: 100 weeks (calendar days 499..1192, covering the
     // q21 pivot window, q22's month_seq 1200..1211 and q82's 2001 window)
     // × 5 warehouses × 1000 items
@@ -241,6 +246,29 @@ object TpcdsGen {
         "w_warehouse_id" -> "'WH_' || lpad(CAST(id AS STRING), 2, '0')",
         "w_warehouse_name" -> "'Ware_' || CAST(id AS STRING)",
         "w_warehouse_sq_ft" -> "CAST(50000 + id * 7331 AS INT)"),
+      "ship_mode" -> Map(
+        "sm_ship_mode_sk" -> "id",
+        "sm_ship_mode_id" -> "'SM_' || lpad(CAST(id AS STRING), 2, '0')",
+        "sm_type" -> pick("id % 5",
+          Seq("EXPRESS", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY")),
+        "sm_carrier" -> pick("id % 4",
+          Seq("UPS", "FEDEX", "AIRBORNE", "USPS"))),
+      "reason" -> Map(
+        "r_reason_sk" -> "id",
+        "r_reason_id" -> "'R_' || lpad(CAST(id AS STRING), 2, '0')",
+        "r_reason_desc" -> "'reason ' || CAST(id AS STRING)"),
+      "web_page" -> Map(
+        "wp_web_page_sk" -> "id",
+        "wp_web_page_id" -> "'WP_' || lpad(CAST(id AS STRING), 2, '0')",
+        "wp_char_count" -> "CAST(5000 + (id % 10) * 25 AS INT)"),
+      "call_center" -> Map(
+        "cc_call_center_sk" -> "id",
+        "cc_call_center_id" -> "'CC_' || lpad(CAST(id AS STRING), 2, '0')",
+        "cc_name" -> "'cc_' || CAST(id AS STRING)"),
+      "income_band" -> Map(
+        "ib_income_band_sk" -> "id",
+        "ib_lower_bound" -> "CAST(id * 5000 AS INT)",
+        "ib_upper_bound" -> "CAST(id * 5000 + 4999 AS INT)"),
       "inventory" -> Map(
         // every warehouse snapshots every item on the same weekly dates,
         // so q21's before/after pivot sums see both sides of the window
@@ -280,10 +308,15 @@ object TpcdsGen {
         "ss_net_profit" -> "(id * 7907) % 300000 - 100000"),
       "web_sales" -> Map(
         "ws_sold_date_sk" -> "(id * 37 + 5) % 2191",
+        "ws_ship_date_sk" -> "least(2190, (id * 37 + 5) % 2191 + id % 150)",
         "ws_sold_time_sk" -> "(id * 59 + 3) % 1440",
         "ws_item_sk" -> "id % 1000",
         "ws_order_number" -> "id",
         "ws_web_site_sk" -> "id % 6",
+        "ws_warehouse_sk" -> "id % 5",
+        "ws_ship_mode_sk" -> "id % 10",
+        "ws_ship_hdemo_sk" -> "(id * 13 + 3) % 144",
+        "ws_web_page_sk" -> "id % 10",
         "ws_bill_customer_sk" -> "(id * 29 + 7) % 2000",
         "ws_quantity" -> "CAST(1 + id % 100 AS INT)",
         "ws_sales_price" -> "(id * 6151 + 7) % 20000",
@@ -291,6 +324,10 @@ object TpcdsGen {
         "ws_net_profit" -> "(id * 7901) % 300000 - 100000"),
       "catalog_sales" -> Map(
         "cs_sold_date_sk" -> "(id * 37 + 29) % 2191",
+        "cs_ship_date_sk" -> "least(2190, (id * 37 + 29) % 2191 + id % 150)",
+        "cs_warehouse_sk" -> "id % 5",
+        "cs_ship_mode_sk" -> "(id + 3) % 10",
+        "cs_call_center_sk" -> "id % 6",
         // q26 joins bill_cdemo/promo: the default type filler only covers
         // demo_sk 0..100, which intersects q26's M/W/Unknown demographic
         // slice in a single row — key them over the full dimension ranges
@@ -318,6 +355,7 @@ object TpcdsGen {
           "sr_ticket_number" -> ticket,
           "sr_customer_sk" -> s"($ticket * 29 + 3) % 2000",
           "sr_store_sk" -> s"($ticket * 31) % 12",
+          "sr_reason_sk" -> "id % 60",
           "sr_return_quantity" -> "CAST(1 + id % 20 AS INT)",
           "sr_return_amt" -> "(id * 3571) % 50000",
           "sr_fee" -> "(id * 1117) % 10000",
