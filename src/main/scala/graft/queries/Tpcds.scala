@@ -11,7 +11,7 @@ import graft.Q
   * `ref_tpcds_plan` proves all 99 reference query files plan end-to-end;
   * this module goes further than the reference can (its engine lacks
   * window functions, set ops, ROLLUP — README feature table) by RUNNING a
-  * representative 46-query slice on deterministic generated data
+  * representative 56-query slice on deterministic generated data
   * ([[TpcdsGen]]) and oracle-checking every row against DuckDB:
   *
   *   - q3/q42/q52/q55: star joins + agg over date/item predicates
@@ -47,6 +47,13 @@ import graft.Q
   *   - q84: income-band household lookup with coalesced name concat
   *   - q90: am/pm count ratio via web_page char-count band
   *   - q93: per-customer net sales after reason-filtered returns
+  *   - q12/q20: class-partitioned revenue-share windows (web/catalog)
+  *   - q27: rollup(item, state) with grouping() flag
+  *   - q38/q87: INTERSECT / EXCEPT of the three channels' customer-days
+  *   - q63: monthly-vs-average manager deviations
+  *   - q76: NULL-key sales union across channels
+  *   - q86: web analogue of q36's rollup-rank
+  *   - q9/q13: quantity-band CASE scalar subqueries; OR-band demographics
   *   - q98: window ratio (class-partitioned revenue share)
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
@@ -123,6 +130,30 @@ object Tpcds {
       .replace("i_category = 'Home'", "i_category = 'Music'")),
     65 -> (t => t.replace("order by s_store_name, i_item_desc",
       "order by s_store_name, i_item_desc, sc.ss_store_sk")),
+    9 -> identity,
+    13 -> (t => t
+      .replace("select avg(ss_quantity)\n       ,avg(ss_ext_sales_price)\n       ,avg(ss_ext_wholesale_cost)\n       ,sum(ss_ext_wholesale_cost)",
+        "select avg(ss_quantity) AS avg_qty\n       ,avg(ss_ext_sales_price) AS avg_sp\n       ,avg(ss_ext_wholesale_cost) AS avg_wc\n       ,sum(ss_ext_wholesale_cost) AS sum_wc")
+      .replace("between 100.00 and 150.00", "between 10000 and 15000")
+      .replace("between 50.00 and 100.00", "between 5000 and 10000")
+      .replace("between 150.00 and 200.00", "between 15000 and 20000")
+      .replace("ss_net_profit between 100 and 200",
+        "ss_net_profit between 10000 and 20000")
+      .replace("ss_net_profit between 150 and 300",
+        "ss_net_profit between 15000 and 30000")
+      .replace("ss_net_profit between 50 and 250",
+        "ss_net_profit between 5000 and 25000")),
+    38 -> (t => t.replaceFirst(
+      """select\s+count\(\*\)""", "select count(*) AS cnt")),
+    76 -> identity,
+    87 -> (t => t.replaceFirst(
+      """select count\(\*\)""", "select count(*) AS cnt")),
+    12 -> identity,
+    20 -> identity,
+    27 -> (t => t.replace("order by i_item_id\n         ,s_state",
+      "order by i_item_id NULLS LAST\n         ,s_state NULLS LAST")),
+    63 -> identity,
+    86 -> identity,
     62 -> (t => t
       .replace("""as "30 days"""", "as d_le_30")
       .replace("""as "31-60 days"""", "as d_31_60")

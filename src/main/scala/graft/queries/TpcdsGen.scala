@@ -285,7 +285,9 @@ object TpcdsGen {
         "ss_sold_date_sk" -> s"(${div("id", 18)} * 37 + 11) % 2191",
         "ss_sold_time_sk" -> "(id * 1021 + 7) % 1440",
         "ss_item_sk" -> "id % 1000",
-        "ss_customer_sk" -> s"(${div("id", 18)} * 29 + 3) % 2000",
+        "ss_customer_sk" -> (s"CASE WHEN ${div("id", 18)} % 20 = 7 THEN NULL " +
+          s"ELSE ((${div("id", 18)} * 37 + 11) % 2191 * 53 + 9 + " +
+          s"${div("id", 18)} % 2) % 2000 END"),
         "ss_cdemo_sk" -> "(id * 41 + 5) % 700",
         "ss_hdemo_sk" -> s"(${div("id", 18)} * 23 + 1) % 144",
         "ss_addr_sk" -> "(id * 19) % 1500",
@@ -313,11 +315,12 @@ object TpcdsGen {
         "ws_item_sk" -> "id % 1000",
         "ws_order_number" -> "id",
         "ws_web_site_sk" -> "id % 6",
+        "ws_promo_sk" -> "CASE WHEN id % 20 = 7 THEN NULL ELSE (id * 43 + 2) % 50 END",
         "ws_warehouse_sk" -> "id % 5",
         "ws_ship_mode_sk" -> "id % 10",
         "ws_ship_hdemo_sk" -> "(id * 13 + 3) % 144",
         "ws_web_page_sk" -> "id % 10",
-        "ws_bill_customer_sk" -> "(id * 29 + 7) % 2000",
+        "ws_bill_customer_sk" -> "((id * 37 + 5) % 2191 * 53 + 9 + 2 * (id % 2)) % 2000",
         "ws_quantity" -> "CAST(1 + id % 100 AS INT)",
         "ws_sales_price" -> "(id * 6151 + 7) % 20000",
         "ws_ext_sales_price" -> "(id * 104717 + 23) % 2000000",
@@ -336,7 +339,8 @@ object TpcdsGen {
         "cs_item_sk" -> "id % 1000",
         "cs_order_number" -> "id",
         "cs_catalog_page_sk" -> "id % 60",
-        "cs_bill_customer_sk" -> "(id * 29 + 11) % 2000",
+        "cs_bill_customer_sk" -> ("CASE WHEN id % 20 = 7 THEN NULL " +
+          "ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END"),
         "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
         "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
         "cs_net_profit" -> "(id * 7883) % 300000 - 100000"),
@@ -353,7 +357,9 @@ object TpcdsGen {
           "sr_returned_date_sk" -> s"least(2190, $sold + (id % 150))",
           "sr_item_sk" -> s"($sale) % 1000",
           "sr_ticket_number" -> ticket,
-          "sr_customer_sk" -> s"($ticket * 29 + 3) % 2000",
+          "sr_customer_sk" -> (s"CASE WHEN $ticket % 20 = 7 THEN NULL " +
+            s"ELSE (($ticket * 37 + 11) % 2191 * 53 + 9 + " +
+            s"$ticket % 2) % 2000 END"),
           "sr_store_sk" -> s"($ticket * 31) % 12",
           "sr_reason_sk" -> "id % 60",
           "sr_return_quantity" -> "CAST(1 + id % 20 AS INT)",
@@ -413,11 +419,18 @@ object TpcdsGen {
         .createOrReplaceTempView(t)
     }
 
-  /** DuckDB WITH-prelude defining the same tables from the same exprs. */
+  /** DuckDB WITH-prelude defining the same tables from the same exprs.
+    * `AS MATERIALIZED` is load-bearing, not an optimization hint: DuckDB
+    * 1.0.0 returns NONDETERMINISTIC row sets when a multi-join + string
+    * filter plan streams directly over these range() CTEs (q46 flaked
+    * between 995 and 1003 rows across runs; materialized inputs give the
+    * stable, correct 1011 — reproduced and bisected in round 6).
+    * Spark never sees this text — it registers the same expressions as
+    * temp views over spark.range. */
   def duckPrelude(tables: Seq[String]): String =
     tables.map { t =>
       val cols = columns(t)
         .map { case (c, e) => s"$e AS $c" }.mkString(",\n    ")
-      s"$t AS (\n  SELECT $cols\n  FROM (SELECT range AS id FROM range(${rows(t)})))"
+      s"$t AS MATERIALIZED (\n  SELECT $cols\n  FROM (SELECT range AS id FROM range(${rows(t)})))"
     }.mkString("WITH ", ",\n", "\n")
 }
