@@ -50,15 +50,15 @@ object TpcdsGen {
     "web_page" -> 10L,
     "call_center" -> 6L,
     "income_band" -> 20L,
-    // weekly snapshots: 100 weeks (calendar days 499..1192, covering the
-    // q21 pivot window, q22's month_seq 1200..1211 and q82's 2001 window)
-    // × 5 warehouses × 1000 items
-    "inventory" -> 500000L,
+    // weekly snapshots: 180 weeks (calendar days 400..1653 — q21's pivot
+    // window, q22's month_seq 1200..1211, q82's 2001 window and q37's
+    // 2002 window) × 5 warehouses × 1000 items
+    "inventory" -> 900000L,
     "store_sales" -> 60000L,
     "web_sales" -> 20000L,
     "catalog_sales" -> 15000L,
     "store_returns" -> 6000L,
-    "catalog_returns" -> 2000L,
+    "catalog_returns" -> 8000L,
     "web_returns" -> 2000L)
 
   private val BaseDate = "CAST('1998-01-01' AS DATE)"
@@ -141,6 +141,8 @@ object TpcdsGen {
         "d_qoy" ->
           s"CAST(${div(s"month($dDate) - 1", 3)} + 1 AS INT)",
         // 1998-01-01 is a Thursday; Sunday=0 convention → 4
+        "d_quarter_name" -> (s"CAST(year($dDate) AS STRING) || 'Q' || " +
+          s"CAST(${div(s"month($dDate) - 1", 3)} + 1 AS STRING)"),
         "d_dow" -> "CAST((id + 4) % 7 AS INT)",
         "d_day_name" -> pick("(id + 4) % 7",
           Seq("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
@@ -245,7 +247,8 @@ object TpcdsGen {
         "w_warehouse_sk" -> "id",
         "w_warehouse_id" -> "'WH_' || lpad(CAST(id AS STRING), 2, '0')",
         "w_warehouse_name" -> "'Ware_' || CAST(id AS STRING)",
-        "w_warehouse_sq_ft" -> "CAST(50000 + id * 7331 AS INT)"),
+        "w_warehouse_sq_ft" -> "CAST(50000 + id * 7331 AS INT)",
+        "w_state" -> pick("id % 8", states)),
       "ship_mode" -> Map(
         "sm_ship_mode_sk" -> "id",
         "sm_ship_mode_id" -> "'SM_' || lpad(CAST(id AS STRING), 2, '0')",
@@ -272,7 +275,7 @@ object TpcdsGen {
       "inventory" -> Map(
         // every warehouse snapshots every item on the same weekly dates,
         // so q21's before/after pivot sums see both sides of the window
-        "inv_date_sk" -> s"499 + ${div("id", 5000)} * 7",
+        "inv_date_sk" -> s"400 + ${div("id", 5000)} * 7",
         "inv_item_sk" -> "id % 1000",
         "inv_warehouse_sk" -> s"${div("id", 1000)} % 5",
         "inv_quantity_on_hand" -> "CAST((id * 17 + 7) % 1000 AS INT)"),
@@ -326,7 +329,13 @@ object TpcdsGen {
         "ws_ext_sales_price" -> "(id * 104717 + 23) % 2000000",
         "ws_net_profit" -> "(id * 7901) % 300000 - 100000"),
       "catalog_sales" -> Map(
-        "cs_sold_date_sk" -> "(id * 37 + 29) % 2191",
+        // Every 5th row is a RE-PURCHASE ECHO of store-sale line
+        // (id/5*7)%60000 — the same line store_returns row id/5 mirrors —
+        // with the same customer+item, dated 14 days after the store
+        // sale. This gives the q17/q25/q29 family its "bought in store,
+        // returned, re-bought by catalog" customers deterministically;
+        // non-echo rows keep independent date/item/customer streams.
+        "cs_sold_date_sk" -> "CASE WHEN id % 5 = 0 THEN least(2190, (CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 + 14) ELSE (id * 37 + 29) % 2191 END",
         "cs_ship_date_sk" -> "least(2190, (id * 37 + 29) % 2191 + id % 150)",
         "cs_warehouse_sk" -> "id % 5",
         "cs_ship_mode_sk" -> "(id + 3) % 10",
@@ -336,11 +345,10 @@ object TpcdsGen {
         // slice in a single row — key them over the full dimension ranges
         "cs_bill_cdemo_sk" -> "(id * 41 + 5) % 700",
         "cs_promo_sk" -> "(id * 43 + 1) % 50",
-        "cs_item_sk" -> "id % 1000",
+        "cs_item_sk" -> "CASE WHEN id % 5 = 0 THEN ((CAST(floor((id)/5) AS BIGINT) * 7) % 60000) % 1000 ELSE id % 1000 END",
         "cs_order_number" -> "id",
         "cs_catalog_page_sk" -> "id % 60",
-        "cs_bill_customer_sk" -> ("CASE WHEN id % 20 = 7 THEN NULL " +
-          "ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END"),
+        "cs_bill_customer_sk" -> "CASE WHEN id % 5 = 0 THEN CASE WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 20 = 7 THEN NULL ELSE ((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 * 53 + 9 + CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 2) % 2000 END ELSE CASE WHEN id % 20 = 7 THEN NULL ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END END",
         "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
         "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
         "cs_net_profit" -> "(id * 7883) % 300000 - 100000"),
@@ -367,19 +375,33 @@ object TpcdsGen {
           "sr_fee" -> "(id * 1117) % 10000",
           "sr_net_loss" -> "(id * 2713) % 40000")
       },
-      "catalog_returns" -> Map(
-        "cr_returned_date_sk" -> "(id * 37 + 31) % 2191",
-        "cr_item_sk" -> "id % 1000",
-        "cr_order_number" -> "id * 7 % 15000",
-        "cr_catalog_page_sk" -> "id % 60",
-        "cr_return_amount" -> "(id * 3581) % 50000",
-        "cr_net_loss" -> "(id * 2719) % 40000"),
+      "catalog_returns" -> {
+        // each return refers to catalog sale row (id*7)%15000, so the
+        // (order, item) join matches exactly one sale and the customer /
+        // call-center keys mirror that sale's
+        val sale = "(id * 7) % 15000"
+        val sold = s"(($sale) * 37 + 29) % 2191"
+        Map(
+          "cr_returned_date_sk" -> s"least(2190, $sold + (id % 150))",
+          "cr_item_sk" -> s"($sale) % 1000",
+          "cr_order_number" -> sale,
+          "cr_catalog_page_sk" -> "id % 60",
+          "cr_call_center_sk" -> s"($sale) % 6",
+          "cr_returning_customer_sk" -> (s"CASE WHEN ($sale) % 20 = 7 THEN NULL " +
+            s"ELSE ($sold * 53 + 9 + 3 * (($sale) % 3)) % 2000 END"),
+          "cr_return_amount" -> "(id * 3581) % 50000",
+          "cr_net_loss" -> "(id * 2719) % 40000")
+      },
       "web_returns" -> Map(
         "wr_returned_date_sk" -> "(id * 37 + 41) % 2191",
         // wr joins web_sales on (item, order): order o has item o%1000,
         // so derive the item FROM the order number → every return matches
         "wr_order_number" -> "(id * 11) % 20000",
         "wr_item_sk" -> "((id * 11) % 20000) % 1000",
+        "wr_returning_customer_sk" ->
+          ("(((id * 11) % 20000 * 37 + 5) % 2191 * 53 + 9 + " +
+            "2 * ((id * 11) % 20000 % 2)) % 2000"),
+        "wr_returning_addr_sk" -> "(id * 19 + 5) % 1500",
         "wr_return_amt" -> "(id * 3593) % 50000",
         "wr_net_loss" -> "(id * 2729) % 40000"))
   }
