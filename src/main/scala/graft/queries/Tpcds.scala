@@ -11,7 +11,7 @@ import graft.Q
   * `ref_tpcds_plan` proves all 99 reference query files plan end-to-end;
   * this module goes further than the reference can (its engine lacks
   * window functions, set ops, ROLLUP — README feature table) by RUNNING a
-  * representative 64-query slice on deterministic generated data
+  * representative 71-query slice on deterministic generated data
   * ([[TpcdsGen]]) and oracle-checking every row against DuckDB:
   *
   *   - q3/q42/q52/q55: star joins + agg over date/item predicates
@@ -61,6 +61,13 @@ import graft.Q
   *   - q37: catalog analogue of q82's inventory band lookup
   *   - q40: warehouse-state sales before/after a pivot with return netting
   *   - q91: call-center December returns by demographic slice
+  *   - q10/q35: EXISTS-gated demographic profiles
+  *   - q18: rollup(item, country, state, county) of double-cast averages
+  *   - q28: six price-band avg/count/count-distinct cross-join
+  *   - q44: best/worst item ranks vs a NULL-hdemo baseline average
+  *   - q70: state-rank HAVING-subquery inside a rollup-rank
+  *   - q71: three-channel brand revenue by meal-time minute
+  *   - q78: cross-channel customer-item ratios on unreturned sales
   *   - q98: window ratio (class-partitioned revenue share)
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
@@ -137,6 +144,22 @@ object Tpcds {
       .replace("i_category = 'Home'", "i_category = 'Music'")),
     65 -> (t => t.replace("order by s_store_name, i_item_desc",
       "order by s_store_name, i_item_desc, sc.ss_store_sk")),
+    10 -> (t => t.replace(
+      "ca_county in ('Fairfield County','Campbell County','Washtenaw County','Escambia County','Cleburne County')",
+      "ca_county in ('Williamson County','Ziebach County','Walker County')")),
+    18 -> (t => t
+      .replaceAll("""avg\( cast\((\w+(?:\.\w+)?) as decimal\(12,2\)\)\)""",
+        "avg(cast($1 as double))")
+      .replace("order by ca_country,\n        ca_state, \n        ca_county,\n\ti_item_id",
+        "order by ca_country NULLS LAST, ca_state NULLS LAST, " +
+          "ca_county NULLS LAST, i_item_id NULLS LAST")),
+    28 -> (t => """between (\d+) and \1\+(\d+)""".r.replaceAllIn(t, m =>
+      s"between ${m.group(1).toInt * 100} and " +
+        s"${(m.group(1).toInt + m.group(2).toInt) * 100}")),
+    44 -> identity,
+    70 -> identity,
+    71 -> identity,
+    78 -> identity,
     17 -> identity,
     25 -> identity,
     29 -> identity,

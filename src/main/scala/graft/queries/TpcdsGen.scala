@@ -152,7 +152,10 @@ object TpcdsGen {
         "t_time" -> "CAST(id * 60 AS INT)",
         "t_hour" -> s"CAST(${div("id", 60)} AS INT)",
         "t_minute" -> "CAST(id % 60 AS INT)",
-        "t_second" -> "CAST(0 AS INT)"),
+        "t_second" -> "CAST(0 AS INT)",
+        "t_meal_time" -> (s"CASE WHEN ${div("id", 60)} BETWEEN 6 AND 8 " +
+          s"THEN 'breakfast' WHEN ${div("id", 60)} BETWEEN 17 AND 19 " +
+          "THEN 'dinner' ELSE 'other' END")),
       "item" -> Map(
         "i_item_sk" -> "id",
         "i_item_id" -> "'ITEM_' || lpad(CAST(id AS STRING), 6, '0')",
@@ -292,7 +295,8 @@ object TpcdsGen {
           s"ELSE ((${div("id", 18)} * 37 + 11) % 2191 * 53 + 9 + " +
           s"${div("id", 18)} % 2) % 2000 END"),
         "ss_cdemo_sk" -> "(id * 41 + 5) % 700",
-        "ss_hdemo_sk" -> s"(${div("id", 18)} * 23 + 1) % 144",
+        "ss_hdemo_sk" -> (s"CASE WHEN ${div("id", 18)} % 20 = 8 THEN NULL " +
+          s"ELSE (${div("id", 18)} * 23 + 1) % 144 END"),
         "ss_addr_sk" -> "(id * 19) % 1500",
         "ss_store_sk" -> s"(${div("id", 18)} * 31) % 12",
         "ss_promo_sk" -> "(id * 43) % 50",
@@ -348,6 +352,7 @@ object TpcdsGen {
         "cs_item_sk" -> "CASE WHEN id % 5 = 0 THEN ((CAST(floor((id)/5) AS BIGINT) * 7) % 60000) % 1000 ELSE id % 1000 END",
         "cs_order_number" -> "id",
         "cs_catalog_page_sk" -> "id % 60",
+        "cs_sold_time_sk" -> "(id * 1021 + 11) % 1440",
         "cs_bill_customer_sk" -> "CASE WHEN id % 5 = 0 THEN CASE WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 20 = 7 THEN NULL ELSE ((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 * 53 + 9 + CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 2) % 2000 END ELSE CASE WHEN id % 20 = 7 THEN NULL ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END END",
         "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
         "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
