@@ -11,7 +11,7 @@ import graft.Q
   * `ref_tpcds_plan` proves all 99 reference query files plan end-to-end;
   * this module goes further than the reference can (its engine lacks
   * window functions, set ops, ROLLUP — README feature table) by RUNNING a
-  * representative 71-query slice on deterministic generated data
+  * representative 85-query slice on deterministic generated data
   * ([[TpcdsGen]]) and oracle-checking every row against DuckDB:
   *
   *   - q3/q42/q52/q55: star joins + agg over date/item predicates
@@ -68,7 +68,32 @@ import graft.Q
   *   - q70: state-rank HAVING-subquery inside a rollup-rank
   *   - q71: three-channel brand revenue by meal-time minute
   *   - q78: cross-channel customer-item ratios on unreturned sales
+  *   - q47/q57: lag/lead-by-rank monthly deviation self-joins
+  *   - q49: three-channel return-ratio rank unions
+  *   - q66: 12-month warehouse pivot by ship carrier
+  *   - q67: 8-level rollup with per-category rank
+  *   - q69: store-buyers absent from web/catalog (NOT EXISTS pair)
+  *   - q72: 10-table promo/no-promo low-inventory counts
+  *   - q75/q77/q80: per-channel sales-vs-returns rollups and
+  *     year-over-year brand declines
+  *   - q81: per-state above-average catalog returners
+  *   - q85: web-return reason profiles over demo-pair equality bands
+  *   - q94/q95: split-shipment (multi-warehouse) web orders, returned
+  *     and not-returned variants
   *   - q98: window ratio (class-partitioned revenue share)
+
+  * Not executed, with reasons: q4/q11/q74 need customers active in two
+  * consecutive years in multiple channels — impossible under the
+  * date-derived customer construction (a customer's dates are ~2000 days
+  * apart); q16 needs multi-line catalog orders, which conflicts with the
+  * re-purchase echo structure; q39's coefficient-of-variation > 1 filter
+  * is empty for uniform quantities by construction; q58/q83 mutual
+  * three-channel revenue/week bands are empty at this scale; q73
+  * duplicates q34's shape with a count band the 18-line tickets cannot
+  * hit; q92 duplicates q32 with a one-item slice that is empty here;
+  * q14/q23/q24/q64 are multi-statement/giant kit files out of scope for
+  * the slice. Every skip is a data-scale or kit-structure constraint,
+  * not an engine gap — `ref_tpcds_plan` proves all of them PLAN.
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
   * with minimal documented patches, applied IDENTICALLY for Spark and
@@ -144,6 +169,80 @@ object Tpcds {
       .replace("i_category = 'Home'", "i_category = 'Music'")),
     65 -> (t => t.replace("order by s_store_name, i_item_desc",
       "order by s_store_name, i_item_desc, sc.ss_store_sk")),
+    94 -> (t => t
+      .replace("""as "order count"""", "as order_count")
+      .replace("""as "total shipping cost"""", "as ship_cost")
+      .replace("""as "total net profit"""", "as net_profit")
+      .replace("ca_state = 'OK'", "ca_state = 'OH'")),
+    95 -> (t => t
+      .replace("""as "order count"""", "as order_count")
+      .replace("""as "total shipping cost"""", "as ship_cost")
+      .replace("""as "total net profit"""", "as net_profit")
+      .replace("ca_state = 'VA'", "ca_state = 'CA'")),
+    77 -> (t => t
+      // DuckDB rejects the kit's bare `returns` identifier (reserved) in
+      // some positions; rename it uniformly for both engines
+      .replaceAll("""\breturns\b""", "ret_amt")
+      .replace("order by channel\n         ,id",
+        "order by channel NULLS LAST, id NULLS LAST")),
+    80 -> (t => t.replace("order by channel\n         ,id",
+      "order by channel NULLS LAST, id NULLS LAST")),
+    75 -> (t => t
+      .replaceAll(""",0\.0\)""", ",0)")
+      .replace("CAST(curr_yr.sales_cnt AS DECIMAL(17,2))/CAST(prev_yr.sales_cnt AS DECIMAL(17,2))",
+        "CAST(curr_yr.sales_cnt AS DOUBLE)/CAST(prev_yr.sales_cnt AS DOUBLE)")
+      .replace("ORDER BY sales_cnt_diff,sales_amt_diff",
+        "ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id, " +
+          "curr_yr.i_class_id, curr_yr.i_manufact_id")),
+    85 -> (t => t
+      .replaceFirst("""substr\(r_reason_desc,1,20\)""",
+        "substr(r_reason_desc,1,20) AS r20")
+      .replaceFirst("""avg\(ws_quantity\)""",
+        "avg(ws_quantity) AS avg_qty")
+      .replaceFirst("""avg\(wr_refunded_cash\)""",
+        "avg(wr_refunded_cash) AS avg_cash")
+      .replaceFirst("""avg\(wr_fee\)""", "avg(wr_fee) AS avg_fee")
+      .replace("between 100.00 and 150.00", "between 10000 and 15000")
+      .replace("between 50.00 and 100.00", "between 5000 and 10000")
+      .replace("between 150.00 and 200.00", "between 15000 and 20000")
+      .replace("ws_net_profit between 100 and 200",
+        "ws_net_profit between 10000 and 20000")
+      .replace("ws_net_profit between 150 and 300",
+        "ws_net_profit between 15000 and 30000")
+      .replace("ws_net_profit between 50 and 250",
+        "ws_net_profit between 5000 and 25000")),
+    47 -> (t => t.replace(
+      "order by sum_sales - avg_monthly_sales, nsum",
+      "order by sum_sales - avg_monthly_sales, nsum, s_store_name, " +
+        "s_company_name, psum, sum_sales")),
+    49 -> (t => t
+      .replace(" as decimal(15,4))", " as double)")
+      .replace(" as decimal(15,4) )", " as double)")),
+    57 -> (t => t.replace(
+      "order by sum_sales - avg_monthly_sales, avg_monthly_sales",
+      "order by sum_sales - avg_monthly_sales, avg_monthly_sales, " +
+        "i_category, i_brand, cc_name, psum, nsum")),
+    66 -> (t => t
+      .replace("'ORIENTAL'", "'UPS'")
+      .replace("'BOXBUNDLES'", "'FEDEX'")),
+    67 -> (t => t.replaceFirst(
+      """(?s)order by i_category\s*,i_class\s*,i_brand\s*,i_product_name\s*,d_year\s*,d_qoy\s*,d_moy\s*,s_store_id\s*,sumsales\s*,rk""",
+      "order by i_category NULLS LAST, i_class NULLS LAST, " +
+        "i_brand NULLS LAST, i_product_name NULLS LAST, " +
+        "d_year NULLS LAST, d_qoy NULLS LAST, d_moy NULLS LAST, " +
+        "s_store_id NULLS LAST, sumsales, rk")),
+    69 -> identity,
+    72 -> (t => t
+      .replace("hd_buy_potential = '1001-5000'",
+        "hd_buy_potential = '5001-10000'")
+      // generated inventory snapshots start in 1999 (day 400); the 1998
+      // window would join zero snapshot weeks
+      .replace("d1.d_year = 1998", "d1.d_year = 2000")
+      // DuckDB refuses the kit's bare d_week_seq in ORDER BY (ambiguous
+      // between d1/d2/d3); qualify it the way Spark already resolves it
+      .replace("order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq",
+        "order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq")),
+    81 -> identity,
     10 -> (t => t.replace(
       "ca_county in ('Fairfield County','Campbell County','Washtenaw County','Escambia County','Cleburne County')",
       "ca_county in ('Williamson County','Ziebach County','Walker County')")),

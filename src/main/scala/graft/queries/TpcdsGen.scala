@@ -59,7 +59,7 @@ object TpcdsGen {
     "catalog_sales" -> 15000L,
     "store_returns" -> 6000L,
     "catalog_returns" -> 8000L,
-    "web_returns" -> 2000L)
+    "web_returns" -> 8000L)
 
   private val BaseDate = "CAST('1998-01-01' AS DATE)"
 
@@ -238,11 +238,13 @@ object TpcdsGen {
         "p_promo_id" -> "'PROMO_' || lpad(CAST(id AS STRING), 3, '0')",
         "p_channel_email" -> pick("id % 2", Seq("N", "Y")),
         "p_channel_event" -> pick(s"${div("id", 2)} % 2", Seq("N", "Y")),
-        "p_channel_dmail" -> pick("id % 2", Seq("Y", "N"))),
+        "p_channel_dmail" -> pick("id % 2", Seq("Y", "N")),
+        "p_channel_tv" -> pick(s"${div("id", 4)} % 2", Seq("N", "Y"))),
       "web_site" -> Map(
         "web_site_sk" -> "id",
         "web_site_id" -> "'WEB_' || lpad(CAST(id AS STRING), 2, '0')",
-        "web_name" -> "'site_' || CAST(id AS STRING)"),
+        "web_name" -> "'site_' || CAST(id AS STRING)",
+        "web_company_name" -> pick("id % 3", Seq("pri", "able", "ought"))),
       "catalog_page" -> Map(
         "cp_catalog_page_sk" -> "id",
         "cp_catalog_page_id" -> "'PAGE_' || lpad(CAST(id AS STRING), 3, '0')"),
@@ -316,18 +318,24 @@ object TpcdsGen {
         "ss_net_paid_inc_tax" -> "(id * 7019) % 1950000",
         "ss_net_profit" -> "(id * 7907) % 300000 - 100000"),
       "web_sales" -> Map(
-        "ws_sold_date_sk" -> "(id * 37 + 5) % 2191",
-        "ws_ship_date_sk" -> "least(2190, (id * 37 + 5) % 2191 + id % 150)",
+        // orders have TWO lines (id/2) shipped from DIFFERENT warehouses —
+        // the split-shipment shape q94/q95's EXISTS probes — so order-level
+        // attributes (date, customer, site) key off the order
+        "ws_sold_date_sk" -> s"(${div("id", 2)} * 37 + 5) % 2191",
+        "ws_ship_date_sk" ->
+          s"least(2190, (${div("id", 2)} * 37 + 5) % 2191 + id % 150)",
         "ws_sold_time_sk" -> "(id * 59 + 3) % 1440",
         "ws_item_sk" -> "id % 1000",
-        "ws_order_number" -> "id",
-        "ws_web_site_sk" -> "id % 6",
+        "ws_order_number" -> div("id", 2),
+        "ws_web_site_sk" -> s"${div("id", 2)} % 6",
+        "ws_ship_addr_sk" -> "(id * 19 + 3) % 1500",
         "ws_promo_sk" -> "CASE WHEN id % 20 = 7 THEN NULL ELSE (id * 43 + 2) % 50 END",
-        "ws_warehouse_sk" -> "id % 5",
+        "ws_warehouse_sk" -> "(id + CAST(id % 2 AS INT) * 2) % 5",
         "ws_ship_mode_sk" -> "id % 10",
         "ws_ship_hdemo_sk" -> "(id * 13 + 3) % 144",
         "ws_web_page_sk" -> "id % 10",
-        "ws_bill_customer_sk" -> "((id * 37 + 5) % 2191 * 53 + 9 + 2 * (id % 2)) % 2000",
+        "ws_bill_customer_sk" -> (s"((${div("id", 2)} * 37 + 5) % 2191 * 53 " +
+          s"+ 9 + 2 * (${div("id", 2)} % 2)) % 2000"),
         "ws_quantity" -> "CAST(1 + id % 100 AS INT)",
         "ws_sales_price" -> "(id * 6151 + 7) % 20000",
         "ws_ext_sales_price" -> "(id * 104717 + 23) % 2000000",
@@ -394,6 +402,7 @@ object TpcdsGen {
           "cr_call_center_sk" -> s"($sale) % 6",
           "cr_returning_customer_sk" -> (s"CASE WHEN ($sale) % 20 = 7 THEN NULL " +
             s"ELSE ($sold * 53 + 9 + 3 * (($sale) % 3)) % 2000 END"),
+          "cr_returning_addr_sk" -> "(id * 19 + 11) % 1500",
           "cr_return_amount" -> "(id * 3581) % 50000",
           "cr_net_loss" -> "(id * 2719) % 40000")
       },
@@ -401,12 +410,28 @@ object TpcdsGen {
         "wr_returned_date_sk" -> "(id * 37 + 41) % 2191",
         // wr joins web_sales on (item, order): order o has item o%1000,
         // so derive the item FROM the order number → every return matches
-        "wr_order_number" -> "(id * 11) % 20000",
-        "wr_item_sk" -> "((id * 11) % 20000) % 1000",
+        "wr_order_number" -> "(id * 11) % 10000",
+        "wr_item_sk" -> "(2 * ((id * 11) % 10000)) % 1000",
         "wr_returning_customer_sk" ->
-          ("(((id * 11) % 20000 * 37 + 5) % 2191 * 53 + 9 + " +
-            "2 * ((id * 11) % 20000 % 2)) % 2000"),
+          ("(((id * 11) % 10000 * 37 + 5) % 2191 * 53 + 9 + " +
+            "2 * ((id * 11) % 10000 % 2)) % 2000"),
         "wr_returning_addr_sk" -> "(id * 19 + 5) % 1500",
+        // refunded address always lands on a TX-state row (addr ≡ 2 mod 8)
+        // — q85's state lists would otherwise intersect the profit bands
+        // in ~0.4 expected rows at this scale
+        "wr_refunded_addr_sk" -> "((id * 19 + 7) % 187) * 8 + 2",
+        // the refunder and the returner are the same person (q85's demo
+        // pair equality is the common case, not the exception), and 60%
+        // of them fall on the three demographic combos q85 names
+        // (74 = D/Primary, 92 = S/College, 58 = U/Advanced Degree)
+        "wr_refunded_cdemo_sk" ->
+          ("CASE CAST(id % 5 AS INT) WHEN 0 THEN 74 WHEN 1 THEN 92 " +
+            "WHEN 2 THEN 58 ELSE (id * 41 + 9) % 700 END"),
+        "wr_returning_cdemo_sk" ->
+          ("CASE CAST(id % 5 AS INT) WHEN 0 THEN 74 WHEN 1 THEN 92 " +
+            "WHEN 2 THEN 58 ELSE (id * 41 + 9) % 700 END"),
+        "wr_reason_sk" -> "id % 60",
+        "wr_web_page_sk" -> "(2 * ((id * 11) % 10000)) % 10",
         "wr_return_amt" -> "(id * 3593) % 50000",
         "wr_net_loss" -> "(id * 2729) % 40000"))
   }
