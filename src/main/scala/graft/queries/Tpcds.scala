@@ -81,6 +81,9 @@ import graft.Q
   *   - q94/q95: split-shipment (multi-warehouse) web orders, returned
   *     and not-returned variants
   *   - q98: window ratio (class-partitioned revenue share)
+  *   - q64: the 18-relation cross_sales self-join (repeat buyers whose
+  *     store changed between years, gated on items with catalog list
+  *     price > 2× refunds)
 
   * Not executed, with reasons: q4/q11/q74 need customers active in two
   * consecutive years in multiple channels — impossible under the
@@ -91,7 +94,7 @@ import graft.Q
   * three-channel revenue/week bands are empty at this scale; q73
   * duplicates q34's shape with a count band the 18-line tickets cannot
   * hit; q92 duplicates q32 with a one-item slice that is empty here;
-  * q14/q23/q24/q64 are multi-statement/giant kit files out of scope for
+  * q14/q23/q24 are multi-statement kit files out of scope for
   * the slice. Every skip is a data-scale or kit-structure constraint,
   * not an engine gap — `ref_tpcds_plan` proves all of them PLAN.
   *
@@ -222,6 +225,42 @@ object Tpcds {
       "order by sum_sales - avg_monthly_sales, avg_monthly_sales",
       "order by sum_sales - avg_monthly_sales, avg_monthly_sales, " +
         "i_category, i_brand, cc_name, psum, nsum")),
+    64 -> (t => t
+      .replace("i_color in ('orange','lace','lawn','misty','blush','pink')",
+        "i_color in ('forest','lime','navy','powder','sky','maroon')")
+      .replace("i_current_price between 48 and 48 + 10",
+        "i_current_price between 4800 and 4800 + 1000")
+      .replace("i_current_price between 48 + 1 and 48 + 15",
+        "i_current_price between 4800 + 100 and 4800 + 1500")
+      // the outer select emits cs1.cnt/cs2.cnt and cs1.syear/cs2.syear
+      // under DUPLICATE names — illegal as a result schema
+      .replace("     ,cs1.syear\n     ,cs1.cnt", "     ,cs1.syear AS syear1\n     ,cs1.cnt AS cnt1")
+      .replace("     ,cs2.syear\n     ,cs2.cnt", "     ,cs2.syear AS syear2\n     ,cs2.cnt AS cnt2")
+      // Semantics-neutral FROM-list reorder in cross_sales: at 18
+      // relations DuckDB's exhaustive join-order DP gives way to a
+      // greedy, input-order-sensitive fallback, and the kit's order
+      // (facts first, selective `item` LAST) makes it build a
+      // cross-product-shaped intermediate that spills ~70 GB. Listing
+      // `item` (the only filtered table) and the key chain first lets
+      // the same greedy pass find the 0.1 s plan. Comma-join order
+      // carries no semantics; Catalyst plans both orders identically.
+      .replace(
+        "  FROM   store_sales\n        ,store_returns\n        ,cs_ui\n" +
+        "        ,date_dim d1\n        ,date_dim d2\n        ,date_dim d3\n" +
+        "        ,store\n        ,customer\n" +
+        "        ,customer_demographics cd1\n        ,customer_demographics cd2\n" +
+        "        ,promotion\n        ,household_demographics hd1\n" +
+        "        ,household_demographics hd2\n        ,customer_address ad1\n" +
+        "        ,customer_address ad2\n        ,income_band ib1\n" +
+        "        ,income_band ib2\n        ,item",
+        "  FROM   store_sales\n        ,item\n        ,cs_ui\n" +
+        "        ,store_returns\n        ,store\n        ,date_dim d1\n" +
+        "        ,promotion\n        ,customer\n" +
+        "        ,customer_demographics cd1\n        ,customer_demographics cd2\n" +
+        "        ,household_demographics hd1\n        ,household_demographics hd2\n" +
+        "        ,income_band ib1\n        ,income_band ib2\n" +
+        "        ,customer_address ad1\n        ,customer_address ad2\n" +
+        "        ,date_dim d2\n        ,date_dim d3")),
     66 -> (t => t
       .replace("'ORIENTAL'", "'UPS'")
       .replace("'BOXBUNDLES'", "'FEDEX'")),
@@ -402,13 +441,24 @@ object Tpcds {
       .filter(t => s"\\b$t\\b".r.findFirstIn(text).isDefined)
 
   /** DuckDB oracle: generator prelude + the same query text; a query that
-    * itself starts WITH merges its CTE list into the prelude's. */
+    * itself starts WITH merges its CTE list into the prelude's.
+    *
+    * The query's own CTEs are rewritten `name AS (SELECT …)` →
+    * `name AS MATERIALIZED (SELECT …)` on the oracle side only, for the
+    * same reason the prelude is materialized: DuckDB 1.0.0 returns
+    * nondeterministic row sets when multi-join plans stream directly over
+    * range()-derived CTEs (bisected on q46: 995–1003 rows across identical
+    * runs vs the correct 1011), and inlining a CTE referenced twice (q64's
+    * cross_sales) re-runs its 18-relation join per reference. Spark never
+    * sees this text. */
   private def oracleFor(text: String): String = {
     val prelude = TpcdsGen.duckPrelude(usedTables(text))
-    if (text.matches("(?is)^\\s*with\\b.*"))
+    val mat = text.replaceAll(
+      "(?is)\\b(\\w+)\\s+as\\s*\\(\\s*select\\b", "$1 AS MATERIALIZED (select")
+    if (mat.matches("(?is)^\\s*with\\b.*"))
       prelude.stripSuffix("\n") + ",\n" +
-        text.replaceFirst("(?is)^\\s*with\\b", "")
-    else prelude + text
+        mat.replaceFirst("(?is)^\\s*with\\b", "")
+    else prelude + mat
   }
 
   private def q(n: Int): Q = {

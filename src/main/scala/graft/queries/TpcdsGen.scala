@@ -364,6 +364,11 @@ object TpcdsGen {
         "cs_bill_customer_sk" -> "CASE WHEN id % 5 = 0 THEN CASE WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 20 = 7 THEN NULL ELSE ((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 * 53 + 9 + CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 2) % 2000 END ELSE CASE WHEN id % 20 = 7 THEN NULL ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END END",
         "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
         "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
+        // list price is the big number refunds are compared against
+        // (q64's cs_ui: sum(list) > 2*sum(refund parts)); the type-default
+        // filler tops out at 9999 cents and made that predicate
+        // universally false
+        "cs_ext_list_price" -> "500000 + (id * 104723 + 41) % 2000000",
         "cs_net_profit" -> "(id * 7883) % 300000 - 100000"),
       "store_returns" -> {
         // Each return REFERS to a real sale line (official FK shape):
