@@ -93,10 +93,13 @@ import graft.Q
   * is empty for uniform quantities by construction; q58/q83 mutual
   * three-channel revenue/week bands are empty at this scale; q73
   * duplicates q34's shape with a count band the 18-line tickets cannot
-  * hit; q92 duplicates q32 with a one-item slice that is empty here;
-  * q14/q23/q24 are multi-statement kit files out of scope for
-  * the slice. Every skip is a data-scale or kit-structure constraint,
-  * not an engine gap — `ref_tpcds_plan` proves all of them PLAN.
+  * hit; q92 duplicates q32 with a one-item slice that is empty here.
+  * Every skip is a data-scale or kit-structure constraint, not an
+  * engine gap — `ref_tpcds_plan` proves all of them PLAN. The kit's
+  * three two-statement files run as one entry per statement (q14a/b
+  * cross-channel intersect + rollup and week-over-week comparison,
+  * q23a/b frequent-item best-customer bands, q24a/b store-return
+  * net-paid by color) — see `splitPatches`.
   *
   * Query texts are the reference's own files (cases/tpcds/query/queryN.sql)
   * with minimal documented patches, applied IDENTICALLY for Spark and
@@ -470,5 +473,56 @@ object Tpcds {
     }
   }
 
-  val all: Seq[Q] = patches.keys.toSeq.sorted.map(q)
+  /** The kit's three two-statement files (q14/q23/q24), executed as one
+    * registry entry per statement. Patch conventions as above; the
+    * statement-specific ones:
+    *   - q14a: NULLS FIRST pinned on the rollup ORDER BY — the LIMIT 100
+    *     binds, and Spark (NULLS FIRST) and DuckDB (NULLS LAST) would
+    *     otherwise legally cut different row sets
+    *   - q23: `having count(*) > 4` → `> 0` (the generator emits exactly
+    *     one sale per item-day, so the kit's "frequent" band is empty by
+    *     construction) and the best-customer band 95% → 50% of max (the
+    *     flat spend distribution leaves the 95% band disjoint from the
+    *     one-month slice)
+    *   - q24: s_market_id 5 → 10 and colors → generator pool, like q64 */
+  private def stmt(n: Int, idx: Int): String = {
+    val raw = new String(Files.readAllBytes(
+      Paths.get(s"${RefTpcds.QueryDir}/query$n.sql")), "UTF-8")
+    raw.split(";").map(_.trim).filter(_.nonEmpty)(idx)
+  }
+
+  private val splitPatches: Seq[(String, Int, Int, String => String)] = Seq(
+    ("tpcds_q14a", 14, 0, (t: String) => t
+      .replace(",sum(sales), sum(number_sales)",
+        ",sum(sales) AS sum_sales, sum(number_sales) AS sum_number_sales")
+      .replace("order by channel,i_brand_id,i_class_id,i_category_id",
+        "order by channel nulls first,i_brand_id nulls first," +
+          "i_class_id nulls first,i_category_id nulls first")),
+    ("tpcds_q14b", 14, 1, identity[String] _),
+    ("tpcds_q23a", 23, 0, (t: String) => t
+      .replace("having count(*) >4", "having count(*) >0")
+      .replace("(95/100.0)", "(50/100.0)")
+      .replace("select  sum(sales)", "select  sum(sales) AS sum_sales")),
+    ("tpcds_q23b", 23, 1, (t: String) => t
+      .replace("having count(*) >4", "having count(*) >0")
+      .replace("(95/100.0)", "(50/100.0)")),
+    ("tpcds_q24a", 24, 0, (t: String) => t
+      .replace("s_market_id=5", "s_market_id=10")
+      .replace("i_color = 'aquamarine'", "i_color = 'forest'")),
+    ("tpcds_q24b", 24, 1, (t: String) => t
+      .replace("s_market_id = 5", "s_market_id = 10")
+      .replace("i_color = 'seashell'", "i_color = 'navy'")))
+
+  private def splitQ(entry: (String, Int, Int, String => String)): Q = {
+    val (name, n, idx, patch) = entry
+    val text = patch(stmt(n, idx))
+    Q(name, oracleFor(text)) { (s, _) =>
+      val isolated = s.newSession()
+      TpcdsGen.register(isolated)
+      isolated.sql(text)
+    }
+  }
+
+  val all: Seq[Q] =
+    patches.keys.toSeq.sorted.map(q) ++ splitPatches.map(splitQ)
 }
