@@ -276,7 +276,11 @@ object TpcdsGen {
       "call_center" -> Map(
         "cc_call_center_sk" -> "id",
         "cc_call_center_id" -> "'CC_' || lpad(CAST(id AS STRING), 2, '0')",
-        "cc_name" -> "'cc_' || CAST(id AS STRING)"),
+        "cc_name" -> "'cc_' || CAST(id AS STRING)",
+        // same county pool as store/customer_address (q16 filters on it)
+        "cc_county" -> pick("id % 4",
+          Seq("Ziebach County", "Williamson County", "Walker County",
+            "Daviess County"))),
       "income_band" -> Map(
         "ib_income_band_sk" -> "id",
         "ib_lower_bound" -> "CAST(id * 5000 AS INT)",
@@ -287,7 +291,14 @@ object TpcdsGen {
         "inv_date_sk" -> s"400 + ${div("id", 5000)} * 7",
         "inv_item_sk" -> "id % 1000",
         "inv_warehouse_sk" -> s"${div("id", 1000)} % 5",
-        "inv_quantity_on_hand" -> "CAST((id * 17 + 7) % 1000 AS INT)"),
+        // base 0..599 keeps q37/q82's 100..500 band populated; the 1-in-23
+        // restock spike (+5000) gives some (item,warehouse,month) groups a
+        // coefficient of variation above q39's >1 / >1.5 gates — a pure
+        // arithmetic-progression quantity caps sample CV below 1, which is
+        // why q39 was structurally empty before
+        "inv_quantity_on_hand" ->
+          ("CAST((id * 17 + 7) % 600 + " +
+            "CASE WHEN id % 23 = 0 THEN 5000 ELSE 0 END AS INT)")),
       "store_sales" -> Map(
         // A ticket IS one store visit: date, customer, household and store
         // are TICKET-level attributes (keyed by id/18, 18 lines per
@@ -297,7 +308,15 @@ object TpcdsGen {
         "ss_sold_date_sk" -> s"(${div("id", 18)} * 37 + 11) % 2191",
         "ss_sold_time_sk" -> "(id * 1021 + 7) % 1440",
         "ss_item_sk" -> "id % 1000",
-        "ss_customer_sk" -> (s"CASE WHEN ${div("id", 18)} % 20 = 7 THEN NULL " +
+        // Every 10th ticket belongs to one of 20 LOYAL customers (sks
+        // 0..19) who shop every channel every year — the q4/q11/q74
+        // family needs customers with store+catalog+web activity in two
+        // consecutive years, which the date-derived stream alone cannot
+        // produce (a given derived customer's tickets sit ~2000 days
+        // apart). The echo branches below mirror the same mapping.
+        "ss_customer_sk" -> (s"CASE WHEN ${div("id", 18)} % 10 = 3 " +
+          s"THEN ${div(div("id", 18), 10)} % 20 " +
+          s"WHEN ${div("id", 18)} % 20 = 7 THEN NULL " +
           s"ELSE ((${div("id", 18)} * 37 + 11) % 2191 * 53 + 9 + " +
           s"${div("id", 18)} % 2) % 2000 END"),
         "ss_cdemo_sk" -> "(id * 41 + 5) % 700",
@@ -338,8 +357,11 @@ object TpcdsGen {
         "ws_ship_mode_sk" -> "id % 10",
         "ws_ship_hdemo_sk" -> "(id * 13 + 3) % 144",
         "ws_web_page_sk" -> "id % 10",
-        "ws_bill_customer_sk" -> (s"((${div("id", 2)} * 37 + 5) % 2191 * 53 " +
-          s"+ 9 + 2 * (${div("id", 2)} % 2)) % 2000"),
+        // loyal-pool branch: see ss_customer_sk
+        "ws_bill_customer_sk" -> (s"CASE WHEN ${div("id", 2)} % 8 = 3 " +
+          s"THEN ${div(div("id", 2), 8)} % 20 " +
+          s"ELSE ((${div("id", 2)} * 37 + 5) % 2191 * 53 " +
+          s"+ 9 + 2 * (${div("id", 2)} % 2)) % 2000 END"),
         "ws_quantity" -> "CAST(1 + id % 100 AS INT)",
         "ws_sales_price" -> "(id * 6151 + 7) % 20000",
         "ws_ext_sales_price" -> "(id * 104717 + 23) % 2000000",
@@ -362,10 +384,19 @@ object TpcdsGen {
         "cs_bill_cdemo_sk" -> "(id * 41 + 5) % 700",
         "cs_promo_sk" -> "(id * 43 + 1) % 50",
         "cs_item_sk" -> "CASE WHEN id % 5 = 0 THEN ((CAST(floor((id)/5) AS BIGINT) * 7) % 60000) % 1000 ELSE id % 1000 END",
-        "cs_order_number" -> "id",
+        // every 11th non-echo line joins the PREVIOUS line's order (both
+        // lines keep their own warehouses, which differ by construction:
+        // (id-1)%5 <> id%5) — the multi-warehouse split orders q16's
+        // EXISTS probe needs; echo rows always stay single-line orders
+        "cs_order_number" ->
+          ("CASE WHEN id % 5 <> 0 AND id % 11 = 4 AND (id-1) % 5 <> 0 " +
+            "THEN id-1 ELSE id END"),
         "cs_catalog_page_sk" -> "id % 60",
         "cs_sold_time_sk" -> "(id * 1021 + 11) % 1440",
-        "cs_bill_customer_sk" -> "CASE WHEN id % 5 = 0 THEN CASE WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 20 = 7 THEN NULL ELSE ((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 * 53 + 9 + CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 2) % 2000 END ELSE CASE WHEN id % 20 = 7 THEN NULL ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END END",
+        // echo branch mirrors the store ticket's customer INCLUDING the
+        // loyal-pool branch (the mirrored ticket id is the same tid the
+        // store formula uses); non-echo rows get their own loyal stride
+        "cs_bill_customer_sk" -> "CASE WHEN id % 5 = 0 THEN CASE WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 10 = 3 THEN CAST(floor((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT))/10) AS BIGINT) % 20 WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 20 = 7 THEN NULL ELSE ((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 * 53 + 9 + CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 2) % 2000 END ELSE CASE WHEN id % 12 = 3 THEN CAST(floor((id)/12) AS BIGINT) % 20 WHEN id % 20 = 7 THEN NULL ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END END",
         "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
         "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
         // list price is the big number refunds are compared against
