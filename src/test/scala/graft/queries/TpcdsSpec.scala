@@ -47,6 +47,31 @@ class TpcdsSpec extends SparkTestBase {
     assert(n == expect)
   }
 
+  test("loyal pool: 20 customers active in all three channels every year pair") {
+    // the generator invariant q4/q11/q74/q54 depend on: each loyal
+    // customer (sk 0..19) has store+catalog+web sales in consecutive years
+    val s = spark.newSession()
+    TpcdsGen.register(s)
+    Seq(1998, 1999, 2000, 2001).foreach { y =>
+      val n = s.sql(
+        s"""SELECT count(*) FROM
+           | (SELECT DISTINCT ss_customer_sk c FROM store_sales, date_dim
+           |   WHERE ss_sold_date_sk = d_date_sk AND d_year = $y) s1
+           | JOIN (SELECT DISTINCT ss_customer_sk c FROM store_sales, date_dim
+           |   WHERE ss_sold_date_sk = d_date_sk AND d_year = ${y + 1}) s2 USING (c)
+           | JOIN (SELECT DISTINCT ws_bill_customer_sk c FROM web_sales, date_dim
+           |   WHERE ws_sold_date_sk = d_date_sk AND d_year = $y) w1 USING (c)
+           | JOIN (SELECT DISTINCT ws_bill_customer_sk c FROM web_sales, date_dim
+           |   WHERE ws_sold_date_sk = d_date_sk AND d_year = ${y + 1}) w2 USING (c)
+           | JOIN (SELECT DISTINCT cs_bill_customer_sk c FROM catalog_sales, date_dim
+           |   WHERE cs_sold_date_sk = d_date_sk AND d_year = $y) c1 USING (c)
+           | JOIN (SELECT DISTINCT cs_bill_customer_sk c FROM catalog_sales, date_dim
+           |   WHERE cs_sold_date_sk = d_date_sk AND d_year = ${y + 1}) c2 USING (c)
+           |""".stripMargin).collect().head.getLong(0)
+      assert(n == 20, s"year pair $y/${y + 1}: $n loyal customers")
+    }
+  }
+
   test("q51 cumulative maxima are monotone per item") {
     import org.apache.spark.sql.functions._
     val df = results("tpcds_q51")
