@@ -94,12 +94,16 @@ import graft.Q
   *     spike in TpcdsGen)
   *   - q73: 18-line tickets by household band; q92: excess web discount
   *     vs 1.3x the item's window average
+  *   - q58: promo-week items with near-equal store/catalog/web revenue
+  *   - q83: items returned in all three channels across three weeks
 
-  * Not executed, with reasons: q58/q83 mutual three-channel revenue/week
-  * bands are empty at this scale (the expected number of items sold in
-  * all three channels inside ONE week is ~0.6 — measured, not assumed).
-  * Every skip is a data-scale or kit-structure constraint, not an
-  * engine gap — `ref_tpcds_plan` proves all of them PLAN. The kit's
+  * ALL 99 queries now execute (q30 via the documented kit-mismatch
+  * column patch). The last two, q58/q83, needed generator structure:
+  * organic data has ~0.6 expected items sold in all three channels in
+  * any ONE week (measured: zero item-weeks in six years pass q58's
+  * ±10% band), so the generator carries a promo week of engineered
+  * near-equal per-item revenues and a three-week return surge — see
+  * TpcdsGen.promoCond/returnSurge. The kit's
   * three two-statement files run as one entry per statement (q14a/b
   * cross-channel intersect + rollup and week-over-week comparison,
   * q23a/b frequent-item best-customer bands, q24a/b store-return
@@ -159,6 +163,14 @@ object Tpcds {
       .replace("""as "total shipping cost"""", "as total_shipping_cost")
       .replace("""as "total net profit"""", "as total_net_profit")
       .replace("ca_state = 'PA'", "ca_state = 'TN'")),
+    // q58 runs on the generator's promo week (TpcdsGen promoCond): its
+    // only patch qualifies the kit's ambiguous bare `item_id` ORDER BY
+    // (three joined CTEs all expose item_id; DuckDB refuses it outright)
+    58 -> (t => t.replace("order by item_id", "order by ss_items.item_id")),
+    // q83 runs on the generator's three-week return surge; its /3.0
+    // divisions become double (the DECIMAL literal would put a DECIMAL
+    // column in the output schema, which the driver hasher bans)
+    83 -> (t => t.replace("/3.0", "/3.0e0")),
     15 -> (t => t.replaceFirst(
       """,sum\(cs_sales_price\)""", ",sum(cs_sales_price) AS sum_sales")),
     19 -> identity,

@@ -67,6 +67,31 @@ object TpcdsGen {
     * its double→int CAST rounds (Spark truncates), so always floor. */
   private def div(a: String, b: Long) = s"CAST(floor(($a)/$b) AS BIGINT)"
 
+  /** q58's promo week: days 1260..1266 (the week of 2001-06-16). Surge
+    * items (i % 11 = 4 and i % 5 <> 0 — the echo construction owns every
+    * catalog id whose item has i % 5 = 0) get EXACTLY ONE engineered line
+    * per channel in that week: one id per item per cycle block, priced
+    * f(i) = 200000 + 101*i with a per-channel skew of at most 4000 (2%),
+    * so the per-item channel revenues sit inside q58's ±10%
+    * cross-channel band by construction — unless organic same-week rows
+    * of the same item add noise, which they do for ~25% of surge items,
+    * keeping the band predicate selective rather than vacuous. */
+  private def promoCond(cycles: Long) =
+    s"(id % 1000) % 11 = 4 AND (id % 1000) % 5 <> 0 AND " +
+      s"${div("id", 1000)} % $cycles = 3"
+  private val PromoDay = "1260 + (id % 1000) % 7"
+  private val PromoBase = "200000 + (id % 1000) * 101"
+
+  /** q83's return surge: items with i % 7 = 2 get extra returns (every
+    * 3rd matching row) dated into the weeks of 2001-07-13 / 09-10 /
+    * 11-16 — the three d_week_seq buckets q83's IN-list resolves to —
+    * so the three return channels share returned items in those weeks
+    * (web returns only ever cover even items, which bounds the join). */
+  private def returnSurge(itemExpr: String, old: String) =
+    s"CASE WHEN ($itemExpr) % 7 = 2 AND id % 3 = 1 THEN " +
+      s"(CASE ${div("id", 3)} % 3 WHEN 0 THEN 1288 WHEN 1 THEN 1344 " +
+      s"ELSE 1414 END) + id % 7 ELSE $old END"
+
   /** Simple-CASE pick from a string pool, keyed by a 0-based expr. */
   private def pick(key: String, pool: Seq[String]): String =
     pool.zipWithIndex.map { case (v, i) => s"WHEN $i THEN '$v'" }
@@ -305,7 +330,10 @@ object TpcdsGen {
         // ticket), like the official generator's per-trip structure —
         // q34-class queries (count lines per ticket between 15 and 20)
         // are empty under row-keyed attributes.
-        "ss_sold_date_sk" -> s"(${div("id", 18)} * 37 + 11) % 2191",
+        // promo-week branch (see promoCond): one engineered line per
+        // surge item; the ticket keeps its other 17 lines' date
+        "ss_sold_date_sk" -> (s"CASE WHEN ${promoCond(60)} THEN $PromoDay " +
+          s"ELSE (${div("id", 18)} * 37 + 11) % 2191 END"),
         "ss_sold_time_sk" -> "(id * 1021 + 7) % 1440",
         "ss_item_sk" -> "id % 1000",
         // Every 10th ticket belongs to one of 20 LOYAL customers (sks
@@ -330,7 +358,9 @@ object TpcdsGen {
         // money columns: deterministic pseudo-random cents
         "ss_sales_price" -> "(id * 7919 + 13) % 20000",
         "ss_list_price" -> "(id * 6971 + 29) % 25000",
-        "ss_ext_sales_price" -> "(id * 104729 + 17) % 2000000",
+        "ss_ext_sales_price" -> (s"CASE WHEN ${promoCond(60)} " +
+          s"THEN $PromoBase + ((id % 1000) % 5) * 1000 " +
+          "ELSE (id * 104729 + 17) % 2000000 END"),
         "ss_ext_list_price" -> "(id * 104723 + 19) % 2500000",
         "ss_coupon_amt" -> "(id * 3001) % 5000",
         "ss_ext_discount_amt" -> "(id * 2003) % 40000",
@@ -344,7 +374,8 @@ object TpcdsGen {
         // orders have TWO lines (id/2) shipped from DIFFERENT warehouses —
         // the split-shipment shape q94/q95's EXISTS probes — so order-level
         // attributes (date, customer, site) key off the order
-        "ws_sold_date_sk" -> s"(${div("id", 2)} * 37 + 5) % 2191",
+        "ws_sold_date_sk" -> (s"CASE WHEN ${promoCond(20)} THEN $PromoDay " +
+          s"ELSE (${div("id", 2)} * 37 + 5) % 2191 END"),
         "ws_ship_date_sk" ->
           s"least(2190, (${div("id", 2)} * 37 + 5) % 2191 + id % 150)",
         "ws_sold_time_sk" -> "(id * 59 + 3) % 1440",
@@ -364,7 +395,9 @@ object TpcdsGen {
           s"+ 9 + 2 * (${div("id", 2)} % 2)) % 2000 END"),
         "ws_quantity" -> "CAST(1 + id % 100 AS INT)",
         "ws_sales_price" -> "(id * 6151 + 7) % 20000",
-        "ws_ext_sales_price" -> "(id * 104717 + 23) % 2000000",
+        "ws_ext_sales_price" -> (s"CASE WHEN ${promoCond(20)} " +
+          s"THEN $PromoBase - ((id % 1000) % 5) * 1000 " +
+          "ELSE (id * 104717 + 23) % 2000000 END"),
         "ws_net_profit" -> "(id * 7901) % 300000 - 100000"),
       "catalog_sales" -> Map(
         // Every 5th row is a RE-PURCHASE ECHO of store-sale line
@@ -373,7 +406,9 @@ object TpcdsGen {
         // sale. This gives the q17/q25/q29 family its "bought in store,
         // returned, re-bought by catalog" customers deterministically;
         // non-echo rows keep independent date/item/customer streams.
-        "cs_sold_date_sk" -> "CASE WHEN id % 5 = 0 THEN least(2190, (CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 + 14) ELSE (id * 37 + 29) % 2191 END",
+        "cs_sold_date_sk" -> (s"CASE WHEN id % 5 <> 0 AND ${promoCond(15)} " +
+          s"THEN $PromoDay " +
+          "WHEN id % 5 = 0 THEN least(2190, (CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 + 14) ELSE (id * 37 + 29) % 2191 END"),
         "cs_ship_date_sk" -> "least(2190, (id * 37 + 29) % 2191 + id % 150)",
         "cs_warehouse_sk" -> "id % 5",
         "cs_ship_mode_sk" -> "(id + 3) % 10",
@@ -398,7 +433,9 @@ object TpcdsGen {
         // store formula uses); non-echo rows get their own loyal stride
         "cs_bill_customer_sk" -> "CASE WHEN id % 5 = 0 THEN CASE WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 10 = 3 THEN CAST(floor((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT))/10) AS BIGINT) % 20 WHEN CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 20 = 7 THEN NULL ELSE ((CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) * 37 + 11) % 2191 * 53 + 9 + CAST(floor(((CAST(floor((id)/5) AS BIGINT) * 7) % 60000)/18) AS BIGINT) % 2) % 2000 END ELSE CASE WHEN id % 12 = 3 THEN CAST(floor((id)/12) AS BIGINT) % 20 WHEN id % 20 = 7 THEN NULL ELSE ((id * 37 + 29) % 2191 * 53 + 9 + 3 * (id % 3)) % 2000 END END",
         "cs_quantity" -> "CAST(1 + id % 100 AS INT)",
-        "cs_ext_sales_price" -> "(id * 104711 + 31) % 2000000",
+        "cs_ext_sales_price" -> (s"CASE WHEN id % 5 <> 0 AND " +
+          s"${promoCond(15)} THEN $PromoBase " +
+          "ELSE (id * 104711 + 31) % 2000000 END"),
         // list price is the big number refunds are compared against
         // (q64's cs_ui: sum(list) > 2*sum(refund parts)); the type-default
         // filler tops out at 9999 cents and made that predicate
@@ -415,10 +452,15 @@ object TpcdsGen {
         val ticket = div(sale, 18)
         val sold = s"($ticket * 37 + 11) % 2191"
         Map(
-          "sr_returned_date_sk" -> s"least(2190, $sold + (id % 150))",
+          "sr_returned_date_sk" ->
+            returnSurge(s"($sale) % 1000", s"least(2190, $sold + (id % 150))"),
           "sr_item_sk" -> s"($sale) % 1000",
           "sr_ticket_number" -> ticket,
-          "sr_customer_sk" -> (s"CASE WHEN $ticket % 20 = 7 THEN NULL " +
+          // mirrors ss_customer_sk INCLUDING the loyal-pool branch, so
+          // the q50-class (ticket,item,customer) join stays exact
+          "sr_customer_sk" -> (s"CASE WHEN $ticket % 10 = 3 " +
+            s"THEN ${div(ticket, 10)} % 20 " +
+            s"WHEN $ticket % 20 = 7 THEN NULL " +
             s"ELSE (($ticket * 37 + 11) % 2191 * 53 + 9 + " +
             s"$ticket % 2) % 2000 END"),
           "sr_store_sk" -> s"($ticket * 31) % 12",
@@ -435,26 +477,35 @@ object TpcdsGen {
         val sale = "(id * 7) % 15000"
         val sold = s"(($sale) * 37 + 29) % 2191"
         Map(
-          "cr_returned_date_sk" -> s"least(2190, $sold + (id % 150))",
+          "cr_returned_date_sk" ->
+            returnSurge(s"($sale) % 1000", s"least(2190, $sold + (id % 150))"),
           "cr_item_sk" -> s"($sale) % 1000",
           "cr_order_number" -> sale,
           "cr_catalog_page_sk" -> "id % 60",
           "cr_call_center_sk" -> s"($sale) % 6",
-          "cr_returning_customer_sk" -> (s"CASE WHEN ($sale) % 20 = 7 THEN NULL " +
+          // mirrors cs_bill_customer_sk's non-echo branch incl. loyal pool
+          "cr_returning_customer_sk" -> (s"CASE WHEN ($sale) % 12 = 3 " +
+            s"THEN ${div(s"($sale)", 12)} % 20 " +
+            s"WHEN ($sale) % 20 = 7 THEN NULL " +
             s"ELSE ($sold * 53 + 9 + 3 * (($sale) % 3)) % 2000 END"),
           "cr_returning_addr_sk" -> "(id * 19 + 11) % 1500",
           "cr_return_amount" -> "(id * 3581) % 50000",
           "cr_net_loss" -> "(id * 2719) % 40000")
       },
       "web_returns" -> Map(
-        "wr_returned_date_sk" -> "(id * 37 + 41) % 2191",
+        "wr_returned_date_sk" -> returnSurge(
+          "(2 * ((id * 11) % 10000)) % 1000", "(id * 37 + 41) % 2191"),
         // wr joins web_sales on (item, order): order o has item o%1000,
         // so derive the item FROM the order number → every return matches
         "wr_order_number" -> "(id * 11) % 10000",
         "wr_item_sk" -> "(2 * ((id * 11) % 10000)) % 1000",
+        // mirrors ws_bill_customer_sk for the referenced order, incl.
+        // the loyal-pool branch
         "wr_returning_customer_sk" ->
-          ("(((id * 11) % 10000 * 37 + 5) % 2191 * 53 + 9 + " +
-            "2 * ((id * 11) % 10000 % 2)) % 2000"),
+          ("CASE WHEN (id * 11) % 10000 % 8 = 3 " +
+            "THEN CAST(floor(((id * 11) % 10000)/8) AS BIGINT) % 20 " +
+            "ELSE (((id * 11) % 10000 * 37 + 5) % 2191 * 53 + 9 + " +
+            "2 * ((id * 11) % 10000 % 2)) % 2000 END"),
         "wr_returning_addr_sk" -> "(id * 19 + 5) % 1500",
         // refunded address always lands on a TX-state row (addr ≡ 2 mod 8)
         // — q85's state lists would otherwise intersect the profit bands
