@@ -72,6 +72,43 @@ class TpcdsSpec extends SparkTestBase {
     }
   }
 
+  test("promo week: one engineered line per surge item per channel") {
+    // the generator invariant q58 depends on: surge items (i%11=4,
+    // i%5<>0) each have exactly one surge-priced line per channel in
+    // days 1260..1266, and the three channel prices differ by <= 4000
+    val s = spark.newSession()
+    TpcdsGen.register(s)
+    val surgeItems = (0 until 1000).count(i => i % 11 == 4 && i % 5 != 0)
+    Seq(
+      ("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_ext_sales_price"),
+      ("catalog_sales", "cs_item_sk", "cs_sold_date_sk", "cs_ext_sales_price"),
+      ("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_ext_sales_price"))
+      .foreach { case (tbl, item, date, price) =>
+        val n = s.sql(
+          s"""SELECT count(*) FROM $tbl
+             | WHERE $date BETWEEN 1260 AND 1266
+             |   AND $item % 11 = 4 AND $item % 5 <> 0
+             |   AND abs($price - (200000 + $item * 101)) <= 4000""".stripMargin)
+          .collect().head.getLong(0)
+        assert(n == surgeItems, s"$tbl surge lines: $n != $surgeItems")
+      }
+  }
+
+  test("return surge: three channels share returned items in the q83 weeks") {
+    val s = spark.newSession()
+    TpcdsGen.register(s)
+    val n = s.sql(
+      """SELECT count(*) FROM
+        | (SELECT DISTINCT sr_item_sk i FROM store_returns
+        |   WHERE sr_returned_date_sk BETWEEN 1288 AND 1420) a
+        | JOIN (SELECT DISTINCT cr_item_sk i FROM catalog_returns
+        |   WHERE cr_returned_date_sk BETWEEN 1288 AND 1420) b USING (i)
+        | JOIN (SELECT DISTINCT wr_item_sk i FROM web_returns
+        |   WHERE wr_returned_date_sk BETWEEN 1288 AND 1420) c USING (i)
+        |""".stripMargin).collect().head.getLong(0)
+    assert(n >= 50, s"3-channel returned items in the surge span: $n")
+  }
+
   test("q51 cumulative maxima are monotone per item") {
     import org.apache.spark.sql.functions._
     val df = results("tpcds_q51")
