@@ -596,8 +596,65 @@ object LakeQueries {
         "after_drop")
   }
 
+  /** Incremental materialized-view maintenance over the change feed
+    * ([[MaterializedView]]): seed a lake table from `orders` (bounded key
+    * range so demo cost is SF-capped), build a grouped COUNT/SUM/MAX view,
+    * run delete → update → append against the BASE, then `refresh()` the
+    * view from CDF deltas only. The DuckDB oracle restates the final base
+    * population directly and aggregates it — hash-equal iff the signed
+    * delta fold (and the dirty-group MAX recompute under deletion) lands
+    * on exactly the full-recompute answer. The refresh path is also pinned
+    * group-by-group against [[MaterializedView.expected]] in the spec. */
+  val mvIncremental: Q = Q(
+    "lake_mv_incremental",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |final AS (
+      |  SELECT o_orderpriority,
+      |    cents + CASE WHEN o_orderkey % 10 = 7 THEN 500 ELSE 0 END AS cents
+      |  FROM base WHERE o_orderkey % 10 <> 3
+      |  UNION ALL
+      |  SELECT o_orderpriority, cents FROM base WHERE o_orderkey <= 1000)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS mv_cnt,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-mv-${UUID.randomUUID()}")
+      .toString
+    val src = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val base = LakeDataset.create(s, s"$root/base", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("cents", LongType))))
+    base.append(src.select(col("o_orderkey").cast("long"),
+      col("o_orderpriority"), col("cents")).coalesce(2))
+    val mv = MaterializedView.create(s, base, s"$root/view",
+      keys = Seq("o_orderpriority"), sumCols = Seq("cents"),
+      maxCols = Seq("cents"))
+    base.delete("o_orderkey % 10 = 3")
+    base.update("o_orderkey % 10 = 7", Map("cents" -> "cents + 500"))
+    base.append(src.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_orderkey", (col("o_orderkey") + 1000000L).cast("long"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"))
+      .coalesce(1))
+    val stats = mv.refresh()
+    require(stats.toVersion == base.version && mv.baseVersion == base.version,
+      "refresh cursor must land on the base head")
+    require(mv.refresh().upsertedGroups == 0L,
+      "second refresh must be a no-op")
+    mv.read()
+      .select(col("o_orderpriority"), col("mv_cnt"),
+        col("sum_cents"), col("max_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
       catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
-      spatialKnn, spatialRange, branchDemo, constraintDemo)
+      spatialKnn, spatialRange, branchDemo, constraintDemo, mvIncremental)
 }

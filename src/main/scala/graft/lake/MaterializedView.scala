@@ -1,0 +1,176 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** One incremental refresh: the base-version window it consumed and how
+  * many view groups it rewrote / removed. */
+final case class MvRefreshStats(
+    fromVersion: Long,
+    toVersion: Long,
+    upsertedGroups: Long,
+    removedGroups: Long)
+
+/** Incrementally-maintained materialized view over a [[LakeDataset]]:
+  * `SELECT keys, count(*), sum(c).., max(c).. GROUP BY keys`, kept current
+  * from the base table's change feed instead of full recompute.
+  *
+  * The view is itself a lake dataset with one row per live group —
+  * `keys..., mv_cnt, sum_<c>.., max_<c>..` — and the base version it is
+  * current to rides in the view manifest's `properties` under
+  * `mv.base.version`, so the refresh cursor commits atomically with the
+  * refreshed state (a crash between data and cursor can only replay the
+  * same idempotent window, never skip one).
+  *
+  * Refresh cost is proportional to the CHANGES, never to the base table:
+  *   - [[LakeDataset.changes]] reads only fragments touched in
+  *     `(from, to]` (the manifest diff bounds IO) and nets out
+  *     rewritten-but-identical rows, so compaction/z-order churn is free;
+  *   - the signed delta aggregation shuffles only changed rows, with
+  *     map-side partial combine, down to one row per dirty group;
+  *   - the view merge joins that (dirty-groups-sized) frame against the
+  *     view and rewrites only fragments holding dirty groups
+  *     ([[LakeDataset.mergeInsert]]'s touched-file pruning);
+  *   - MAX under deletion is not incrementally computable, so exactly the
+  *     groups that lost rows are recomputed by ONE semi-join-pruned scan
+  *     of the base restricted to those groups (zonemap skipping applies);
+  *     insert-only deltas fold `greatest(old, delta)` with zero base IO.
+  *
+  * COUNT/SUM are self-maintainable, AVG derives as sum/cnt at read time;
+  * this is the standard algebraic-aggregate MV maintenance split (Gupta &
+  * Mumick, "Maintenance of Materialized Views", IEEE DE Bulletin 1995).
+  * The reference engine has no MV machinery — this is a beyond-reference
+  * capability built from the lake's own CDF + merge primitives. */
+final class MaterializedView private (
+    spark: SparkSession,
+    val base: LakeDataset,
+    val view: LakeDataset,
+    val keys: Seq[String],
+    val sumCols: Seq[String],
+    val maxCols: Seq[String]) {
+
+  import MaterializedView._
+
+  /** Base version the view state is current to. */
+  def baseVersion: Long =
+    view.manifest.properties(PropBaseVersion).toLong
+
+  /** Current view contents (one row per live group). */
+  def read(): DataFrame = view.read()
+
+  /** Bring the view up to the base's current version by applying the
+    * change feed; no-op (and no commit) when already current. */
+  def refresh(): MvRefreshStats = {
+    val from = baseVersion
+    val to = base.version
+    if (from == to) return MvRefreshStats(from, to, 0L, 0L)
+
+    val feed = base.changes(from, to)
+    val signed = feed.withColumn("_sign",
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L)))
+    val deltaAggs =
+      Seq(sum(col("_sign")).as("_d_cnt")) ++
+        sumCols.map(c => sum(col(c) * col("_sign")).as(s"_d_sum_$c")) ++
+        maxCols.map(c =>
+          max(when(col("_sign") === 1L, col(c))).as(s"_d_max_$c")) ++
+        Seq(max(col("_sign") === -1L).as("_d_removed"))
+    val delta = signed.groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    // Groups that lost rows: MAX may have shrunk — recompute those groups
+    // (and only those) from the base. Semi-join keeps the scan prunable.
+    val withRecompute =
+      if (maxCols.isEmpty || delta.filter(col("_d_removed")).isEmpty) {
+        maxCols.foldLeft(delta)((df, c) =>
+          df.withColumn(s"_r_max_$c", lit(null).cast(df.schema(s"_d_max_$c").dataType)))
+      } else {
+        val dirty = delta.filter(col("_d_removed")).select(keys.map(col): _*)
+        val reAggs = maxCols.map(c => max(col(c)).as(s"_r_max_$c"))
+        val recomputed = base.read()
+          .join(dirty, keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(reAggs.head, reAggs.tail: _*)
+        delta.join(recomputed, keys, "left")
+      }
+
+    val merged = withRecompute.join(view.read(), keys, "left")
+      .select(
+        keys.map(col) ++
+          Seq((coalesce(col("mv_cnt"), lit(0L)) + col("_d_cnt")).as("mv_cnt")) ++
+          sumCols.map(c =>
+            (coalesce(col(s"sum_$c"), lit(0L)) +
+              coalesce(col(s"_d_sum_$c"), lit(0L))).as(s"sum_$c")) ++
+          maxCols.map(c =>
+            when(col("_d_removed"), col(s"_r_max_$c"))
+              .otherwise(greatest(col(s"max_$c"), col(s"_d_max_$c")))
+              .as(s"max_$c")): _*)
+
+    val (matched, inserted) = view.mergeInsert(merged, keys)
+    val removed = view.delete("mv_cnt <= 0")
+    view.setProperties(Map(PropBaseVersion -> to.toString))
+    MvRefreshStats(from, to, matched + inserted, removed)
+  }
+}
+
+object MaterializedView {
+  val PropBaseVersion = "mv.base.version"
+  val PropBasePath = "mv.base.path"
+  val PropKeys = "mv.keys"
+  val PropSumCols = "mv.sum.cols"
+  val PropMaxCols = "mv.max.cols"
+
+  private def csv(cols: Seq[String]): String = cols.mkString(",")
+  private def uncsv(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def stateOf(base: LakeDataset, keys: Seq[String],
+      sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("mv_cnt")) ++
+      sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
+    base.read().groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Full initial build at the base's current version. */
+  def create(spark: SparkSession, base: LakeDataset, viewRoot: String,
+      keys: Seq[String], sumCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): MaterializedView = {
+    val snapshotV = base.version
+    val state = stateOf(base, keys, sumCols, maxCols)
+    val view = LakeDataset.create(spark, viewRoot,
+      StructType(state.schema.fields.map(_.copy(nullable = true))))
+    view.append(state)
+    // The full definition rides in the view's own properties, so `open`
+    // (and the SQL `CALL lake.system.mv_refresh(view)` door) needs no
+    // caller-supplied definition to re-derive later refreshes.
+    view.setProperties(Map(
+      PropBaseVersion -> snapshotV.toString,
+      PropBasePath -> base.root,
+      PropKeys -> csv(keys),
+      PropSumCols -> csv(sumCols),
+      PropMaxCols -> csv(maxCols)))
+    new MaterializedView(spark, base, view, keys, sumCols, maxCols)
+  }
+
+  /** Reattach to an existing view; the definition, base location, state
+    * and refresh cursor all come from the view dataset itself. */
+  def open(spark: SparkSession, viewRoot: String): MaterializedView = {
+    val view = LakeDataset.open(spark, viewRoot)
+    val props = view.manifest.properties
+    require(props.contains(PropBaseVersion) && props.contains(PropBasePath),
+      s"$viewRoot is not a materialized view (missing mv.* properties)")
+    val base = LakeDataset.open(spark, props(PropBasePath))
+    new MaterializedView(spark, base, view,
+      uncsv(props(PropKeys)),
+      uncsv(props.getOrElse(PropSumCols, "")),
+      uncsv(props.getOrElse(PropMaxCols, "")))
+  }
+
+  /** Full recompute of what the view SHOULD hold right now — the oracle
+    * for specs and for a user-side consistency check. */
+  def expected(base: LakeDataset, keys: Seq[String],
+      sumCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame =
+    stateOf(base, keys, sumCols, maxCols)
+}

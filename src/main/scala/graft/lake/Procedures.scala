@@ -24,7 +24,7 @@ object LakeProcedures {
 
   val Names: Seq[String] = Seq("optimize_zorder", "compact", "vacuum",
     "create_branch", "merge_branch", "drop_branch", "branches", "history",
-    "add_check", "drop_check")
+    "add_check", "drop_check", "mv_create", "mv_refresh")
 
   /** One-row result surface for a maintenance call. */
   private final case class ResultScan(schema: StructType,
@@ -187,6 +187,41 @@ object LakeProcedures {
               r.getTimestamp(5).getTime * 1000L) // internal micros
           }
           java.util.List.of[Scan](ResultScan(schema, rows)).iterator()
+        }
+      }
+      case "mv_create" => new LakeProc("mv_create", Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("keys", StringType).build(),
+        ProcedureParameter.in("sum_cols", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("max_cols", StringType)
+          .defaultValue("''").build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (tbl, ds) = open(input.getUTF8String(0))
+          val viewName = input.getUTF8String(1).toString
+          val viewPath = resolvePath(viewName.split('.').toSeq)
+          def cols(i: Int): Seq[String] =
+            if (input.isNullAt(i)) Nil
+            else input.getUTF8String(i).toString
+              .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val mv = MaterializedView.create(SparkSession.active, ds,
+            viewPath, cols(2), cols(3), cols(4))
+          summary(tbl, s"mv_create($viewName @ base v${mv.baseVersion})",
+            mv.view)
+        }
+      }
+      case "mv_refresh" => new LakeProc("mv_refresh", Array(
+        ProcedureParameter.in("view", StringType).build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val viewName = input.getUTF8String(0).toString
+          val viewPath = resolvePath(viewName.split('.').toSeq)
+          val mv = MaterializedView.open(SparkSession.active, viewPath)
+          val st = mv.refresh()
+          summary(viewName,
+            s"mv_refresh(v${st.fromVersion}->v${st.toVersion}, " +
+              s"upserted=${st.upsertedGroups}, removed=${st.removedGroups})",
+            mv.view)
         }
       }
       case other => throw new IllegalArgumentException(

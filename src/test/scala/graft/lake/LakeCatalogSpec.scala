@@ -189,6 +189,40 @@ class LakeCatalogSpec extends SparkTestBase {
       == 6)
   }
 
+  test("CALL procedures: materialized view create + refresh through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.mv")
+    spark.sql("CREATE TABLE lakecat.mv.sales (k STRING, id BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO lakecat.mv.sales VALUES ('a',1,10),('a',2,20),('b',3,5)")
+    val created = spark.sql(
+      "CALL lakecat.system.mv_create(`table` => 'mv.sales', " +
+        "view => 'mv.sales_by_k', keys => 'k', " +
+        "sum_cols => 'v', max_cols => 'v')").collect().head
+    assert(created.getString(1).startsWith("mv_create"))
+
+    def viewRows() = spark.sql(
+      "SELECT k, mv_cnt, sum_v, max_v FROM lakecat.mv.sales_by_k ORDER BY k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(viewRows() == Seq(("a", 2L, 30L, 20L), ("b", 1L, 5L, 5L)))
+
+    // DML on the base through SQL, then refresh through SQL
+    spark.sql("DELETE FROM lakecat.mv.sales WHERE id = 2")
+    spark.sql("INSERT INTO lakecat.mv.sales VALUES ('c', 4, 7)")
+    val refreshed = spark.sql(
+      "CALL lakecat.system.mv_refresh('mv.sales_by_k')").collect().head
+    assert(refreshed.getString(1).contains("upserted=2"))
+    assert(viewRows() ==
+      Seq(("a", 1L, 10L, 10L), ("b", 1L, 5L, 5L), ("c", 1L, 7L, 7L)))
+
+    // idempotent when already current
+    spark.sql("CALL lakecat.system.mv_refresh('mv.sales_by_k')")
+    assert(viewRows() ==
+      Seq(("a", 1L, 10L, 10L), ("b", 1L, 5L, 5L), ("c", 1L, 7L, 7L)))
+  }
+
   test("catalog reads prune fragments like the path-based door") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.pr")
