@@ -13,8 +13,9 @@ final case class MvRefreshStats(
     removedGroups: Long)
 
 /** Incrementally-maintained materialized view over a [[LakeDataset]]:
-  * `SELECT keys, count(*), sum(c).., max(c).. GROUP BY keys`, kept current
-  * from the base table's change feed instead of full recompute.
+  * `SELECT keys, count(*), sum(c).., max(c).., min(c).. GROUP BY keys`,
+  * kept current from the base table's change feed instead of full
+  * recompute.
   *
   * The view is itself a lake dataset with one row per live group —
   * `keys..., mv_cnt, sum_<c>.., max_<c>..` — and the base version it is
@@ -48,7 +49,8 @@ final class MaterializedView private (
     val view: LakeDataset,
     val keys: Seq[String],
     val sumCols: Seq[String],
-    val maxCols: Seq[String]) {
+    val maxCols: Seq[String],
+    val minCols: Seq[String]) {
 
   import MaterializedView._
 
@@ -75,19 +77,26 @@ final class MaterializedView private (
         sumCols.map(c => sum(col(c) * col("_sign")).as(s"_d_sum_$c")) ++
         maxCols.map(c =>
           max(when(col("_sign") === 1L, col(c))).as(s"_d_max_$c")) ++
+        minCols.map(c =>
+          min(when(col("_sign") === 1L, col(c))).as(s"_d_min_$c")) ++
         Seq(max(col("_sign") === -1L).as("_d_removed"))
     val delta = signed.groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
 
-    // Groups that lost rows: MAX may have shrunk — recompute those groups
-    // (and only those) from the base. Semi-join keeps the scan prunable.
+    // Groups that lost rows: MAX/MIN may have moved — recompute those
+    // groups (and only those) from the base. Semi-join keeps the scan
+    // prunable by zonemaps/partitioning.
+    val extremeNames =
+      maxCols.map(c => (s"_r_max_$c", s"_d_max_$c", max(col(c)))) ++
+        minCols.map(c => (s"_r_min_$c", s"_d_min_$c", min(col(c))))
     val withRecompute =
-      if (maxCols.isEmpty || delta.filter(col("_d_removed")).isEmpty) {
-        maxCols.foldLeft(delta)((df, c) =>
-          df.withColumn(s"_r_max_$c", lit(null).cast(df.schema(s"_d_max_$c").dataType)))
+      if (extremeNames.isEmpty || delta.filter(col("_d_removed")).isEmpty) {
+        extremeNames.foldLeft(delta) { case (df, (r, d, _)) =>
+          df.withColumn(r, lit(null).cast(df.schema(d).dataType))
+        }
       } else {
         val dirty = delta.filter(col("_d_removed")).select(keys.map(col): _*)
-        val reAggs = maxCols.map(c => max(col(c)).as(s"_r_max_$c"))
+        val reAggs = extremeNames.map { case (r, _, agg) => agg.as(r) }
         val recomputed = base.read()
           .join(dirty, keys, "left_semi")
           .groupBy(keys.map(col): _*)
@@ -105,7 +114,11 @@ final class MaterializedView private (
           maxCols.map(c =>
             when(col("_d_removed"), col(s"_r_max_$c"))
               .otherwise(greatest(col(s"max_$c"), col(s"_d_max_$c")))
-              .as(s"max_$c")): _*)
+              .as(s"max_$c")) ++
+          minCols.map(c =>
+            when(col("_d_removed"), col(s"_r_min_$c"))
+              .otherwise(least(col(s"min_$c"), col(s"_d_min_$c")))
+              .as(s"min_$c")): _*)
 
     val (matched, inserted) = view.mergeInsert(merged, keys)
     val removed = view.delete("mv_cnt <= 0")
@@ -120,25 +133,29 @@ object MaterializedView {
   val PropKeys = "mv.keys"
   val PropSumCols = "mv.sum.cols"
   val PropMaxCols = "mv.max.cols"
+  val PropMinCols = "mv.min.cols"
 
   private def csv(cols: Seq[String]): String = cols.mkString(",")
   private def uncsv(s: String): Seq[String] =
     s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private def stateOf(base: LakeDataset, keys: Seq[String],
-      sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], maxCols: Seq[String],
+      minCols: Seq[String]): DataFrame = {
     val aggs = Seq(count(lit(1)).as("mv_cnt")) ++
       sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
-      maxCols.map(c => max(col(c)).as(s"max_$c"))
+      maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+      minCols.map(c => min(col(c)).as(s"min_$c"))
     base.read().groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Full initial build at the base's current version. */
   def create(spark: SparkSession, base: LakeDataset, viewRoot: String,
       keys: Seq[String], sumCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): MaterializedView = {
+      maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): MaterializedView = {
     val snapshotV = base.version
-    val state = stateOf(base, keys, sumCols, maxCols)
+    val state = stateOf(base, keys, sumCols, maxCols, minCols)
     val view = LakeDataset.create(spark, viewRoot,
       StructType(state.schema.fields.map(_.copy(nullable = true))))
     view.append(state)
@@ -150,8 +167,9 @@ object MaterializedView {
       PropBasePath -> base.root,
       PropKeys -> csv(keys),
       PropSumCols -> csv(sumCols),
-      PropMaxCols -> csv(maxCols)))
-    new MaterializedView(spark, base, view, keys, sumCols, maxCols)
+      PropMaxCols -> csv(maxCols),
+      PropMinCols -> csv(minCols)))
+    new MaterializedView(spark, base, view, keys, sumCols, maxCols, minCols)
   }
 
   /** Reattach to an existing view; the definition, base location, state
@@ -165,12 +183,14 @@ object MaterializedView {
     new MaterializedView(spark, base, view,
       uncsv(props(PropKeys)),
       uncsv(props.getOrElse(PropSumCols, "")),
-      uncsv(props.getOrElse(PropMaxCols, "")))
+      uncsv(props.getOrElse(PropMaxCols, "")),
+      uncsv(props.getOrElse(PropMinCols, "")))
   }
 
   /** Full recompute of what the view SHOULD hold right now — the oracle
     * for specs and for a user-side consistency check. */
   def expected(base: LakeDataset, keys: Seq[String],
-      sumCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame =
-    stateOf(base, keys, sumCols, maxCols)
+      sumCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): DataFrame =
+    stateOf(base, keys, sumCols, maxCols, minCols)
 }

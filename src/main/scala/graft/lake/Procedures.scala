@@ -196,6 +196,8 @@ object LakeProcedures {
         ProcedureParameter.in("sum_cols", StringType)
           .defaultValue("''").build(),
         ProcedureParameter.in("max_cols", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("min_cols", StringType)
           .defaultValue("''").build())) {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val (tbl, ds) = open(input.getUTF8String(0))
@@ -206,7 +208,7 @@ object LakeProcedures {
             else input.getUTF8String(i).toString
               .split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val mv = MaterializedView.create(SparkSession.active, ds,
-            viewPath, cols(2), cols(3), cols(4))
+            viewPath, cols(2), cols(3), cols(4), cols(5))
           summary(tbl, s"mv_create($viewName @ base v${mv.baseVersion})",
             mv.view)
         }

@@ -78,6 +78,25 @@ object LakeSink {
       ()
   }
 
+  /** Wrap any lake sink so each micro-batch also refreshes the given
+    * [[graft.lake.MaterializedView]]s after the data commit — continuous
+    * ingest with continuously-current grouped aggregates, at CDF-delta
+    * cost per batch instead of per-batch recompute.
+    *
+    * Crash safety: the MV cursor commits atomically with the view state,
+    * so dying between the data commit and a refresh only delays the view
+    * one batch — the next refresh consumes the widened CDF window, and a
+    * replayed (skipped) batch leaves the cursor at the head, making its
+    * refresh a free no-op. Nothing is skipped or double-applied. */
+  def withMvRefresh(inner: (DataFrame, Long) => Unit,
+      viewRoots: Seq[String]): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      inner(df, batchId)
+      viewRoots.foreach { r =>
+        graft.lake.MaterializedView.open(df.sparkSession, r).refresh()
+      }
+  }
+
   private def openOrCreate(df: DataFrame, root: String,
       branch: Option[String]): LakeDataset = {
     val spark = df.sparkSession

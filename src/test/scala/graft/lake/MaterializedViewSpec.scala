@@ -134,6 +134,30 @@ class MaterializedViewSpec extends SparkTestBase {
     assertCurrent(mv2, base)
   }
 
+  test("min columns: insert folds via least, delete recomputes the floor") {
+    val root = tmpDir()
+    val base = LakeDataset.create(spark, s"$root/base", schema)
+    base.append(frame(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L)))
+    val mv = MaterializedView.create(spark, base, s"$root/view",
+      keys = Seq("k"), sumCols = Seq("v"), maxCols = Seq("v"),
+      minCols = Seq("v"))
+    base.append(frame(("a", 4L, 3L)))  // new floor via fold, no removal
+    mv.refresh()
+    def mins() = mv.read().collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(mins() == Map("a" -> 3L, "b" -> 5L))
+    base.delete("id = 4") // floor removed -> recompute must restore 10
+    mv.refresh()
+    assert(mins() == Map("a" -> 10L, "b" -> 5L))
+    val got = sorted(mv.read().select("k", "mv_cnt", "sum_v", "max_v", "min_v"))
+    val want = sorted(MaterializedView
+      .expected(base, Seq("k"), Seq("v"), Seq("v"), Seq("v"))
+      .select("k", "mv_cnt", "sum_v", "max_v", "min_v"))
+    assert(got == want)
+    // definition round-trips through the persisted properties
+    assert(MaterializedView.open(spark, mv.view.root).minCols == Seq("v"))
+  }
+
   test("count/sum-only view (no max columns) never scans the base") {
     val root = tmpDir()
     val base = LakeDataset.create(spark, s"$root/base", schema)

@@ -172,4 +172,45 @@ class LakeSinkSpec extends SparkTestBase {
     assert(!ds2.upsertStreamingBatch(
       Seq(ev(9, 900, 9)).toDF(), Seq("event_id"), "up", 2L))
   }
+
+  test("withMvRefresh keeps a materialized view current with the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir()
+    val viewRoot = s"${tmpDir()}/view"
+
+    // batch 0 lands through the plain sink, then the MV is defined on it
+    val s1 = MemoryStream[EventStream.Event]
+    val q1 = s1.toDF().writeStream
+      .foreachBatch(LakeSink.appendTo(root, "mvq"))
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      s1.addData(ev(1, 100, 1), ev(2, 200, 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val base = LakeDataset.open(spark, root)
+    graft.lake.MaterializedView.create(spark, base, viewRoot,
+      keys = Seq("user_id"), sumCols = Seq("value"))
+
+    // later batches flow through the wrapped sink: ingest + MV refresh
+    val s2 = MemoryStream[EventStream.Event]
+    val q2 = s2.toDF().writeStream
+      .foreachBatch(LakeSink.withMvRefresh(
+        LakeSink.appendTo(root, "mvq2"), Seq(viewRoot)))
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      s2.addData(ev(3, 300, 1), ev(4, 400, 3))
+      q2.processAllAvailable()
+      s2.addData(ev(5, 500, 3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val mv = graft.lake.MaterializedView.open(spark, viewRoot)
+    assert(mv.baseVersion == base.refresh().version)
+    val got = mv.read().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 2.0), (2L, 1L, 1.0), (3L, 2L, 2.0)))
+    // replayed-batch skip leaves the cursor at the head: refresh is free
+    assert(mv.refresh().upsertedGroups == 0L)
+  }
 }
