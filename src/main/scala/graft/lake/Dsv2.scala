@@ -150,6 +150,8 @@ private[lake] final class LakeTable(root: String,
     options.containsKey("versionAsOf") || options.containsKey("tag") ||
       options.containsKey("changesFrom") || options.containsKey("branch")
 
+  private[lake] def rootPath: String = root
+
   override def name(): String = s"lake.`$root`"
 
   // The manifest is authoritative once the dataset exists; the schema Spark

@@ -653,8 +653,63 @@ object LakeQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Transparent MV rewriting ([[MvRewrite]]): register a COUNT/SUM/MAX
+    * view over a lake copy of `orders`, run base DML + refresh, then ask a
+    * coarser grouped aggregate (with a key-only filter) OF THE BASE TABLE.
+    * The run `require`s the optimized plan scans the VIEW, so the rows the
+    * driver hashes are the view-answered ones; the DuckDB oracle recomputes
+    * the same aggregate from first principles over the simulated final
+    * base — hash-equal iff rewrite + incremental maintenance together land
+    * on the ground truth. */
+  val mvRewrite: Q = Q(
+    "lake_mv_rewrite",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |final AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM final WHERE o_orderstatus <> 'P'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-mvr-${UUID.randomUUID()}")
+      .toString
+    val src = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val base = LakeDataset.create(s, s"$root/base", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType))))
+    base.append(src.coalesce(2))
+    val mv = MaterializedView.create(s, base, s"$root/view",
+      keys = Seq("o_orderpriority", "o_orderstatus"),
+      sumCols = Seq("cents"), maxCols = Seq("cents"))
+    MvRewrite.register(s, mv.view.root)
+    base.delete("o_orderkey % 7 = 0")
+    mv.refresh()
+    val q = s.read.format("lake").load(base.root)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        max("cents").as("max_cents"))
+      .orderBy("o_orderpriority")
+    val scansView = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation
+          if r.relation.table.name.contains(mv.view.root) => r
+    }.nonEmpty
+    require(scansView, "aggregate over the base must be answered by the MV")
+    q
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
       catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
-      spatialKnn, spatialRange, branchDemo, constraintDemo, mvIncremental)
+      spatialKnn, spatialRange, branchDemo, constraintDemo, mvIncremental,
+      mvRewrite)
 }

@@ -1,0 +1,216 @@
+package graft.lake
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.types.DoubleType
+
+/** Transparent materialized-view query rewriting: a Catalyst optimizer
+  * rule that redirects matching grouped aggregates over a lake BASE table
+  * to a registered [[MaterializedView]] — the classic answering-queries-
+  * using-views rewrite (Goldstein & Larson, SIGMOD 2001), expressed as a
+  * `Rule[LogicalPlan]` so any query — DataFrame or SQL — benefits without
+  * the author knowing the view exists.
+  *
+  * A rewrite fires only when ALL of:
+  *   - the aggregate's child is a plain latest-version lake batch scan of
+  *     a registered base (no time travel / branch / change feed — their
+  *     results differ from the view's snapshot by construction);
+  *   - the view is CURRENT: its refresh cursor equals the base's head
+  *     version (a stale view never answers; the check is metadata-only);
+  *   - grouping expressions reference only view key columns (full key
+  *     set, any subset, or derived expressions of keys — every view row
+  *     is constant in all keys, so re-aggregation to any coarser grouping
+  *     is exact);
+  *   - residual Filter conditions reference only key columns (key
+  *     predicates commute with the group-by: a view row's rows all share
+  *     its key values). The lake scan keeps every pushed filter residual
+  *     in the plan, so no predicate can hide inside the scan;
+  *   - every aggregate translates losslessly: `count(*)` → `sum(mv_cnt)`,
+  *     `sum(c)` → `sum(sum_c)`, `max(c)` → `max(max_c)`, `min(c)` →
+  *     `min(min_c)`, `avg(c)` → `sum(sum_c)/sum(mv_cnt)` (only for
+  *     non-nullable `c`, where row count equals value count); no
+  *     DISTINCT, no FILTER clauses.
+  *
+  * At 100 TB this is the difference between a dashboard group-by reading
+  * the whole fact table and reading a groups-sized view kept current for
+  * CDF-delta cost — the scan swap happens in the optimizer, so pruning,
+  * AQE and codegen all apply to the rewritten plan unchanged. */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  final case class ViewDef(viewRoot: String, basePath: String,
+      baseNorm: String, keys: Set[String], sumCols: Set[String],
+      maxCols: Set[String], minCols: Set[String])
+
+  // baseNorm -> view definition (one rewrite candidate per base; the
+  // latest registration wins, matching CREATE OR REPLACE semantics)
+  private val registry = new ConcurrentHashMap[String, ViewDef]()
+
+  /** Register a view for rewriting and enable the rule in the session. */
+  def register(spark: SparkSession, viewRoot: String): ViewDef = {
+    val mv = MaterializedView.open(spark, viewRoot)
+    val d = ViewDef(viewRoot, mv.base.root, norm(mv.base.root),
+      mv.keys.toSet, mv.sumCols.toSet, mv.maxCols.toSet, mv.minCols.toSet)
+    registry.put(d.baseNorm, d)
+    enable(spark)
+    d
+  }
+
+  def unregister(spark: SparkSession, viewRoot: String): Unit =
+    registry.entrySet().removeIf(_.getValue.viewRoot == viewRoot)
+
+  /** Idempotently add this rule to the session's extra optimizations. */
+  def enable(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_ eq this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.toString.stripSuffix("/")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
+    // Unwrap: optional attribute-only Project, optional residual Filter,
+    // then the base scan. Anything else is not a shape we can reason about.
+    val (cond, rel) = agg.child match {
+      case r: DataSourceV2ScanRelation => (None, r)
+      case Filter(c, r: DataSourceV2ScanRelation) => (Some(c), r)
+      case Project(pl, r: DataSourceV2ScanRelation)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => (None, r)
+      case Project(pl, Filter(c, r: DataSourceV2ScanRelation))
+          if pl.forall(_.isInstanceOf[AttributeReference]) => (Some(c), r)
+      case _ => return None
+    }
+    val root = rel.relation.table match {
+      case lt: LakeTable => norm(lt.rootPath)
+      case _ => return None
+    }
+    val d = Option(registry.get(root)).getOrElse(return None)
+    // plain latest-version batch reads only
+    val opts = rel.relation.options
+    if (Seq("changesFrom", "versionAsOf", "tag", "branch", "rowid")
+        .exists(opts.containsKey)) return None
+
+    // Freshness gate (metadata-only): a stale view never answers.
+    val spark = SparkSession.active
+    val cursor = scala.util.Try(
+      LakeDataset.open(spark, d.viewRoot).manifest
+        .properties(MaterializedView.PropBaseVersion).toLong).toOption
+    val head = scala.util.Try(
+      LakeDataset.open(spark, d.basePath).version).toOption
+    if (cursor.isEmpty || cursor != head) return None
+
+    val viewRel = viewScanRelation(spark, d.viewRoot)
+      .getOrElse(return None)
+    val viewAttr = viewRel.output.map(a => a.name -> a).toMap
+    val baseNameOf = rel.output.map(a => a.exprId -> a.name).toMap
+
+    def keyAttr(a: AttributeReference): Option[AttributeReference] =
+      baseNameOf.get(a.exprId).filter(d.keys.contains).flatMap(viewAttr.get)
+
+    def sumOf(name: String): Option[Expression] =
+      viewAttr.get(name).map(v => Sum(v).toAggregateExpression())
+
+    def translateAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+          sumOf("mv_cnt").map(s => Coalesce(Seq(s, Literal(0L))))
+        case s: Sum => s.child match {
+          case a: AttributeReference =>
+            baseNameOf.get(a.exprId).filter(d.sumCols.contains)
+              .flatMap(n => sumOf(s"sum_$n"))
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference =>
+            baseNameOf.get(a.exprId).filter(d.maxCols.contains)
+              .flatMap(n => viewAttr.get(s"max_$n"))
+              .map(v => Max(v).toAggregateExpression())
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference =>
+            baseNameOf.get(a.exprId).filter(d.minCols.contains)
+              .flatMap(n => viewAttr.get(s"min_$n"))
+              .map(v => Min(v).toAggregateExpression())
+          case _ => None
+        }
+        // avg = sum/count(non-null); mv_cnt counts rows, so only columns
+        // that cannot hold nulls translate (row count == value count)
+        case av: Average => av.child match {
+          case a: AttributeReference if !a.nullable =>
+            baseNameOf.get(a.exprId).filter(d.sumCols.contains).flatMap {
+              n =>
+                for { s <- sumOf(s"sum_$n"); c <- sumOf("mv_cnt") }
+                  yield Divide(Cast(s, DoubleType), Cast(c, DoubleType))
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    def translate(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => translateAgg(ae)
+      case a: AttributeReference => keyAttr(a)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(translate)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    val newGroups = agg.groupingExpressions.map(translate)
+    if (newGroups.exists(_.isEmpty)) return None
+    val newAggs = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        keyAttr(a).map(v =>
+          Alias(v, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+      case al @ Alias(child, name) =>
+        translate(child).map(nc =>
+          Alias(nc, name)(exprId = al.exprId, qualifier = al.qualifier))
+      case _ => None
+    }
+    if (newAggs.exists(_.isEmpty)) return None
+    // the rewritten plan must expose byte-identical output types
+    val sameTypes = newAggs.map(_.get).zip(agg.aggregateExpressions)
+      .forall { case (n, o) => n.dataType == o.dataType }
+    if (!sameTypes) return None
+
+    val newChild: Option[LogicalPlan] = cond match {
+      case None => Some(viewRel)
+      case Some(c) => translate(c).map(tc => Filter(tc, viewRel))
+    }
+    newChild.map(ch =>
+      Aggregate(newGroups.map(_.get), newAggs.map(_.get), ch))
+  }
+
+  /** A ready-to-execute scan relation over the view: the view read goes
+    * through Spark's own analysis + optimization (so V2ScanRelationPushDown
+    * builds the scan and its V1 wrapper exactly as for any other read),
+    * and we lift out the resulting relation node with fresh attribute ids.
+    * The nested optimization re-enters this rule, but the view root is
+    * never a registered base, so it no-ops. */
+  private def viewScanRelation(spark: SparkSession,
+      viewRoot: String): Option[DataSourceV2ScanRelation] =
+    spark.read.format("lake").load(viewRoot)
+      .queryExecution.optimizedPlan match {
+      case r: DataSourceV2ScanRelation => Some(r)
+      case _ => None
+    }
+}
