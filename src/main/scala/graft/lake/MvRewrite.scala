@@ -47,22 +47,27 @@ object MvRewrite extends Rule[LogicalPlan] {
       baseNorm: String, keys: Set[String], sumCols: Set[String],
       maxCols: Set[String], minCols: Set[String])
 
-  // baseNorm -> view definition (one rewrite candidate per base; the
-  // latest registration wins, matching CREATE OR REPLACE semantics)
-  private val registry = new ConcurrentHashMap[String, ViewDef]()
+  // baseNorm -> rewrite candidates for that base, narrowest key set
+  // first (so a query grouping on a subset is answered from the smallest
+  // covering view). Re-registering a view root replaces its entry.
+  private val registry = new ConcurrentHashMap[String, List[ViewDef]]()
 
   /** Register a view for rewriting and enable the rule in the session. */
   def register(spark: SparkSession, viewRoot: String): ViewDef = {
     val mv = MaterializedView.open(spark, viewRoot)
     val d = ViewDef(viewRoot, mv.base.root, norm(mv.base.root),
       mv.keys.toSet, mv.sumCols.toSet, mv.maxCols.toSet, mv.minCols.toSet)
-    registry.put(d.baseNorm, d)
+    registry.merge(d.baseNorm, List(d), (old, add) =>
+      (add ::: old.filterNot(_.viewRoot == d.viewRoot))
+        .sortBy(_.keys.size))
     enable(spark)
     d
   }
 
-  def unregister(spark: SparkSession, viewRoot: String): Unit =
-    registry.entrySet().removeIf(_.getValue.viewRoot == viewRoot)
+  def unregister(spark: SparkSession, viewRoot: String): Unit = {
+    registry.replaceAll((_, ds) => ds.filterNot(_.viewRoot == viewRoot))
+    registry.entrySet().removeIf(_.getValue.isEmpty)
+  }
 
   /** Idempotently add this rule to the session's extra optimizations. */
   def enable(spark: SparkSession): Unit = synchronized {
@@ -97,12 +102,18 @@ object MvRewrite extends Rule[LogicalPlan] {
       case lt: LakeTable => norm(lt.rootPath)
       case _ => return None
     }
-    val d = Option(registry.get(root)).getOrElse(return None)
+    val cands = Option(registry.get(root)).getOrElse(return None)
     // plain latest-version batch reads only
     val opts = rel.relation.options
     if (Seq("changesFrom", "versionAsOf", "tag", "branch", "rowid")
         .exists(opts.containsKey)) return None
+    // narrowest fresh covering view wins (cands sorted by key count)
+    cands.iterator.flatMap(d => rewriteWith(agg, cond, rel, d))
+      .nextOption()
+  }
 
+  private def rewriteWith(agg: Aggregate, cond: Option[Expression],
+      rel: DataSourceV2ScanRelation, d: ViewDef): Option[Aggregate] = {
     // Freshness gate (metadata-only): a stale view never answers.
     val spark = SparkSession.active
     val cursor = scala.util.Try(
@@ -112,8 +123,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       LakeDataset.open(spark, d.basePath).version).toOption
     if (cursor.isEmpty || cursor != head) return None
 
-    val viewRel = viewScanRelation(spark, d.viewRoot)
-      .getOrElse(return None)
+    val viewRel = scala.util.Try(viewScanRelation(spark, d.viewRoot))
+      .toOption.flatten.getOrElse(return None)
     val viewAttr = viewRel.output.map(a => a.name -> a).toMap
     val baseNameOf = rel.output.map(a => a.exprId -> a.name).toMap
 

@@ -151,6 +151,32 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MvRewrite.unregister(spark, viewRoot)
   }
 
+  test("multiple views per base: the narrowest fresh covering view wins") {
+    val (base, _, wideRoot) = fixture() // keyed (k, g)
+    val narrow = MaterializedView.create(spark, base,
+      s"${tmpDir()}/narrow", keys = Seq("k"), sumCols = Seq("v"))
+    MvRewrite.register(spark, narrow.view.root)
+    try {
+      // group by k: both cover; the single-key view must answer
+      val qk = baseDf(base).groupBy("k").agg(sum("v").as("sv"))
+      assert(scansView(qk, narrow.view.root))
+      assert(!scansView(qk, wideRoot))
+      assert(qk.orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 60L), ("b", 55L)))
+      // group by k,g: only the two-key view covers
+      val qkg = baseDf(base).groupBy("k", "g").agg(sum("v").as("sv"))
+      assert(scansView(qkg, wideRoot))
+      // max(v): the narrow view has no max column; the wide one does
+      val qm = baseDf(base).groupBy("k").agg(max("v").as("mx"))
+      assert(scansView(qm, wideRoot))
+      assert(qm.orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 30L), ("b", 50L)))
+    } finally {
+      MvRewrite.unregister(spark, narrow.view.root)
+      MvRewrite.unregister(spark, wideRoot)
+    }
+  }
+
   test("SQL over a temp view on the base path rewrites too") {
     val (base, _, viewRoot) = fixture()
     try {
