@@ -58,8 +58,12 @@ final class MaterializedView private (
   def baseVersion: Long =
     view.manifest.properties(PropBaseVersion).toLong
 
-  /** Current view contents (one row per live group). */
-  def read(): DataFrame = view.read()
+  /** Current view contents (one row per live group). The `mv_cnt > 0`
+    * filter hides groups that netted to zero in a refresh whose
+    * housekeeping delete has not landed yet (e.g. a crash between the
+    * merge+cursor commit and the delete commit) — those rows are dead,
+    * not wrong, and the next refresh's delete collects them. */
+  def read(): DataFrame = view.read().filter(col("mv_cnt") > 0)
 
   /** Bring the view up to the base's current version by applying the
     * change feed; no-op (and no commit) when already current. */
@@ -120,9 +124,22 @@ final class MaterializedView private (
               .otherwise(least(col(s"min_$c"), col(s"_d_min_$c")))
               .as(s"min_$c")): _*)
 
-    val (matched, inserted) = view.mergeInsert(merged, keys)
+    // The cursor rides in the SAME manifest swap as the merged state
+    // (mergeInsert extraProps): a crash can never leave data applied with
+    // the cursor behind (which would double-apply the window on replay)
+    // or vice versa. Net-empty windows (pure layout churn) advance the
+    // cursor with a metadata-only commit. Concurrent refreshes of one
+    // view are a single-writer contract, as with the streaming sinks.
+    val cursor = Map(PropBaseVersion -> to.toString)
+    if (merged.isEmpty) {
+      view.setProperties(cursor)
+      return MvRefreshStats(from, to, 0L, 0L)
+    }
+    val (matched, inserted) = view.mergeInsert(merged, keys,
+      extraProps = cursor)
+    // housekeeping, idempotent: groups that netted to zero are invisible
+    // to read() already; the delete just reclaims their rows
     val removed = view.delete("mv_cnt <= 0")
-    view.setProperties(Map(PropBaseVersion -> to.toString))
     MvRefreshStats(from, to, matched + inserted, removed)
   }
 }

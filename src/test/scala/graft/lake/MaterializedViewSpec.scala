@@ -158,6 +158,36 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(MaterializedView.open(spark, mv.view.root).minCols == Seq("v"))
   }
 
+  test("cursor commits atomically with the merged state") {
+    val (base, mv) = fixture()
+    base.append(frame(("a", 6L, 1L)))
+    val to = base.version
+    mv.refresh()
+    // the merge commit's OWN manifest must already carry the new cursor —
+    // a crash right after it can only replay an already-recorded window
+    val mergeV = mv.view.versions.filter(v =>
+      mv.view.checkout(v).manifest.operation.toLowerCase.contains("merge"))
+      .max
+    assert(mv.view.checkout(mergeV).manifest
+      .properties(MaterializedView.PropBaseVersion).toLong == to)
+  }
+
+  test("zero-count leftovers are invisible to read and reclaimed later") {
+    val (base, mv) = fixture()
+    // simulate the crash window: a group netted to zero whose housekeeping
+    // delete never landed
+    val dead = new java.util.ArrayList[Row]()
+    dead.add(Row("zz", java.lang.Long.valueOf(0L),
+      java.lang.Long.valueOf(0L), null))
+    mv.view.append(spark.createDataFrame(dead, mv.view.schema).coalesce(1))
+    assert(mv.read().filter("k = 'zz'").isEmpty)
+    // the next real refresh's housekeeping delete reclaims the dead row
+    base.append(frame(("a", 9L, 2L)))
+    mv.refresh()
+    assert(mv.view.read().filter("k = 'zz'").isEmpty)
+    assertCurrent(mv, base)
+  }
+
   test("count/sum-only view (no max columns) never scans the base") {
     val root = tmpDir()
     val base = LakeDataset.create(spark, s"$root/base", schema)
