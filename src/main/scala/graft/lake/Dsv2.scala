@@ -151,6 +151,10 @@ private[lake] final class LakeTable(root: String,
       options.containsKey("changesFrom") || options.containsKey("branch")
 
   private[lake] def rootPath: String = root
+  // pinned/branched/CDF handles read something other than the current
+  // main snapshot — MvRewrite must never answer them from a view
+  private[lake] def isPinnedHandle: Boolean =
+    pinned || options.containsKey("rowid")
 
   override def name(): String = s"lake.`$root`"
 

@@ -99,7 +99,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     val root = rel.relation.table match {
-      case lt: LakeTable => norm(lt.rootPath)
+      // the table carries its own read options (catalog time travel lands
+      // there, not on the relation), so the pinned check covers both doors
+      case lt: LakeTable if !lt.isPinnedHandle => norm(lt.rootPath)
       case _ => return None
     }
     val cands = Option(registry.get(root)).getOrElse(return None)

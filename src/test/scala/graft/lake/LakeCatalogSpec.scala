@@ -223,6 +223,37 @@ class LakeCatalogSpec extends SparkTestBase {
       Seq(("a", 1L, 10L, 10L), ("b", 1L, 5L, 5L), ("c", 1L, 7L, 7L)))
   }
 
+  test("MvRewrite answers catalog-name aggregates from the view") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.mvr")
+    spark.sql("CREATE TABLE lakecat.mvr.t (k STRING, v BIGINT)")
+    spark.sql("INSERT INTO lakecat.mvr.t VALUES ('a', 1), ('a', 2), ('b', 3)")
+    spark.sql("CALL lakecat.system.mv_create(`table` => 'mvr.t', " +
+      "view => 'mvr.t_by_k', keys => 'k', sum_cols => 'v')")
+    val viewPath = s"$root/mvr/t_by_k"
+    MvRewrite.register(spark, viewPath)
+    try {
+      val q = spark.sql("SELECT k, sum(v) AS sv FROM lakecat.mvr.t GROUP BY k")
+      val scansView = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation
+            if r.relation.table.name.contains("t_by_k") => r
+      }.nonEmpty
+      assert(scansView, q.queryExecution.optimizedPlan.toString)
+      assert(q.orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 3L)))
+      // VERSION AS OF through the catalog is never rewritten
+      val tt = spark.sql(
+        "SELECT k, sum(v) AS sv FROM lakecat.mvr.t VERSION AS OF 1 GROUP BY k")
+      val ttScans = tt.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation
+            if r.relation.table.name.contains("t_by_k") => r
+      }
+      assert(ttScans.isEmpty)
+    } finally MvRewrite.unregister(spark, viewPath)
+  }
+
   test("catalog reads prune fragments like the path-based door") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.pr")
