@@ -209,6 +209,11 @@ object LakeProcedures {
               .split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val mv = MaterializedView.create(SparkSession.active, ds,
             viewPath, cols(2), cols(3), cols(4), cols(5))
+          // CREATE MATERIALIZED VIEW semantics: queries over the base
+          // rewrite to the view from this point on (stale views never
+          // answer, and a dropped view fails the freshness probe, so
+          // auto-registration is fail-safe)
+          MvRewrite.register(SparkSession.active, viewPath)
           summary(tbl, s"mv_create($viewName @ base v${mv.baseVersion})",
             mv.view)
         }

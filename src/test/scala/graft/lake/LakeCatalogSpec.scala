@@ -221,6 +221,20 @@ class LakeCatalogSpec extends SparkTestBase {
     spark.sql("CALL lakecat.system.mv_refresh('mv.sales_by_k')")
     assert(viewRows() ==
       Seq(("a", 1L, 10L, 10L), ("b", 1L, 5L, 5L), ("c", 1L, 7L, 7L)))
+
+    // mv_create auto-registered the view for rewriting: a grouped
+    // aggregate over the BASE is answered by the view
+    val agg = spark.sql(
+      "SELECT k, sum(v) AS sv FROM lakecat.mv.sales GROUP BY k")
+    assert(agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation
+          if r.relation.table.name.contains("sales_by_k") => r
+    }.nonEmpty)
+    assert(agg.orderBy("k").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 10L), ("b", 5L), ("c", 7L)))
+    MvRewrite.unregister(spark, s"$root/mv/sales_by_k")
   }
 
   test("MvRewrite answers catalog-name aggregates from the view") {
