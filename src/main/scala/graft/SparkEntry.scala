@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ddl.DdlQueries
 import graft.lake.{LakeQueries, StreamIngestQueries}
-import graft.pipeline.{Ann, Assemble, Bpe, Cluster, Curate, Dedup, Fts, Multimodal, QualityModel, TextOps}
-import graft.queries.{Events, Extra, RefSql, RefTpcds, Rel, Tpcds, Tpch, TpchMore}
+import graft.pipeline.{Ann, Assemble, Bpe, Clean, Cluster, Curate, Dedup, Fts, Multimodal, QualityModel, TextOps}
+import graft.queries.{Events, Extra, Modern, RefSql, RefTpcds, Rel, Tpcds, Tpch, TpchMore}
 import graft.server.WireQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full capability registry; each Q covers one operator/capability from
     * SURVEY.md §2 (or a beyond-reference pipeline operator). */
   lazy val registry: Seq[Q] =
-    Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++ Events.all ++
+    Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++ Modern.all ++
+      Events.all ++ Clean.all ++
       RefSql.all ++ RefTpcds.all ++ Tpcds.all ++
       TextOps.all ++ Curate.all ++ Dedup.all ++ Ann.all ++ Fts.all ++
       Cluster.all ++
