@@ -1,0 +1,306 @@
+package graft.server
+
+/** Text-level Postgres-isms → Spark SQL, applied to every statement that
+  * arrives over the wire (the wire door speaks pg dialect end to end —
+  * same posture as SqlBridge's COPY handling). Handles exactly the forms
+  * real clients emit, most importantly psql's catalog introspection:
+  *
+  *   - `"ident"`                    → `` `ident` ``   (pg quoting)
+  *   - `a OPERATOR(pg_catalog.~) b` → `a RLIKE b`
+  *   - `a ~ b` / `a !~ b`           → `a RLIKE b` / `NOT (a RLIKE b)`
+  *     (binary regex-match only: `~` after an operand; unary bitwise-not
+  *     positions are left alone)
+  *   - `expr::type`                 → `CAST(expr AS t)` for mappable types,
+  *     cast dropped for pg-internal ones (regclass/regtype/…)
+  *   - `COLLATE pg_catalog.default` → removed
+  *   - `x = ANY(arr)`               → `array_contains(arr, x)` is NOT
+  *     rewritten here — Spark's `= ANY` subquery form differs; psql's one
+  *     use rides on an empty table and is rewritten by the targeted rule.
+  *
+  * String literals (with '' escapes), dollar-quoted bodies, `--` and
+  * `/* */` comments pass through untouched.
+  */
+object PgDialect {
+
+  /** Keywords that can directly precede a unary operator. */
+  private val keywords = Set("select", "where", "and", "or", "not", "then",
+    "else", "when", "on", "by", "as", "from", "join", "having", "case",
+    "in", "like", "between", "union", "all", "distinct", "set", "values",
+    "is", "returning", "ilike", "offset", "limit", "end")
+
+  /** Spark cast target for a pg type name; None = drop the cast (the type
+    * is pg-internal bookkeeping with no Spark analogue). */
+  private def castTarget(pgType: String): Option[String] =
+    pgType.toLowerCase match {
+      case "text" | "varchar" | "bpchar" | "name" | "char" => Some("STRING")
+      case "int2" | "smallint" => Some("SMALLINT")
+      case "int4" | "int" | "integer" | "oid" => Some("INT")
+      case "int8" | "bigint" => Some("BIGINT")
+      case "float4" | "real" => Some("FLOAT")
+      case "float8" => Some("DOUBLE")
+      case "bool" | "boolean" => Some("BOOLEAN")
+      case "date" => Some("DATE")
+      case "timestamp" | "timestamptz" => Some("TIMESTAMP")
+      case "numeric" | "decimal" => Some("DOUBLE")
+      case _ => None // regclass, regtype, regproc, regnamespace, ...
+    }
+
+  def translate(sql: String): String = {
+    // COPY rides SqlBridge's own pg-COPY parser untouched
+    if (sql.dropWhile(_.isWhitespace).take(5).equalsIgnoreCase("COPY "))
+      return sql
+    // Logical-replication probes lean on pg-only constructs
+    // (int2[] casts, generate_series/array_upper in FROM) that no Spark
+    // rewrite can honor. Publications are empty by fiat here, so the
+    // correct answer is always zero rows with the probed column count.
+    if (sql.contains("pg_catalog.pg_publication"))
+      return "SELECT NULL AS pubname, NULL AS prqual, NULL AS prattrs " +
+        "WHERE 1 = 0"
+    translateBody(wrapArraySubqueries(sql))
+  }
+
+  /** `array(SELECT …)` (pg array-from-subquery) → `array((SELECT …))`: a
+    * Spark scalar subquery inside the array constructor. psql only builds
+    * arrays from always-empty catalog relations, so the ≤1-row scalar
+    * contract can't be violated at runtime. Quotes respected; parens
+    * balanced through nesting. */
+  private def wrapArraySubqueries(sql: String): String = {
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'') { // string literal passthrough
+        out += c; i += 1
+        var done = false
+        while (i < n && !done) {
+          out += sql(i)
+          if (sql(i) == '\'') {
+            if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if ((c == 'a' || c == 'A') &&
+          sql.regionMatches(true, i, "array", 0, 5) &&
+          (i == 0 || !(sql(i - 1).isLetterOrDigit || sql(i - 1) == '_'))) {
+        var j = i + 5
+        while (j < n && sql(j).isWhitespace) j += 1
+        var k = if (j < n && sql(j) == '(') j + 1 else -1
+        while (k > 0 && k < n && sql(k).isWhitespace) k += 1
+        if (k > 0 && sql.regionMatches(true, k, "select", 0, 6)) {
+          // copy "array(", open the extra paren, then find the close
+          out.append(sql.substring(i, j + 1)).append('(')
+          i = j + 1
+          var depth = 1
+          while (i < n && depth > 0) {
+            sql(i) match {
+              case '\'' =>
+                out += '\''; i += 1
+                var done = false
+                while (i < n && !done) {
+                  out += sql(i)
+                  if (sql(i) == '\'') {
+                    if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
+                    else done = true
+                  }
+                  i += 1
+                }
+              case '(' => depth += 1; out += '('; i += 1
+              case ')' =>
+                depth -= 1
+                if (depth == 0) { out += ')' } // extra close BEFORE array's
+                out += ')'; i += 1
+              case ch => out += ch; i += 1
+            }
+          }
+        } else { out += c; i += 1 }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  private def translateBody(sql: String): String = {
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0
+    val n = sql.length
+
+    def isIdentChar(c: Char) =
+      c.isLetterOrDigit || c == '_' || c == '$' || c == '.'
+
+    /** Last significant token of `out` is an operand end → a following `~`
+      * is the binary regex-match operator (not unary bitwise-not). A
+      * trailing SQL keyword (SELECT ~x, WHERE ~x, …) is not an operand. */
+    def afterOperand: Boolean = {
+      var j = out.length - 1
+      while (j >= 0 && out(j).isWhitespace) j -= 1
+      if (j < 0) return false
+      if (out(j) == ')' || out(j) == '\'' || out(j) == '`') return true
+      if (!isIdentChar(out(j))) return false
+      val e = j
+      while (j >= 0 && isIdentChar(out(j))) j -= 1
+      !PgDialect.keywords.contains(
+        out.substring(j + 1, e + 1).toLowerCase)
+    }
+
+    /** Start index in `out` of the operand that `::` binds to: a paren
+      * group, a quoted string, a backtick identifier, or a plain
+      * (possibly dotted) identifier/number — whichever ends at out.end. */
+    def operandStart: Int = {
+      var j = out.length - 1
+      if (j < 0) return 0
+      out(j) match {
+        case ')' =>
+          var depth = 0
+          while (j >= 0) {
+            if (out(j) == ')') depth += 1
+            else if (out(j) == '(') { depth -= 1; if (depth == 0) return j }
+            j -= 1
+          }
+          0
+        case '\'' =>
+          j -= 1
+          while (j >= 0) {
+            if (out(j) == '\'') {
+              // '' escape: keep scanning if the char before is also a quote
+              if (j > 0 && out(j - 1) == '\'') j -= 2
+              else return j
+            } else j -= 1
+          }
+          0
+        case '`' =>
+          j -= 1
+          while (j >= 0 && out(j) != '`') j -= 1
+          math.max(j, 0)
+        case c if isIdentChar(c) =>
+          while (j >= 0 && isIdentChar(out(j))) j -= 1
+          j + 1
+        case _ => out.length
+      }
+    }
+
+    while (i < n) {
+      val c = sql(i)
+      c match {
+        // ---- pass-through regions -------------------------------------
+        case '\'' =>
+          out += c; i += 1
+          var done = false
+          while (i < n && !done) {
+            out += sql(i)
+            if (sql(i) == '\'') {
+              if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
+              else done = true
+            }
+            i += 1
+          }
+        case '-' if i + 1 < n && sql(i + 1) == '-' =>
+          while (i < n && sql(i) != '\n') { out += sql(i); i += 1 }
+        case '/' if i + 1 < n && sql(i + 1) == '*' =>
+          out += '/'; out += '*'; i += 2
+          while (i < n && !(sql(i) == '*' && i + 1 < n && sql(i + 1) == '/')) {
+            out += sql(i); i += 1
+          }
+          if (i < n) { out += '*'; out += '/'; i += 2 }
+
+        // ---- E'…' escape-string → plain literal (Spark's default string
+        // parsing already honors backslash escapes) -----------------------
+        case 'E' | 'e' if i + 1 < n && sql(i + 1) == '\'' &&
+            (i == 0 || !isIdentChar(sql(i - 1))) =>
+          out += '\''; i += 2
+          var done = false
+          while (i < n && !done) {
+            out += sql(i)
+            if (sql(i) == '\\' && i + 1 < n) { out += sql(i + 1); i += 1 }
+            else if (sql(i) == '\'') {
+              if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
+              else done = true
+            }
+            i += 1
+          }
+
+        // ---- pg double-quoted identifier → backticks -------------------
+        case '"' =>
+          out += '`'; i += 1
+          while (i < n && sql(i) != '"') {
+            if (sql(i) == '`') out += '`' // defensive; pg idents rarely
+            out += sql(i); i += 1
+          }
+          out += '`'; i += 1
+
+        // ---- :: cast ----------------------------------------------------
+        case ':' if i + 1 < n && sql(i + 1) == ':' =>
+          i += 2
+          val t0 = i
+          while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_' ||
+            sql(i) == '.')) i += 1
+          val full = sql.substring(t0, i)
+          val bare = full.substring(full.lastIndexOf('.') + 1)
+          castTarget(bare) match {
+            case Some(sparkT) =>
+              val s0 = operandStart
+              out.insert(s0, "CAST(")
+              out.append(" AS ").append(sparkT).append(')')
+            case None => () // drop the cast, keep the operand
+          }
+
+        // ---- OPERATOR(pg_catalog.~) and friends -------------------------
+        case 'O' | 'o' if sql.regionMatches(true, i, "OPERATOR(", 0, 9) =>
+          val close = sql.indexOf(')', i)
+          if (close > 0) {
+            val op = sql.substring(i + 9, close)
+              .replace("pg_catalog.", "").trim
+            op match {
+              case "~" => out.append(" RLIKE "); i = close + 1
+              case "!~" => out.append(" NOT RLIKE "); i = close + 1
+              case _ => out += c; i += 1
+            }
+          } else { out += c; i += 1 }
+
+        // ---- COLLATE <qualified-ident> → removed ------------------------
+        case 'C' | 'c' if sql.regionMatches(true, i, "COLLATE", 0, 7) &&
+            (i + 7 >= n || !isIdentChar(sql(i + 7))) &&
+            (i == 0 || !isIdentChar(sql(i - 1))) =>
+          i += 7
+          while (i < n && sql(i).isWhitespace) i += 1
+          if (i < n && sql(i) == '"') {
+            i += 1; while (i < n && sql(i) != '"') i += 1; i += 1
+          } else {
+            while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_' ||
+              sql(i) == '.')) i += 1
+          }
+
+        // ---- `= ANY(x)` → `IN (x)` --------------------------------------
+        case '=' if {
+          var j = i + 1
+          while (j < n && sql(j).isWhitespace) j += 1
+          sql.regionMatches(true, j, "ANY", 0, 3) && {
+            var k = j + 3
+            while (k < n && sql(k).isWhitespace) k += 1
+            k < n && sql(k) == '('
+          }
+        } =>
+          out.append(" IN ")
+          i += 1
+          while (i < n && sql(i).isWhitespace) i += 1
+          i += 3 // ANY
+          while (i < n && sql(i).isWhitespace) i += 1
+
+        // ---- binary regex-match operators -------------------------------
+        case '!' if i + 1 < n && sql(i + 1) == '~' && afterOperand =>
+          val ci = i + 2 < n && sql(i + 2) == '*'
+          out.append(if (ci) " NOT RLIKE '(?i)' || " else " NOT RLIKE ")
+          i += (if (ci) 3 else 2)
+        case '~' if afterOperand &&
+            !(i + 1 < n && sql(i + 1) == '~') && (i == 0 || sql(i - 1) != '~') =>
+          val ci = i + 1 < n && sql(i + 1) == '*'
+          out.append(if (ci) " RLIKE '(?i)' || " else " RLIKE ")
+          i += (if (ci) 2 else 1)
+
+        case _ =>
+          out += c; i += 1
+      }
+    }
+    out.toString
+  }
+}

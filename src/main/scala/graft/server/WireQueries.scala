@@ -105,8 +105,33 @@ object WireQueries {
     } finally server.close()
   }
 
+  /** Catalog introspection over the wire: the pg_class/pg_namespace join a
+    * pg client runs (psql `\dt` shape, with pg-isms the PgDialect shim
+    * rewrites), filtered to the driver's fixed table set so the listing is
+    * deterministic under any session's extra temp views. The oracle states
+    * the same fact through DuckDB's information_schema. */
+  private val catalogTables = graft.Tables.all.map(t => s"'$t'")
+    .mkString("(", ", ", ")")
+
+  private val catalogWireSql =
+    s"""SELECT c.relname AS table_name
+       |FROM pg_catalog.pg_class c
+       |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+       |WHERE c.relkind IN ('r','p')
+       |  AND n.nspname !~ '^pg_'
+       |  AND pg_catalog.pg_table_is_visible(c.oid)
+       |  AND c.relname IN $catalogTables
+       |ORDER BY 1""".stripMargin
+
+  private val catalogOracleSql =
+    s"""SELECT table_name FROM information_schema.tables
+       |WHERE table_name IN $catalogTables
+       |ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("wire_roundtrip", roundtripSql)((s, dir) => roundtrip(s, dir, roundtripSql)),
-    Q("wire_extended", extendedSql)((s, dir) => extendedRoundtrip(s, dir))
+    Q("wire_extended", extendedSql)((s, dir) => extendedRoundtrip(s, dir)),
+    Q("wire_catalog", catalogOracleSql)(
+      (s, dir) => roundtrip(s, dir, catalogWireSql))
   )
 }

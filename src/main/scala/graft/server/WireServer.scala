@@ -54,6 +54,8 @@ final class WireServer(
     prepare: SparkSession => Unit = _ => ()) extends AutoCloseable {
 
   prepare(spark)
+  // psql introspection (`\dt`, `\d t`) resolves through pg_catalog.*
+  PgCatalog.install(spark)
 
   private val socket = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
   private val running = new AtomicBoolean(true)
@@ -337,7 +339,7 @@ final class WireServer(
           val (query, p2) = cString(body, p1)
           val nOids = readShort(body, p2)
           val oids = Vector.tabulate(nOids)(i => readInt(body, p2 + 2 + i * 4))
-          val (rewritten, nParams) = rewriteParams(query)
+          val (rewritten, nParams) = rewriteParams(PgDialect.translate(query))
           // pg allows declaring fewer oids than $n markers; pad unknowns
           val padded = oids.padTo(nParams, 0)
           statements(name) = Prepared(rewritten, padded)
@@ -539,7 +541,7 @@ final class WireServer(
   /** Simple-query cycle: statements split on top-level ';', each with its
     * own RowDescription + DataRows + CommandComplete. */
   private def simpleQuery(out: DataOutputStream, sql: String): Unit = {
-    val stmts = splitStatements(sql)
+    val stmts = splitStatements(sql).map(PgDialect.translate)
     if (stmts.isEmpty) { msg(out, 'I') { _ => () }; return }   // EmptyQueryResponse
     stmts.foreach { stmt => runStatement(out, stmt, describe = true) }
   }

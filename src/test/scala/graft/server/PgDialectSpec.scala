@@ -1,0 +1,65 @@
+package graft.server
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the pg→Spark statement translator. */
+class PgDialectSpec extends AnyFunSuite {
+
+  /** Translate and collapse space runs (operator rewrites pad spaces). */
+  private def t(s: String) = PgDialect.translate(s).replaceAll("  +", " ")
+
+  test("double-quoted identifiers become backticks; strings untouched") {
+    assert(t("""SELECT a AS "My Col" FROM x""") ==
+      "SELECT a AS `My Col` FROM x")
+    assert(t("""SELECT '"not an ident"' AS s""") ==
+      """SELECT '"not an ident"' AS s""")
+  }
+
+  test("regex operators: OPERATOR(pg_catalog.~), ~, !~") {
+    assert(t("a OPERATOR(pg_catalog.~) '^x$'") == "a RLIKE '^x$'")
+    assert(t("n !~ '^pg_toast'") == "n NOT RLIKE '^pg_toast'")
+    assert(t("n ~ '^pg_'") == "n RLIKE '^pg_'")
+    // unary bitwise-not untouched (no preceding operand)
+    assert(t("SELECT ~ 5") == "SELECT ~ 5")
+  }
+
+  test(":: casts map or drop by type") {
+    assert(t("SELECT x::text FROM t") == "SELECT CAST(x AS STRING) FROM t")
+    assert(t("SELECT c.reloftype::pg_catalog.regtype::pg_catalog.text") ==
+      "SELECT CAST(c.reloftype AS STRING)")
+    assert(t("WHERE oid = '123'::oid") == "WHERE oid = CAST('123' AS INT)")
+    assert(t("SELECT (a+b)::int8") == "SELECT CAST((a+b) AS BIGINT)")
+  }
+
+  test("COLLATE clauses are stripped") {
+    assert(t("x ~ '^(n)$' COLLATE pg_catalog.default AND y") ==
+      "x RLIKE '^(n)$' AND y")
+  }
+
+  test("= ANY(expr) becomes IN (expr)") {
+    assert(t("WHERE oid = ANY (pol.polroles)") ==
+      "WHERE oid IN (pol.polroles)")
+    assert(t("WHERE k = any(SELECT v FROM s)") ==
+      "WHERE k IN (SELECT v FROM s)")
+  }
+
+  test("E'' escape strings lose the prefix, keep the body") {
+    assert(t("""SELECT E'\n' AS nl""") == "SELECT '\\n' AS nl")
+    assert(t("""SELECT E'it''s' AS s""") == "SELECT 'it''s' AS s")
+  }
+
+  test("array(select …) gains the scalar-subquery parens") {
+    assert(t("SELECT array(select r from t where a = b)") ==
+      "SELECT array((select r from t where a = b))")
+  }
+
+  test("COPY statements pass through verbatim") {
+    val copy = """COPY "t" FROM '/x.csv' WITH (FORMAT csv)"""
+    assert(t(copy) == copy)
+  }
+
+  test("comments pass through untouched") {
+    assert(t("SELECT 1 -- a ~ b :: c\n, 2") == "SELECT 1 -- a ~ b :: c\n, 2")
+    assert(t("SELECT /* x::y ~ */ 1") == "SELECT /* x::y ~ */ 1")
+  }
+}
