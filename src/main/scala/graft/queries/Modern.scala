@@ -154,6 +154,23 @@ object Modern {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL — the modern analyst shorthand, identical
+    * semantics on both engines (grouping keys inferred from the
+    * non-aggregate select items). */
+  val groupByAll = Q.sql(
+    "rel_group_by_all",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+
+  /** Named WINDOW clause shared by several functions over one spec —
+    * one shuffle+sort feeds both, which is the point at scale. */
+  val namedWindow = Q.sql(
+    "rel_named_window",
+    """SELECT o_orderkey, o_custkey,
+      |  rank() OVER w AS rnk, count(*) OVER w AS so_far
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin)
+
   val all: Seq[Q] = Seq(recursiveCte, lateralTopn, jsonFuncs, variantFuncs,
-    nestedAgg, sqlUdf)
+    nestedAgg, sqlUdf, groupByAll, namedWindow)
 }

@@ -60,19 +60,8 @@ class PgCatalog extends TableCatalog with FunctionCatalog {
     case _ => 25
   }
 
-  private def session: SparkSession = SparkSession.active
-
-  /** The relations psql should see: the session's temp views and the
-    * default database's tables. Listed through SessionCatalog directly
-    * (pure driver metadata — no job). */
-  private def relations(): Seq[(String, StructType)] = {
-    val cat = session.sessionState.catalog
-    val names = cat.listTables("default").map(_.table).distinct.sorted
-    names.flatMap { n =>
-      try Some(n -> session.table(n).schema)
-      catch { case _: Exception => None }
-    }
-  }
+  private def relations(): Seq[(String, StructType)] =
+    PgCatalog.sessionRelations()
 
   private def str(s: String) = UTF8String.fromString(s)
 
@@ -249,10 +238,26 @@ class PgCatalog extends TableCatalog with FunctionCatalog {
 
 object PgCatalog {
 
-  /** Conf-register this catalog on a session (idempotent). */
-  def install(spark: SparkSession): Unit =
+  /** Conf-register the metadata catalogs on a session (idempotent). */
+  def install(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.catalog.pg_catalog",
       classOf[PgCatalog].getName)
+    spark.conf.set("spark.sql.catalog.information_schema",
+      classOf[InformationSchemaCatalog].getName)
+  }
+
+  /** The relations a client should see: the session's temp views and the
+    * default database's tables. Listed through SessionCatalog directly
+    * (pure driver metadata — no job). */
+  private[server] def sessionRelations(): Seq[(String, StructType)] = {
+    val s = SparkSession.active
+    val names = s.sessionState.catalog.listTables("default")
+      .map(_.table).distinct.sorted
+    names.flatMap { n =>
+      try Some(n -> s.table(n).schema)
+      catch { case _: Exception => None }
+    }
+  }
 
   private[server] val typeNames: Seq[(Int, String)] = Seq(
     16 -> "boolean", 17 -> "bytea", 20 -> "bigint", 21 -> "smallint",
@@ -329,6 +334,72 @@ object PgCatalog {
             .mkString(sep))
         }
       }))
+}
+
+/** ANSI `information_schema.{tables,columns}` over the same session
+  * catalog — the introspection surface BI tools and generic SQL clients
+  * query (psql speaks pg_catalog; nearly everything else speaks this). */
+class InformationSchemaCatalog extends TableCatalog {
+
+  private var catName = "information_schema"
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = { catName = name }
+  override def name(): String = catName
+
+  private def str(s: String) = UTF8String.fromString(s)
+  private def sch(fs: (String, DataType)*): StructType =
+    StructType(fs.map { case (n, t) => StructField(n, t, nullable = true) })
+
+  private val tablesSchema = sch("table_catalog" -> StringType,
+    "table_schema" -> StringType, "table_name" -> StringType,
+    "table_type" -> StringType)
+
+  private def tablesRows(): Array[InternalRow] =
+    PgCatalog.sessionRelations().map { case (n, _) =>
+      new GenericInternalRow(Array[Any](str("graft"), str("public"),
+        str(n), str("BASE TABLE")))
+    }.toArray
+
+  private val columnsSchema = sch("table_catalog" -> StringType,
+    "table_schema" -> StringType, "table_name" -> StringType,
+    "column_name" -> StringType, "ordinal_position" -> IntegerType,
+    "is_nullable" -> StringType, "data_type" -> StringType)
+
+  private def columnsRows(): Array[InternalRow] = {
+    val byOid = PgCatalog.typeNames.toMap
+    val pg = new PgCatalog
+    PgCatalog.sessionRelations().flatMap { case (n, schema) =>
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        new GenericInternalRow(Array[Any](str("graft"), str("public"),
+          str(n), str(f.name), i + 1,
+          str(if (f.nullable) "YES" else "NO"),
+          str(byOid.getOrElse(pg.pgTypeOid(f.dataType), "text"))))
+      }
+    }.toArray
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array("tables", "columns").map(Identifier.of(Array.empty[String], _))
+
+  override def loadTable(ident: Identifier): Table =
+    ident.name.toLowerCase match {
+      case "tables" =>
+        new PgLocalTable("tables", tablesSchema, () => tablesRows())
+      case "columns" =>
+        new PgLocalTable("columns", columnsSchema, () => columnsRows())
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table =
+    throw new UnsupportedOperationException("information_schema is read-only")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("information_schema is read-only")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("information_schema is read-only")
 }
 
 /** One driver-local metadata relation: rows snapshot at scan creation. */

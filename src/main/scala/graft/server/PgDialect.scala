@@ -56,8 +56,36 @@ object PgDialect {
     if (sql.contains("pg_catalog.pg_publication"))
       return "SELECT NULL AS pubname, NULL AS prqual, NULL AS prattrs " +
         "WHERE 1 = 0"
+    // `SHOW <guc>` — answered for the settings pg clients read at connect
+    // (JDBC: transaction isolation; psql: server_version). Spark's own
+    // SHOW TABLES/DATABASES/… forms pass through untouched.
+    val trimmed = sql.trim.stripSuffix(";").trim
+    if (trimmed.length >= 5 && trimmed.take(5).equalsIgnoreCase("SHOW ")) {
+      val guc = trimmed.drop(5).trim.toLowerCase.replaceAll("\\s+", " ")
+      gucAnswers.get(guc) match {
+        case Some((col, v)) => return s"SELECT '$v' AS $col"
+        case None => ()
+      }
+    }
     translateBody(wrapArraySubqueries(sql))
   }
+
+  /** pg GUCs answered at the wire door; values mirror the startup-packet
+    * ParameterStatus fields where one exists. */
+  private val gucAnswers: Map[String, (String, String)] = Map(
+    "transaction isolation level" ->
+      ("transaction_isolation", "read committed"),
+    "transaction_isolation" -> ("transaction_isolation", "read committed"),
+    "server_version" -> ("server_version", "15.0"),
+    "server_encoding" -> ("server_encoding", "UTF8"),
+    "client_encoding" -> ("client_encoding", "UTF8"),
+    "datestyle" -> ("DateStyle", "ISO, MDY"),
+    "timezone" -> ("TimeZone", "UTC"),
+    "standard_conforming_strings" ->
+      ("standard_conforming_strings", "on"),
+    "search_path" -> ("search_path", "public"),
+    "application_name" -> ("application_name", ""),
+    "max_identifier_length" -> ("max_identifier_length", "63"))
 
   /** `array(SELECT …)` (pg array-from-subquery) → `array((SELECT …))`: a
     * Spark scalar subquery inside the array constructor. psql only builds

@@ -506,6 +506,15 @@ final class WireServer(
         // already run to completion: idempotent CommandComplete only
         commandComplete(out, p.completedTag); return true
       }
+      val txnHead = p.sql.trim.split("\\s+").headOption
+        .map(_.toUpperCase).getOrElse("")
+      if (Set("BEGIN", "COMMIT", "ROLLBACK", "END", "START")(txnHead)) {
+        // transaction control is a tagged no-op (auto-commit engine)
+        p.completedTag =
+          if (txnHead == "END") "COMMIT"
+          else if (txnHead == "START") "BEGIN" else txnHead
+        commandComplete(out, p.completedTag); return true
+      }
       if (p.it == null) {
         val df =
           if (p.args.isEmpty)
@@ -551,6 +560,17 @@ final class WireServer(
   private def runStatement(
       out: DataOutputStream, stmt: String, describe: Boolean): Unit = {
     try {
+      // Transaction control: every pg client sends these (psql -1, JDBC
+      // autocommit(false)); the engine is auto-commit like the reference,
+      // so they are no-ops acknowledged with the exact pg command tag.
+      val head = stmt.trim.split("\\s+").headOption
+        .map(_.toUpperCase).getOrElse("")
+      if (Set("BEGIN", "COMMIT", "ROLLBACK", "END", "START")(head)) {
+        commandComplete(out,
+          if (head == "END") "COMMIT"
+          else if (head == "START") "BEGIN" else head)
+        return
+      }
       val df = graft.ddl.SqlBridge.execute(spark, stmt)
       val schema = df.schema
       if (schema.isEmpty) {
