@@ -118,13 +118,14 @@ class PgCatalog extends TableCatalog with FunctionCatalog {
     "attnum" -> IntegerType, "attisdropped" -> BooleanType,
     "attcollation" -> IntegerType, "attidentity" -> StringType,
     "attgenerated" -> StringType, "attstattarget" -> IntegerType,
-    "attstorage" -> StringType)
+    "attstorage" -> StringType, "attcompression" -> StringType,
+    "attfdwoptions" -> StringType)
   private def pgAttributeRows(): Array[InternalRow] =
     relations().flatMap { case (n, schema) =>
       schema.fields.zipWithIndex.map { case (f, i) =>
         row(oidOf(n), str(f.name), pgTypeOid(f.dataType), -1,
           !f.nullable, false, i + 1, false, 0, str(""), str(""),
-          -1, str("p"))
+          -1, str("p"), str(""), null)
       }
     }.toArray
 
@@ -166,11 +167,23 @@ class PgCatalog extends TableCatalog with FunctionCatalog {
       "tgisinternal" -> BooleanType, "tgconstraint" -> IntegerType),
     "pg_description" -> sch("objoid" -> IntegerType,
       "classoid" -> IntegerType, "objsubid" -> IntegerType,
-      "description" -> StringType))
+      "description" -> StringType),
+    "pg_proc" -> sch("oid" -> IntegerType, "proname" -> StringType,
+      "pronamespace" -> IntegerType, "prokind" -> StringType,
+      "proretset" -> BooleanType, "prorettype" -> IntegerType),
+    "pg_auth_members" -> sch("roleid" -> IntegerType,
+      "member" -> IntegerType, "grantor" -> IntegerType,
+      "admin_option" -> BooleanType))
 
-  private val pgRolesSchema =
-    sch("oid" -> IntegerType, "rolname" -> StringType)
-  private def pgRolesRows() = Array(row(10, str("graft")))
+  private val pgRolesSchema = sch("oid" -> IntegerType,
+    "rolname" -> StringType, "rolsuper" -> BooleanType,
+    "rolinherit" -> BooleanType, "rolcreaterole" -> BooleanType,
+    "rolcreatedb" -> BooleanType, "rolcanlogin" -> BooleanType,
+    "rolconnlimit" -> IntegerType, "rolvaliduntil" -> StringType,
+    "rolreplication" -> BooleanType, "rolbypassrls" -> BooleanType)
+  private def pgRolesRows() = Array(
+    row(10, str("graft"), true, true, true, true, true, -1, null,
+      false, false))
 
   private val pgDatabaseSchema = sch("oid" -> IntegerType,
     "datname" -> StringType, "datdba" -> IntegerType,
@@ -319,6 +332,30 @@ object PgCatalog {
     "pg_encoding_to_char" -> new PgScalar("pg_encoding_to_char",
       Seq(IntegerType), StringType,
       _ => UTF8String.fromString("UTF8")),
+    "pg_size_pretty" -> new PgScalar("pg_size_pretty",
+      Seq(LongType), StringType, in => {
+        val b = if (in.isNullAt(0)) 0L else in.getLong(0)
+        UTF8String.fromString(
+          if (b < 10240) s"$b bytes"
+          else if (b < 10485760) s"${b / 1024} kB"
+          else s"${b / 1048576} MB")
+      }),
+    "pg_table_size" -> new PgScalar("pg_table_size",
+      Seq(IntegerType), LongType, _ => 0L),
+    "pg_relation_size" -> new PgScalar("pg_relation_size",
+      Seq(IntegerType), LongType, _ => 0L),
+    "pg_total_relation_size" -> new PgScalar("pg_total_relation_size",
+      Seq(IntegerType), LongType, _ => 0L),
+    "pg_indexes_size" -> new PgScalar("pg_indexes_size",
+      Seq(IntegerType), LongType, _ => 0L),
+    "pg_get_function_result" -> new PgScalar("pg_get_function_result",
+      Seq(IntegerType), StringType, _ => null),
+    "pg_get_function_arguments" -> new PgScalar(
+      "pg_get_function_arguments", Seq(IntegerType), StringType, _ => null),
+    "pg_function_is_visible" -> new PgScalar("pg_function_is_visible",
+      Seq(IntegerType), BooleanType, _ => true),
+    "col_description" -> new PgScalar("col_description",
+      Seq(IntegerType, IntegerType), StringType, _ => null),
     "obj_description" -> new PgScalar("obj_description",
       Seq(IntegerType, StringType), StringType, _ => null),
     "shobj_description" -> new PgScalar("shobj_description",

@@ -56,10 +56,19 @@ object PgDialect {
     if (sql.contains("pg_catalog.pg_publication"))
       return "SELECT NULL AS pubname, NULL AS prqual, NULL AS prattrs " +
         "WHERE 1 = 0"
+    // psql \d+'s toast-options fragment builds an array from a correlated
+    // table function (pg_catalog.unnest in FROM) — inexpressible in Spark,
+    // and reloptions is always NULL here, so the fragment IS NULL.
+    val toastFragment = "array(select 'toast.' || x from " +
+      "pg_catalog.unnest(tc.reloptions) x)"
+    val sql0 =
+      if (sql.contains(toastFragment))
+        sql.replace(toastFragment, "CAST(NULL AS ARRAY<STRING>)")
+      else sql
     // `SHOW <guc>` — answered for the settings pg clients read at connect
     // (JDBC: transaction isolation; psql: server_version). Spark's own
     // SHOW TABLES/DATABASES/… forms pass through untouched.
-    val trimmed = sql.trim.stripSuffix(";").trim
+    val trimmed = sql0.trim.stripSuffix(";").trim
     if (trimmed.length >= 5 && trimmed.take(5).equalsIgnoreCase("SHOW ")) {
       val guc = trimmed.drop(5).trim.toLowerCase.replaceAll("\\s+", " ")
       gucAnswers.get(guc) match {
@@ -67,7 +76,7 @@ object PgDialect {
         case None => ()
       }
     }
-    translateBody(wrapArraySubqueries(sql))
+    translateBody(wrapArraySubqueries(sql0))
   }
 
   /** pg GUCs answered at the wire door; values mirror the startup-packet
@@ -259,12 +268,55 @@ object PgDialect {
         // ---- :: cast ----------------------------------------------------
         case ':' if i + 1 < n && sql(i + 1) == ':' =>
           i += 2
-          val t0 = i
-          while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_' ||
-            sql(i) == '.')) i += 1
-          val full = sql.substring(t0, i)
-          val bare = full.substring(full.lastIndexOf('.') + 1)
-          castTarget(bare) match {
+          // type name: bare/qualified ident, or a quoted name (::"char")
+          val bare =
+            if (i < n && sql(i) == '"') {
+              val q0 = i + 1
+              i += 1; while (i < n && sql(i) != '"') i += 1
+              val name = sql.substring(q0, i)
+              if (i < n) i += 1
+              name
+            } else {
+              val t0 = i
+              while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_' ||
+                sql(i) == '.')) i += 1
+              val full = sql.substring(t0, i)
+              // multi-word pg type names extend past the first word
+              def ext(words: String): Boolean = {
+                var j = i
+                while (j < n && sql(j) == ' ') j += 1
+                sql.regionMatches(true, j, words, 0, words.length) &&
+                  (j + words.length >= n ||
+                    !isIdentChar(sql(j + words.length))) && {
+                  i = j + words.length; true
+                }
+              }
+              full.substring(full.lastIndexOf('.') + 1).toLowerCase match {
+                case "double" if ext("precision") => "float8"
+                case "character" if ext("varying") => "varchar"
+                case w @ ("timestamp" | "time") =>
+                  if (ext("with time zone") || ext("without time zone")) ()
+                  w
+                case w => w
+              }
+            }
+          // array bounds: any run of [ ] / [n] groups (possibly spaced)
+          // makes this an array type with no Spark text-cast analogue
+          var isArray = false
+          var j = i
+          var scanning = true
+          while (scanning) {
+            var k = j
+            while (k < n && sql(k) == ' ') k += 1
+            if (k < n && sql(k) == '[') {
+              k += 1
+              while (k < n && sql(k).isDigit) k += 1
+              if (k < n && sql(k) == ']') { isArray = true; j = k + 1 }
+              else scanning = false
+            } else scanning = false
+          }
+          if (isArray) i = j
+          (if (isArray) None else castTarget(bare)) match {
             case Some(sparkT) =>
               val s0 = operandStart
               out.insert(s0, "CAST(")
@@ -299,13 +351,30 @@ object PgDialect {
           }
 
         // ---- `= ANY(x)` → `IN (x)` --------------------------------------
-        case '=' if {
+        // Plain equality only (`>= ANY` etc. keep comparison semantics),
+        // and only when the rewrite preserves pg meaning exactly: a
+        // subquery (`= ANY(SELECT …)` ≡ `IN (SELECT …)`) or a bare
+        // column reference (scalar in our catalog schemas). Anything else
+        // — e.g. a '{…}'::type[] array literal — passes through untouched
+        // so it fails loudly instead of silently comparing strings.
+        case '=' if (i == 0 || !"<>!=".contains(sql(i - 1))) && {
           var j = i + 1
           while (j < n && sql(j).isWhitespace) j += 1
           sql.regionMatches(true, j, "ANY", 0, 3) && {
             var k = j + 3
             while (k < n && sql(k).isWhitespace) k += 1
-            k < n && sql(k) == '('
+            k < n && sql(k) == '(' && {
+              var m = k + 1
+              while (m < n && sql(m).isWhitespace) m += 1
+              val isSubquery = sql.regionMatches(true, m, "SELECT", 0, 6)
+              val isBareRef = {
+                var p = m
+                while (p < n && (isIdentChar(sql(p)) ||
+                  sql(p).isWhitespace)) p += 1
+                p > m && p < n && sql(p) == ')'
+              }
+              isSubquery || isBareRef
+            }
           }
         } =>
           out.append(" IN ")

@@ -41,6 +41,33 @@ class PgDialectSpec extends AnyFunSuite {
       "WHERE oid IN (pol.polroles)")
     assert(t("WHERE k = any(SELECT v FROM s)") ==
       "WHERE k IN (SELECT v FROM s)")
+    // comparison-ANY keeps its operator (no IN rewrite)
+    assert(t("WHERE k >= ANY (SELECT v FROM s)") ==
+      "WHERE k >= ANY (SELECT v FROM s)")
+    // an array-literal argument is NOT rewritten: after the cast drop an
+    // IN would silently compare strings — leave it to fail loudly instead
+    assert(t("WHERE k = ANY('{1,2}'::int2[])") ==
+      "WHERE k = ANY('{1,2}')")
+  }
+
+  test("array-typed casts drop cleanly (no dangling brackets)") {
+    assert(t("SELECT a.x::pg_catalog.int2[] FROM t") ==
+      "SELECT a.x FROM t")
+    assert(t("SELECT b::text[] || c") == "SELECT b || c")
+    assert(t("SELECT m::text[][]") == "SELECT m")       // multi-dim
+    assert(t("SELECT x::int2[3]") == "SELECT x")        // sized bounds
+    assert(t("SELECT y::int2 []") == "SELECT y")        // spaced bounds
+  }
+
+  test("quoted and multi-word type names cast correctly") {
+    assert(t("""SELECT c.relkind::"char" FROM pg_class c""") ==
+      "SELECT CAST(c.relkind AS STRING) FROM pg_class c")
+    assert(t("SELECT x::double precision") ==
+      "SELECT CAST(x AS DOUBLE)")
+    assert(t("SELECT x::character varying") ==
+      "SELECT CAST(x AS STRING)")
+    assert(t("SELECT ts::timestamp with time zone") ==
+      "SELECT CAST(ts AS TIMESTAMP)")
   }
 
   test("E'' escape strings lose the prefix, keep the body") {
