@@ -707,9 +707,65 @@ object LakeQueries {
     q
   }
 
+  /** ROLLUP answered by the MV ([[MvRewrite.tryRewriteExpand]]): same
+    * shape as [[mvRewrite]] but the base query is a two-level ROLLUP with
+    * GROUPING() flags and a key filter — the Expand machinery stays, its
+    * fact scan becomes the groups-sized view scan (the run `require`s
+    * it), and the oracle recomputes the rollup from first principles. */
+  val mvRollup: Q = Q(
+    "lake_mv_rollup",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |final AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0)
+      |SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS gp,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS gs,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(min(cents) AS BIGINT) AS min_cents
+      |FROM final WHERE o_orderstatus <> 'P'
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin) {
+    (s, dir) =>
+      val root = Files.createTempDirectory(s"lake-mvru-${UUID.randomUUID()}")
+        .toString
+      val src = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = LakeDataset.create(s, s"$root/base", StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderpriority", StringType),
+        StructField("o_orderstatus", StringType),
+        StructField("cents", LongType))))
+      base.append(src.coalesce(2))
+      val mv = MaterializedView.create(s, base, s"$root/view",
+        keys = Seq("o_orderpriority", "o_orderstatus"),
+        sumCols = Seq("cents"), minCols = Seq("cents"))
+      MvRewrite.register(s, mv.view.root)
+      base.delete("o_orderkey % 7 = 0")
+      mv.refresh()
+      val q = s.read.format("lake").load(base.root)
+        .filter(col("o_orderstatus") =!= "P")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(grouping("o_orderpriority").cast("long").as("gp"),
+          grouping("o_orderstatus").cast("long").as("gs"),
+          count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"))
+      val scansView = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation
+            if r.relation.table.name.contains(mv.view.root) => r
+      }.nonEmpty
+      require(scansView, "the ROLLUP over the base must be answered by the MV")
+      q
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
       catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
       spatialKnn, spatialRange, branchDemo, constraintDemo, mvIncremental,
-      mvRewrite)
+      mvRewrite, mvRollup)
 }

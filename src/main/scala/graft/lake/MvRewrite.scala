@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.types.DoubleType
@@ -82,41 +82,53 @@ object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
     plan.transformUp {
+      case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
+        tryRewriteExpand(agg, agg.child.asInstanceOf[Expand]).getOrElse(agg)
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
   }
 
-  private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
-    // Unwrap: optional attribute-only Project, optional residual Filter,
-    // then the base scan. Anything else is not a shape we can reason about.
-    val (cond, rel) = agg.child match {
-      case r: DataSourceV2ScanRelation => (None, r)
-      case Filter(c, r: DataSourceV2ScanRelation) => (Some(c), r)
-      case Project(pl, r: DataSourceV2ScanRelation)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => (None, r)
-      case Project(pl, Filter(c, r: DataSourceV2ScanRelation))
-          if pl.forall(_.isInstanceOf[AttributeReference]) => (Some(c), r)
-      case _ => return None
-    }
+  /** Unwrap optional attribute-only Project / residual Filter down to the
+    * base scan; anything else is not a shape we can reason about. */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(Option[Expression], DataSourceV2ScanRelation)] = plan match {
+    case r: DataSourceV2ScanRelation => Some((None, r))
+    case Filter(c, r: DataSourceV2ScanRelation) => Some((Some(c), r))
+    case Project(pl, r: DataSourceV2ScanRelation)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some((None, r))
+    case Project(pl, Filter(c, r: DataSourceV2ScanRelation))
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some((Some(c), r))
+    case _ => None
+  }
+
+  /** Rewrite candidates for this scan, narrowest key set first; None when
+    * the scan is not a plain latest-version batch read of a registered
+    * base. */
+  private def candidates(rel: DataSourceV2ScanRelation)
+      : Option[List[ViewDef]] = {
     val root = rel.relation.table match {
       // the table carries its own read options (catalog time travel lands
       // there, not on the relation), so the pinned check covers both doors
       case lt: LakeTable if !lt.isPinnedHandle => norm(lt.rootPath)
       case _ => return None
     }
-    val cands = Option(registry.get(root)).getOrElse(return None)
-    // plain latest-version batch reads only
     val opts = rel.relation.options
     if (Seq("changesFrom", "versionAsOf", "tag", "branch", "rowid")
         .exists(opts.containsKey)) return None
-    // narrowest fresh covering view wins (cands sorted by key count)
-    cands.iterator.flatMap(d => rewriteWith(agg, cond, rel, d))
-      .nextOption()
+    Option(registry.get(root))
   }
 
-  private def rewriteWith(agg: Aggregate, cond: Option[Expression],
-      rel: DataSourceV2ScanRelation, d: ViewDef): Option[Aggregate] = {
-    // Freshness gate (metadata-only): a stale view never answers.
+  private def tryRewrite(agg: Aggregate): Option[Aggregate] =
+    for {
+      (cond, rel) <- unwrap(agg.child)
+      cands <- candidates(rel)
+      res <- cands.iterator.flatMap(d => rewriteWith(agg, cond, rel, d))
+        .nextOption()
+    } yield res
+
+  /** Freshness gate (metadata-only) + the view's scan relation: a stale
+    * view never answers. */
+  private def freshViewRel(d: ViewDef): Option[DataSourceV2ScanRelation] = {
     val spark = SparkSession.active
     val cursor = scala.util.Try(
       LakeDataset.open(spark, d.viewRoot).manifest
@@ -124,9 +136,198 @@ object MvRewrite extends Rule[LogicalPlan] {
     val head = scala.util.Try(
       LakeDataset.open(spark, d.basePath).version).toOption
     if (cursor.isEmpty || cursor != head) return None
+    scala.util.Try(viewScanRelation(spark, d.viewRoot)).toOption.flatten
+  }
 
-    val viewRel = scala.util.Try(viewScanRelation(spark, d.viewRoot))
-      .toOption.flatten.getOrElse(return None)
+  /** ROLLUP / CUBE / GROUPING SETS: the analyzer compiles them to
+    * `Aggregate(keys + gid, aggs, Expand(rows, out, Project(base)))` —
+    * one projection row per grouping set, value columns passed through
+    * every row. The view substitutes SURGICALLY: the Project re-sources
+    * key columns from the view (original exprIds kept, so the Expand
+    * rows and the Aggregate's grouping side stay verbatim), value
+    * passthrough positions are replaced by the view's partial-aggregate
+    * columns, and each aggregate call folds exactly as in the flat path
+    * (count(*)→sum(mv_cnt), sum→sum, max/min→max/min, avg for
+    * non-nullable → sum/cnt). One view scan serves every grouping set —
+    * at 100 TB a CUBE over the fact table becomes a CUBE over the
+    * groups-sized view, Expand fan-out included. */
+  private def tryRewriteExpand(agg: Aggregate, ex: Expand)
+      : Option[Aggregate] = {
+    // only grouping-analytics Expands (DISTINCT-agg Expands lack the id)
+    if (!ex.output.exists(_.name == "spark_grouping_id")) return None
+    for {
+      (cond, rel) <- unwrap(ex.child)
+      cands <- candidates(rel)
+      res <- cands.iterator
+        .flatMap(d => rewriteExpandWith(agg, ex, cond, rel, d))
+        .nextOption()
+    } yield res
+  }
+
+  private def rewriteExpandWith(agg: Aggregate, ex: Expand,
+      cond: Option[Expression], rel: DataSourceV2ScanRelation,
+      d: ViewDef): Option[Aggregate] = {
+    val viewRel = freshViewRel(d).getOrElse(return None)
+    val viewAttr = viewRel.output.map(a => a.name -> a).toMap
+    val baseNameOf = rel.output.map(a => a.exprId -> a.name).toMap
+
+    // classify each Expand output position
+    val groupingOut = AttributeSet(
+      agg.groupingExpressions.flatMap(_.references))
+    val nPos = ex.output.size
+    val keep = Array.fill(nPos)(false)
+    // base key source attrs the kept grouping positions reference
+    val keySrcs = scala.collection.mutable.LinkedHashMap
+      .empty[ExprId, AttributeReference]
+    (0 until nPos).foreach { p =>
+      val entries = ex.projections.map(_(p))
+      val o = ex.output(p)
+      if (groupingOut.contains(o)) {
+        if (entries.forall(_.isInstanceOf[Literal])) keep(p) = true // gid
+        else {
+          val srcs = entries.collect {
+            case a: AttributeReference => a
+          }.distinct
+          val attrOrNull = entries.forall {
+            case _: AttributeReference => true
+            case Literal(null, _) => true
+            case _ => false
+          }
+          // grouping position: one key-source attr, possibly nulled out
+          if (srcs.size != 1 || !attrOrNull) return None
+          val src = srcs.head
+          if (!baseNameOf.get(src.exprId).exists(d.keys.contains))
+            return None
+          keySrcs.getOrElseUpdate(src.exprId, src)
+          keep(p) = true
+        }
+      }
+      // value passthrough positions: dropped; aggregates re-source below
+    }
+
+    // view partial-aggregate columns the rewritten aggregates read; each
+    // becomes one Project alias + one passthrough Expand column
+    val extra = scala.collection.mutable.LinkedHashMap
+      .empty[String, AttributeReference]
+    def need(viewCol: String): Option[AttributeReference] =
+      viewAttr.get(viewCol).map { va =>
+        extra.getOrElseUpdate(viewCol,
+          AttributeReference(viewCol, va.dataType, nullable = true)())
+      }
+    def srcName(a: AttributeReference): Option[String] =
+      baseNameOf.get(a.exprId)
+
+    def translateAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+          need("mv_cnt").map(a =>
+            Coalesce(Seq(Sum(a).toAggregateExpression(), Literal(0L))))
+        case s: Sum => s.child match {
+          case a: AttributeReference =>
+            srcName(a).filter(d.sumCols.contains)
+              .flatMap(n => need(s"sum_$n"))
+              .map(x => Sum(x).toAggregateExpression())
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference =>
+            srcName(a).filter(d.maxCols.contains)
+              .flatMap(n => need(s"max_$n"))
+              .map(x => Max(x).toAggregateExpression())
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference =>
+            srcName(a).filter(d.minCols.contains)
+              .flatMap(n => need(s"min_$n"))
+              .map(x => Min(x).toAggregateExpression())
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference if !a.nullable =>
+            srcName(a).filter(d.sumCols.contains).flatMap { n =>
+              for { s <- need(s"sum_$n"); c <- need("mv_cnt") } yield
+                Divide(
+                  Cast(Sum(s).toAggregateExpression(), DoubleType),
+                  Cast(Sum(c).toAggregateExpression(), DoubleType))
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    val keptOut = AttributeSet(
+      (0 until nPos).filter(keep).map(ex.output(_)))
+    def translate(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => translateAgg(ae)
+      case a: AttributeReference =>
+        if (keptOut.contains(a)) Some(a) else None
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(translate)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    val newAggs = agg.aggregateExpressions.map {
+      case a: AttributeReference if keptOut.contains(a) => Some(a)
+      case al @ Alias(child, name) =>
+        translate(child).map(nc =>
+          Alias(nc, name)(exprId = al.exprId, qualifier = al.qualifier))
+      case _ => None
+    }
+    if (newAggs.exists(_.isEmpty)) return None
+    val sameTypes = newAggs.map(_.get).zip(agg.aggregateExpressions)
+      .forall { case (n, o) => n.dataType == o.dataType }
+    if (!sameTypes) return None
+
+    // new Project: view keys re-aliased to the original base exprIds,
+    // plus the partial-aggregate columns the translations requested
+    def keyView(b: AttributeReference): Option[Attribute] =
+      baseNameOf.get(b.exprId).filter(d.keys.contains).flatMap(viewAttr.get)
+    val keyAliases = keySrcs.values.toSeq.map { b =>
+      keyView(b).map(v => Alias(v, b.name)(exprId = b.exprId))
+    }
+    if (keyAliases.exists(_.isEmpty)) return None
+    val extraAliases = extra.toSeq.map { case (colName, attr) =>
+      Alias(viewAttr(colName), colName)(exprId = attr.exprId)
+    }
+
+    // residual filter: key predicates only, re-sourced to the view
+    def condToView(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference => keyView(a)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(condToView)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+    val viewChild: LogicalPlan = cond match {
+      case None => viewRel
+      case Some(c) => Filter(condToView(c).getOrElse(return None), viewRel)
+    }
+    val newProject =
+      Project(keyAliases.map(_.get) ++ extraAliases, viewChild)
+
+    val keptIdx = (0 until nPos).filter(keep)
+    val extraAttrs = extra.values.toSeq
+    val newRows = ex.projections.map(row =>
+      keptIdx.map(row(_)) ++ extraAttrs)
+    val newOut = keptIdx.map(ex.output(_)) ++ extraAttrs
+    val newExpand = Expand(newRows, newOut, newProject)
+    Some(Aggregate(
+      agg.groupingExpressions, newAggs.map(_.get), newExpand))
+  }
+
+  private def rewriteWith(agg: Aggregate, cond: Option[Expression],
+      rel: DataSourceV2ScanRelation, d: ViewDef): Option[Aggregate] = {
+    val viewRel = freshViewRel(d).getOrElse(return None)
     val viewAttr = viewRel.output.map(a => a.name -> a).toMap
     val baseNameOf = rel.output.map(a => a.exprId -> a.name).toMap
 
