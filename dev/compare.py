@@ -12,12 +12,19 @@ aggregates (partition-order ulp noise) and float32-kernel outputs that the
 driver's rounding hasher accepts (r3/r4 driver-green evidence: q5/q7/q8/q9
 sums, ann round(sim,4)); anything ELSE it flags is a real value diff.
 
-Both modes additionally audit output dtypes: any DECIMAL column in an
-oracle-checked query is an automatic FAIL. The driver's hasher treats
-decimal columns asymmetrically between the Spark parquet dump and the DuckDB
-result (r4: 14/14 hash-fails were exactly the DECIMAL-output queries, 77/77
-passes had none), so decimal must never reach an oracle-checked schema —
-use BIGINT fixed-point or round(x, k) doubles instead."""
+Both modes additionally audit output dtypes against BANNED_DTYPES: any
+column whose DuckDB type the driver's hasher treats asymmetrically between
+the Spark parquet dump and the DuckDB result is an automatic FAIL, on
+EITHER side's schema. Two rounds proved the class empirically:
+  r4: 14/14 hash-fails were exactly the DECIMAL-output queries;
+  r6: 64/64 hash-fails were exactly the sum(BIGINT)->HUGEINT queries.
+So the audit bans the whole widened/exotic-numeric class up front —
+DECIMAL, HUGEINT/UHUGEINT (int128), the unsigned ints, and the non-micro
+TIMESTAMP precision variants. Use BIGINT fixed-point (cast the sums),
+round(x, k) doubles, and plain TIMESTAMP instead. This keeps the builder
+gate strictly HARSHER than the driver's, never laxer (the r6 lesson:
+compare.py audited DECIMAL but not HUGEINT, and 64 red rows shipped as
+locally green)."""
 import sys, json, math, glob, os
 import duckdb
 
@@ -25,6 +32,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 STRICT = False
+
+# DuckDB dtypes the driver hasher handles asymmetrically vs a Spark parquet
+# dump (substring match against the uppercased type name). Spark has no
+# unsigned/int128/sub-micro types, so any of these in an output schema means
+# the two engines canonicalize the same value differently.
+BANNED_DTYPES = [
+    "DECIMAL",                                      # r4: 14/14 fails
+    "HUGEINT", "UHUGEINT",                          # r6: 64/64 fails (int128)
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",  # unsigned widenings
+    "TIMESTAMP_S", "TIMESTAMP_MS", "TIMESTAMP_NS",   # precision variants
+]
+
+
+def banned(type_name):
+    t = str(type_name).upper()
+    return next((b for b in BANNED_DTYPES if b in t), None)
 
 
 def norm_cell(v):
@@ -49,11 +72,11 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def decimal_cols(con, rel_sql):
-    """Column names with a DECIMAL dtype in the given relation."""
+def banned_cols(con, rel_sql):
+    """(column, banned dtype) pairs in the given relation's schema."""
     rel = con.sql(rel_sql)
-    return [c for c, t in zip(rel.columns, rel.types)
-            if "DECIMAL" in str(t).upper()]
+    return [(c, banned(t)) for c, t in zip(rel.columns, rel.types)
+            if banned(t)]
 
 
 def main(sf_dir, out_dir):
@@ -83,14 +106,14 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         sp_sql = f"SELECT * FROM '{spark_dir}/*.parquet'"
-        # dtype audit: DECIMAL in either side's output schema is a fail
-        bad = decimal_cols(con, sp_sql) + [
-            c for c, t in zip(duck.columns, duck.types)
-            if "DECIMAL" in str(t).upper()]
+        # dtype audit: a banned dtype in either side's output schema fails
+        bad = banned_cols(con, sp_sql) + [
+            (c, banned(t)) for c, t in zip(duck.columns, duck.types)
+            if banned(t)]
         if bad:
-            print(f"FAIL {name}: DECIMAL output column(s) {sorted(set(bad))} "
-                  f"(driver hashes decimals asymmetrically — use BIGINT "
-                  f"fixed-point or round(x, k))")
+            print(f"FAIL {name}: banned output dtype(s) {sorted(set(bad))} "
+                  f"(driver hashes these asymmetrically — cast to BIGINT "
+                  f"fixed-point / round(x, k) / plain TIMESTAMP)")
             n_fail += 1
             continue
         sp = con.sql(sp_sql)

@@ -52,7 +52,7 @@ object Modern {
     """SELECT o_orderkey,
       |  CAST(json_extract(j, '$.k') AS BIGINT) AS k_back,
       |  json_extract_string(j, '$.s') AS s_back,
-      |  json_array_length(json_extract(j, '$.a')) AS arr_len
+      |  CAST(json_array_length(json_extract(j, '$.a')) AS BIGINT) AS arr_len
       |FROM (SELECT o_orderkey,
       |        concat('{"k":', o_orderkey, ',"s":"', o_orderstatus,
       |               '","a":[1,2,3]}') AS j

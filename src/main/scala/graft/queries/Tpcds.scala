@@ -514,8 +514,21 @@ object Tpcds {
     else prelude + mat
   }
 
+  /** Kill HUGEINT outputs (see [[TpcdsCasts]]): wrap the statement in an
+    * outer SELECT that casts every column DuckDB would widen to int128 back
+    * to BIGINT, identically for both engines. Queries with no widened
+    * column pass through untouched. */
+  private def castWrap(name: String, text: String): String =
+    TpcdsCasts.cols.get(name) match {
+      case Some(cols) =>
+        val items = cols.map { case (c, huge) =>
+          if (huge) s"cast($c as bigint) as $c" else c }
+        s"select ${items.mkString(", ")}\nfrom (\n$text\n) graft_cast"
+      case None => text
+    }
+
   private def q(n: Int): Q = {
-    val text = patches(n)(load(n))
+    val text = castWrap(s"tpcds_q$n", patches(n)(load(n)))
     Q(s"tpcds_q$n", oracleFor(text)) { (s, _) =>
       val isolated = s.newSession()
       TpcdsGen.register(isolated)
@@ -578,7 +591,7 @@ object Tpcds {
 
   private def splitQ(entry: (String, Int, Int, String => String)): Q = {
     val (name, n, idx, patch) = entry
-    val text = patch(stmt(n, idx))
+    val text = castWrap(name, patch(stmt(n, idx)))
     Q(name, oracleFor(text)) { (s, _) =>
       val isolated = s.newSession()
       TpcdsGen.register(isolated)

@@ -40,8 +40,18 @@ class PgCatalog extends TableCatalog with FunctionCatalog {
   // ------------------------------------------------------------- relations
 
   /** Stable oid for a relation name (positive, deterministic across the
-    * psql query sequence: resolve-by-name then probe-by-oid). */
-  private def oidOf(name: String): Int = (name.hashCode & 0x7fffffff) | 1
+    * psql query sequence: resolve-by-name then probe-by-oid). Assigned by
+    * position in the sorted relation list — collision-free by construction,
+    * unlike a name hash (two names hashing together would make pg_attribute
+    * merge both relations' columns and garble psql's \d). Offset past pg's
+    * own FirstNormalObjectId so the oids read plausibly in psql output. A
+    * name outside the current snapshot (dropped mid-sequence) still gets a
+    * deterministic non-colliding fallback above the positional range. */
+  private def oidOf(name: String): Int = {
+    val idx = relations().map(_._1).sorted.indexOf(name)
+    if (idx >= 0) 16384 + idx
+    else 0x40000000 | (name.hashCode & 0x3fffffff)
+  }
 
   /** Postgres type oid for a Spark type (pg_attribute.atttypid and the
     * format_type rendering both key off this). */

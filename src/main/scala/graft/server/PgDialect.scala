@@ -28,9 +28,13 @@ object PgDialect {
     "in", "like", "between", "union", "all", "distinct", "set", "values",
     "is", "returning", "ilike", "offset", "limit", "end")
 
-  /** Spark cast target for a pg type name; None = drop the cast (the type
-    * is pg-internal bookkeeping with no Spark analogue). */
-  private def castTarget(pgType: String): Option[String] =
+  /** Spark cast target for a pg type name (with optional `(p[,s])` args);
+    * None = drop the cast (the type is pg-internal bookkeeping with no
+    * Spark analogue). numeric/decimal keep exactness: declared precision
+    * is honored, bare `::numeric` maps to DECIMAL(38,18) — the widest
+    * Spark decimal with pg-numeric-like headroom — never to DOUBLE (a
+    * double would silently lose int8 > 2^53 and money-style values). */
+  private def castTarget(pgType: String, args: Seq[Int]): Option[String] =
     pgType.toLowerCase match {
       case "text" | "varchar" | "bpchar" | "name" | "char" => Some("STRING")
       case "int2" | "smallint" => Some("SMALLINT")
@@ -41,9 +45,67 @@ object PgDialect {
       case "bool" | "boolean" => Some("BOOLEAN")
       case "date" => Some("DATE")
       case "timestamp" | "timestamptz" => Some("TIMESTAMP")
-      case "numeric" | "decimal" => Some("DOUBLE")
+      case "numeric" | "decimal" => args match {
+        case Seq(p, s) if p <= 38 => Some(s"DECIMAL($p,$s)")
+        case Seq(p) if p <= 38 => Some(s"DECIMAL($p,0)")
+        case _ => Some("DECIMAL(38,18)")
+      }
       case _ => None // regclass, regtype, regproc, regnamespace, ...
     }
+
+  /** If `sql(start)` opens a passthrough region — a string literal (with
+    * '' escapes), a `--` comment, a block comment, or a dollar-quoted
+    * `$tag$…$tag$` body — copy it verbatim to `out` and return the index
+    * past the region; otherwise -1. Shared by [[wrapArraySubqueries]] and
+    * [[translateBody]] so BOTH passes skip the same regions: an
+    * `array(select`, `::`, `"`, or `~` inside a comment or dollar-quoted
+    * body must never be rewritten. `$1` parameter markers are not
+    * dollar-quote tags (a tag cannot start with a digit) and fall through
+    * untouched for WireServer's quote-aware rewriteParams. */
+  private def copyRegion(sql: String, start: Int, out: StringBuilder): Int = {
+    val n = sql.length
+    sql(start) match {
+      case '\'' =>
+        var i = start + 1
+        out += '\''
+        var done = false
+        while (i < n && !done) {
+          out += sql(i)
+          if (sql(i) == '\'') {
+            if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+        i
+      case '-' if start + 1 < n && sql(start + 1) == '-' =>
+        var i = start
+        while (i < n && sql(i) != '\n') { out += sql(i); i += 1 }
+        i
+      case '/' if start + 1 < n && sql(start + 1) == '*' =>
+        var i = start + 2
+        out.append("/*")
+        while (i < n && !(sql(i) == '*' && i + 1 < n && sql(i + 1) == '/')) {
+          out += sql(i); i += 1
+        }
+        if (i < n) { out.append("*/"); i += 2 }
+        i
+      case '$' =>
+        var j = start + 1
+        while (j < n && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+        val validTag = j < n && sql(j) == '$' &&
+          (j == start + 1 || !sql(start + 1).isDigit)
+        if (!validTag) -1
+        else {
+          val tag = sql.substring(start, j + 1)
+          val close = sql.indexOf(tag, j + 1)
+          val stop = if (close < 0) n else close + tag.length
+          out.append(sql.substring(start, stop))
+          stop
+        }
+      case _ => -1
+    }
+  }
 
   def translate(sql: String): String = {
     // COPY rides SqlBridge's own pg-COPY parser untouched
@@ -106,19 +168,10 @@ object PgDialect {
     var i = 0
     val n = sql.length
     while (i < n) {
+      val r = copyRegion(sql, i, out)
       val c = sql(i)
-      if (c == '\'') { // string literal passthrough
-        out += c; i += 1
-        var done = false
-        while (i < n && !done) {
-          out += sql(i)
-          if (sql(i) == '\'') {
-            if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
-            else done = true
-          }
-          i += 1
-        }
-      } else if ((c == 'a' || c == 'A') &&
+      if (r >= 0) { i = r }
+      else if ((c == 'a' || c == 'A') &&
           sql.regionMatches(true, i, "array", 0, 5) &&
           (i == 0 || !(sql(i - 1).isLetterOrDigit || sql(i - 1) == '_'))) {
         var j = i + 5
@@ -131,18 +184,9 @@ object PgDialect {
           i = j + 1
           var depth = 1
           while (i < n && depth > 0) {
-            sql(i) match {
-              case '\'' =>
-                out += '\''; i += 1
-                var done = false
-                while (i < n && !done) {
-                  out += sql(i)
-                  if (sql(i) == '\'') {
-                    if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
-                    else done = true
-                  }
-                  i += 1
-                }
+            val r2 = copyRegion(sql, i, out)
+            if (r2 >= 0) { i = r2 }
+            else sql(i) match {
               case '(' => depth += 1; out += '('; i += 1
               case ')' =>
                 depth -= 1
@@ -217,29 +261,13 @@ object PgDialect {
     }
 
     while (i < n) {
+      // pass-through regions (strings, comments, dollar-quoted bodies) —
+      // shared with wrapArraySubqueries via copyRegion
+      val region = copyRegion(sql, i, out)
+      if (region >= 0) { i = region }
+      else {
       val c = sql(i)
       c match {
-        // ---- pass-through regions -------------------------------------
-        case '\'' =>
-          out += c; i += 1
-          var done = false
-          while (i < n && !done) {
-            out += sql(i)
-            if (sql(i) == '\'') {
-              if (i + 1 < n && sql(i + 1) == '\'') { out += '\''; i += 1 }
-              else done = true
-            }
-            i += 1
-          }
-        case '-' if i + 1 < n && sql(i + 1) == '-' =>
-          while (i < n && sql(i) != '\n') { out += sql(i); i += 1 }
-        case '/' if i + 1 < n && sql(i + 1) == '*' =>
-          out += '/'; out += '*'; i += 2
-          while (i < n && !(sql(i) == '*' && i + 1 < n && sql(i + 1) == '/')) {
-            out += sql(i); i += 1
-          }
-          if (i < n) { out += '*'; out += '/'; i += 2 }
-
         // ---- E'…' escape-string → plain literal (Spark's default string
         // parsing already honors backslash escapes) -----------------------
         case 'E' | 'e' if i + 1 < n && sql(i + 1) == '\'' &&
@@ -300,6 +328,26 @@ object PgDialect {
                 case w => w
               }
             }
+          // optional `(p[,s])` type args — numeric(10,2), varchar(64), …;
+          // consumed so they never leak into the emitted CAST, honored for
+          // numeric/decimal precision
+          var typeArgs: Seq[Int] = Nil
+          locally {
+            var j = i
+            while (j < n && sql(j) == ' ') j += 1
+            if (j < n && sql(j) == '(') {
+              val closeIdx = sql.indexOf(')', j)
+              if (closeIdx > 0) {
+                val parts = sql.substring(j + 1, closeIdx)
+                  .split(",").map(_.trim)
+                if (parts.nonEmpty &&
+                    parts.forall(p => p.nonEmpty && p.forall(_.isDigit))) {
+                  typeArgs = parts.map(_.toInt).toSeq
+                  i = closeIdx + 1
+                }
+              }
+            }
+          }
           // array bounds: any run of [ ] / [n] groups (possibly spaced)
           // makes this an array type with no Spark text-cast analogue
           var isArray = false
@@ -316,7 +364,7 @@ object PgDialect {
             } else scanning = false
           }
           if (isArray) i = j
-          (if (isArray) None else castTarget(bare)) match {
+          (if (isArray) None else castTarget(bare, typeArgs)) match {
             case Some(sparkT) =>
               val s0 = operandStart
               out.insert(s0, "CAST(")
@@ -396,6 +444,7 @@ object PgDialect {
 
         case _ =>
           out += c; i += 1
+      }
       }
     }
     out.toString

@@ -39,6 +39,10 @@ object WireClient {
     /** Startup parameters visible after connect (ParameterStatus). */
     val parameters: mutable.Map[String, String] = mutable.Map.empty
 
+    /** NoticeResponses observed during query cycles (severity+state+msg
+      * parse the same fields as an error), for asserting server warnings. */
+    val notices: mutable.Buffer[ServerError] = mutable.Buffer.empty
+
     /** BackendKeyData (pid, secret) — the cancel key for this session. */
     @volatile var backendKey: (Int, Int) = (0, 0)
 
@@ -84,7 +88,8 @@ object WireClient {
           case 'I' => () // EmptyQueryResponse
           case 'E' => err = Some(parseError(body))
           case 'Z' => done = true
-          case 'N' | 'S' | 'A' => () // notices/params — ignore
+          case 'N' => notices += parseError(body)
+          case 'S' | 'A' => () // params/async — ignore
           case other =>
             throw new IOException(s"unexpected message '$other' in query cycle")
         }
@@ -153,6 +158,7 @@ object WireClient {
           case 's' => suspended = true       // PortalSuspended
           case 'C' => tag = cString(body, 0)._1; suspended = false
           case 'I' => suspended = false
+          case 'N' => notices += parseError(body)
           case 'E' => err = Some(parseError(body)); suspended = false
           case 'Z' =>                        // ReadyForQuery after Sync
             if (suspended && err.isEmpty) {

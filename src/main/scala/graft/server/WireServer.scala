@@ -422,6 +422,15 @@ final class WireServer(
             else portals.get(name).map(p => (p.sql, p.args, Vector.empty))
           target.filter(_._1.trim.nonEmpty) match {
             case None => msg(out, 'n') { _ => () }             // NoData
+            case Some((sql, _, oids)) if txnTag(sql).isDefined =>
+              // txn control never reaches the SQL parser: zero params,
+              // no row description (a command tag is its whole result)
+              if (kind == 'S')
+                msg(out, 't') { b =>
+                  b.writeShort(oids.length)
+                  oids.foreach(oid => b.writeInt(if (oid == 0) 25 else oid))
+                }
+              msg(out, 'n') { _ => () }                        // NoData
             case Some((sql, args, oids)) =>
               try {
                 val df =
@@ -506,14 +515,15 @@ final class WireServer(
         // already run to completion: idempotent CommandComplete only
         commandComplete(out, p.completedTag); return true
       }
-      val txnHead = p.sql.trim.split("\\s+").headOption
-        .map(_.toUpperCase).getOrElse("")
-      if (Set("BEGIN", "COMMIT", "ROLLBACK", "END", "START")(txnHead)) {
-        // transaction control is a tagged no-op (auto-commit engine)
-        p.completedTag =
-          if (txnHead == "END") "COMMIT"
-          else if (txnHead == "START") "BEGIN" else txnHead
-        commandComplete(out, p.completedTag); return true
+      txnTag(p.sql) match {
+        case Some(tag) =>
+          // transaction control is a tagged no-op (auto-commit engine);
+          // ROLLBACK warns like stock pg outside a transaction — see the
+          // simple-query path for the rationale
+          warnIfRollback(out, tag)
+          p.completedTag = tag
+          commandComplete(out, p.completedTag); return true
+        case None => ()
       }
       if (p.it == null) {
         val df =
@@ -562,14 +572,18 @@ final class WireServer(
     try {
       // Transaction control: every pg client sends these (psql -1, JDBC
       // autocommit(false)); the engine is auto-commit like the reference,
-      // so they are no-ops acknowledged with the exact pg command tag.
-      val head = stmt.trim.split("\\s+").headOption
-        .map(_.toUpperCase).getOrElse("")
-      if (Set("BEGIN", "COMMIT", "ROLLBACK", "END", "START")(head)) {
-        commandComplete(out,
-          if (head == "END") "COMMIT"
-          else if (head == "START") "BEGIN" else head)
-        return
+      // so BEGIN/COMMIT are no-ops acknowledged with the exact pg command
+      // tag. ROLLBACK additionally carries pg's own outside-a-transaction
+      // WARNING (25P01) so a client that wrote "inside" a transaction and
+      // rolled back cannot believe the already-persisted writes were
+      // undone — exactly what stock pg emits for ROLLBACK with no open
+      // transaction, which is the truthful description of this engine.
+      txnTag(stmt) match {
+        case Some(tag) =>
+          warnIfRollback(out, tag)
+          commandComplete(out, tag)
+          return
+        case None => ()
       }
       val df = graft.ddl.SqlBridge.execute(spark, stmt)
       val schema = df.schema
@@ -628,6 +642,42 @@ final class WireServer(
 
   private def commandComplete(out: DataOutputStream, tag: String): Unit =
     msg(out, 'C') { b => writeCString(b, tag) }
+
+  /** pg transaction-control statement → its stock pg command tag; None
+    * for everything else. The engine is auto-commit (like the reference),
+    * so these are tagged no-ops that must never reach the SQL parser. */
+  private def txnTag(sql: String): Option[String] = {
+    val head = sql.trim.split("\\s+").headOption
+      .map(_.toUpperCase).getOrElse("")
+    if (!Set("BEGIN", "COMMIT", "ROLLBACK", "END", "START")(head)) None
+    else Some(head match {
+      case "END" | "COMMIT" => "COMMIT"
+      case "START" => "START TRANSACTION"
+      case t => t
+    })
+  }
+
+  /** ROLLBACK gets pg's outside-a-transaction WARNING so clients can't
+    * believe persisted writes were undone. */
+  private def warnIfRollback(out: DataOutputStream, tag: String): Unit =
+    if (tag == "ROLLBACK")
+      sendNotice(out, "WARNING", "25P01",
+        "there is no transaction in progress (auto-commit engine: " +
+          "writes are persisted at statement end and cannot be " +
+          "rolled back)")
+
+  /** NoticeResponse — same field layout as ErrorResponse, type 'N'. */
+  private def sendNotice(out: DataOutputStream, severity: String,
+      sqlState: String, message: String): Unit = {
+    msg(out, 'N') { b =>
+      b.writeByte('S'); writeCString(b, severity)
+      b.writeByte('V'); writeCString(b, severity)
+      b.writeByte('C'); writeCString(b, sqlState)
+      b.writeByte('M'); writeCString(b, message)
+      b.writeByte(0)
+    }
+    out.flush()
+  }
 
   private def sendError(out: DataOutputStream, sqlState: String,
       message: String): Unit = {

@@ -89,4 +89,35 @@ class PgDialectSpec extends AnyFunSuite {
     assert(t("SELECT 1 -- a ~ b :: c\n, 2") == "SELECT 1 -- a ~ b :: c\n, 2")
     assert(t("SELECT /* x::y ~ */ 1") == "SELECT /* x::y ~ */ 1")
   }
+
+  test("array(select …) inside comments never triggers paren rebalancing") {
+    // regression: the wrap pass used to see through comments, so a
+    // commented 'array(select' corrupted the statement's parens
+    assert(t("SELECT 1 -- array(select x from t)\n+ 2") ==
+      "SELECT 1 -- array(select x from t)\n+ 2")
+    assert(t("SELECT /* array(select 1) */ (1 + 2)") ==
+      "SELECT /* array(select 1) */ (1 + 2)")
+  }
+
+  test("dollar-quoted bodies pass through untouched in both passes") {
+    assert(t("SELECT $$x::int ~ 'y' \"q\"$$ AS s") ==
+      "SELECT $$x::int ~ 'y' \"q\"$$ AS s")
+    assert(t("SELECT $fn$array(select 1)$fn$ AS b") ==
+      "SELECT $fn$array(select 1)$fn$ AS b")
+    // $1 parameter markers are not dollar-quote tags
+    assert(t("SELECT $1::int8") == "SELECT CAST($1 AS BIGINT)")
+  }
+
+  test("numeric/decimal casts keep exactness (never DOUBLE)") {
+    assert(t("SELECT x::numeric") == "SELECT CAST(x AS DECIMAL(38,18))")
+    assert(t("SELECT x::numeric(10,2)") == "SELECT CAST(x AS DECIMAL(10,2))")
+    assert(t("SELECT x::decimal(7)") == "SELECT CAST(x AS DECIMAL(7,0))")
+    // over-wide precision falls back to the widest Spark decimal
+    assert(t("SELECT x::numeric(50,8)") == "SELECT CAST(x AS DECIMAL(38,18))")
+  }
+
+  test("parenthesized type args never leak into the emitted CAST") {
+    assert(t("SELECT x::varchar(64)") == "SELECT CAST(x AS STRING)")
+    assert(t("SELECT x::bpchar(8) || y") == "SELECT CAST(x AS STRING) || y")
+  }
 }

@@ -46,6 +46,27 @@ class WireServerSpec extends SparkTestBase {
     }
   }
 
+  test("txn control: pg tags, and ROLLBACK warns there is no transaction") {
+    withServer { conn =>
+      assert(conn.query("BEGIN").head.tag == "BEGIN")
+      assert(conn.query("START TRANSACTION").head.tag == "START TRANSACTION")
+      assert(conn.query("COMMIT").head.tag == "COMMIT")
+      assert(conn.query("END").head.tag == "COMMIT")
+      assert(conn.notices.isEmpty) // BEGIN/COMMIT stay silent no-ops
+      // ROLLBACK must NOT let a client believe persisted writes were
+      // undone: stock pg's outside-a-transaction WARNING 25P01 rides
+      // along with the ROLLBACK tag
+      val r = conn.query("ROLLBACK").head
+      assert(r.tag == "ROLLBACK")
+      assert(conn.notices.exists(n => n.sqlState == "25P01" &&
+        n.message.contains("no transaction")), conn.notices.toString)
+      // same warning on the extended-protocol path (JDBC autocommit(false))
+      conn.notices.clear()
+      assert(conn.queryExtended("ROLLBACK").tag == "ROLLBACK")
+      assert(conn.notices.exists(_.sqlState == "25P01"))
+    }
+  }
+
   test("multiple statements in one Query message get one result each") {
     withServer { conn =>
       val res = conn.query(
