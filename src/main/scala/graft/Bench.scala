@@ -39,12 +39,20 @@ object Bench {
     // the r5 wall) and measures the planner, not the engine (r5 verdict
     // nit #3). An explicit SPARK_GRAFT_ONLY filter still selects it.
     val untimed = Set("ref_tpcds_plan")
+    // Bench-only entries: scaled TPC-DS variants (facts ×167, store_sales
+    // 10M rows) that measure data movement through the kit plans; their
+    // scale-1 oracle twins carry correctness, so they live here rather
+    // than in the Verify registry (a 10M-row q64 in every driver Verify
+    // run would buy no additional correctness).
+    val benchOnly = graft.queries.Tpcds.benchOnly
+      .map(q => q.name -> q.run).toMap
+    val timed = SparkEntry.queries ++ benchOnly
     // optional filter for targeted perf iteration: comma-separated names
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(
-      SparkEntry.queries.view.filterKeys(!untimed.contains(_)).toMap)(names =>
-      SparkEntry.queries.view.filterKeys(names).toMap)
+      timed.view.filterKeys(!untimed.contains(_)).toMap)(names =>
+      timed.view.filterKeys(names).toMap)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =
         try {

@@ -601,4 +601,27 @@ object Tpcds {
 
   val all: Seq[Q] =
     patches.keys.toSeq.sorted.map(q) ++ splitPatches.map(splitQ)
+
+  /** Bench-only scaled variants (NOT in the correctness registry): the
+    * same patched+cast-wrapped text over fact tables grown ×scale
+    * ([[TpcdsGen.rowsAt]]), so the TPC-DS bench numbers measure data
+    * movement, not fixed planning overhead (the toy 60k-row store_sales
+    * keeps every oracle comparable; these move 10M+ rows through the same
+    * plans). Timed by [[graft.Bench]]; correctness is carried by the
+    * scale-1 oracle twins tpcds_q{n}. */
+  def benchQ(n: Int, scale: Long): Q = {
+    val text = castWrap(s"tpcds_q$n", patches(n)(load(n)))
+    Q.noOracle(s"tpcds_q${n}_x$scale") { (s, _) =>
+      val isolated = s.newSession()
+      TpcdsGen.register(isolated, scale)
+      isolated.sql(text)
+    }
+  }
+
+  /** The bench-scale slice: q64 (18-relation self-join — the VERDICT-asked
+    * ≥10M-row store_sales entry), q4 (year-over-year 3-channel growth over
+    * the biggest UNION ALL), q95 (split-shipment EXISTS self-joins). ×167
+    * puts store_sales at 10.02M rows, web_sales at 3.34M. */
+  lazy val benchOnly: Seq[Q] = Seq(benchQ(64, 167), benchQ(4, 167),
+    benchQ(95, 167))
 }

@@ -109,6 +109,39 @@ class TpcdsSpec extends SparkTestBase {
     assert(n >= 50, s"3-channel returned items in the surge span: $n")
   }
 
+  test("bench scale: scaled facts keep referential structure; q64 runs") {
+    val s = spark.newSession()
+    TpcdsGen.register(s, 3)
+    // fact streams grew ×3, dimensions did not
+    assert(s.sql("SELECT count(*) FROM store_sales")
+      .collect().head.getLong(0) == 180000L)
+    assert(s.sql("SELECT count(*) FROM item")
+      .collect().head.getLong(0) == 1000L)
+    // every store_return still references exactly one sale line: the
+    // (ticket, item, customer) join that q50-class queries rely on must
+    // stay 1:1 after the scaleRefs modulus rewrite
+    val sr = s.sql("SELECT count(*) FROM store_returns")
+      .collect().head.getLong(0)
+    val joined = s.sql(
+      """SELECT count(*) FROM store_returns sr JOIN store_sales ss
+        |  ON sr.sr_ticket_number = ss.ss_ticket_number
+        | AND sr.sr_item_sk = ss.ss_item_sk
+        | AND coalesce(sr.sr_customer_sk, -1) = coalesce(ss.ss_customer_sk, -1)
+        |""".stripMargin).collect().head.getLong(0)
+    assert(sr == 18000L && joined == sr, s"$joined of $sr returns joined")
+    // catalog echo rows mirror a real store line's customer+item
+    val echo = s.sql(
+      """SELECT count(*) FROM catalog_sales cs JOIN store_sales ss
+        |  ON cs.cs_item_sk = ss.ss_item_sk
+        | AND coalesce(cs.cs_bill_customer_sk, -1) =
+        |     coalesce(ss.ss_customer_sk, -1)
+        | WHERE cs.cs_sold_date_sk % 5 IS NOT NULL AND cs.cs_item_sk IS NOT NULL
+        |""".stripMargin).collect().head.getLong(0)
+    assert(echo > 0)
+    // the bench entry itself executes end-to-end at a small multiplier
+    assert(Tpcds.benchQ(64, 2).run(spark, "").limit(1).count() >= 0)
+  }
+
   test("q51 cumulative maxima are monotone per item") {
     import org.apache.spark.sql.functions._
     val df = results("tpcds_q51")
