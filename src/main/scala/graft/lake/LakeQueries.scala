@@ -763,9 +763,83 @@ object LakeQueries {
       q
   }
 
+  /** Star-join MV rewriting ([[JoinMaterializedView]] + [[MvRewrite]]'s
+    * join path): lake fact (orders slice) ⋈ dim (customer segment), view
+    * grouped by the DIM attribute with COUNT/SUM/MAX of fact cents. Fact
+    * DML runs, then the same star-join aggregate is asked twice: while
+    * STALE the run `require`s the plan does NOT touch the view (fallback
+    * pinned), after `refresh()` it `require`s the view scan answers it —
+    * so the rows the driver hashes are view-answered. The DuckDB oracle
+    * recomputes the aggregate from first principles over the simulated
+    * final fact joined to the dim. */
+  val mvJoinRewrite: Q = Q(
+    "lake_mv_join_rewrite",
+    """WITH fact AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |final AS (SELECT * FROM fact WHERE o_orderkey % 5 <> 0),
+      |dim AS (SELECT c_custkey, c_mktsegment FROM customer)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM final JOIN dim ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-mvj-${UUID.randomUUID()}")
+      .toString
+    val srcFact = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val fact = LakeDataset.create(s, s"$root/fact", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("cents", LongType))))
+    fact.append(srcFact.coalesce(2))
+    val dim = LakeDataset.create(s, s"$root/dim", StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType))))
+    dim.append(Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment")).coalesce(1))
+    val jmv = JoinMaterializedView.create(s, fact,
+      Seq(MvDim(dim.root, "o_custkey", "c_custkey", Seq("c_mktsegment"))),
+      s"$root/view", keys = Seq("c_mktsegment"), sumCols = Seq("cents"),
+      maxCols = Seq("cents"))
+    MvRewrite.registerJoin(s, jmv.view.root)
+    try {
+      fact.delete("o_orderkey % 5 = 0")
+      def star(): org.apache.spark.sql.DataFrame = {
+        val f = s.read.format("lake").load(fact.root)
+        val d = s.read.format("lake").load(dim.root)
+        f.join(d, f("o_custkey") === d("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            max("cents").as("max_cents"))
+          .orderBy("c_mktsegment")
+      }
+      def scansView(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if r.relation.table.name.contains(jmv.view.root) => r
+        }.nonEmpty
+      require(!scansView(star()),
+        "a STALE join view must never answer the star aggregate")
+      val stats = jmv.refresh()
+      require(stats.removedGroups >= 0L,
+        "a fact-only window must fold incrementally, not rebuild")
+      val q = star()
+      require(scansView(q),
+        "the fresh star-join aggregate must be answered by the join view")
+      q
+    } finally MvRewrite.unregister(s, jmv.view.root)
+  }
+
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
       catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
       spatialKnn, spatialRange, branchDemo, constraintDemo, mvIncremental,
-      mvRewrite, mvRollup)
+      mvRewrite, mvRollup, mvJoinRewrite)
 }

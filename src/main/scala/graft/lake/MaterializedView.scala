@@ -71,8 +71,29 @@ final class MaterializedView private (
     val from = baseVersion
     val to = base.version
     if (from == to) return MvRefreshStats(from, to, 0L, 0L)
+    foldDelta(base.changes(from, to), base.read(), view, keys,
+      sumCols, maxCols, minCols, Map(PropBaseVersion -> to.toString),
+      from, to)
+  }
+}
 
-    val feed = base.changes(from, to)
+object MaterializedView {
+
+  /** Shared signed-delta fold — the algebraic-aggregate maintenance core
+    * used by both the single-table view and [[JoinMaterializedView]].
+    * `feed` is a CDF-shaped frame (view input columns + `_change_type`);
+    * `full` lazily recomputes MAX/MIN source rows for groups that lost
+    * rows (only evaluated when such groups exist). The `cursor` props ride
+    * in the same manifest swap as the merged state: a crash can never
+    * leave data applied with the cursor behind (which would double-apply
+    * the window on replay) or vice versa. Net-empty windows (pure layout
+    * churn) advance the cursor with a metadata-only commit. Concurrent
+    * refreshes of one view are a single-writer contract, as with the
+    * streaming sinks. */
+  private[lake] def foldDelta(feed: DataFrame, full: => DataFrame,
+      view: LakeDataset, keys: Seq[String], sumCols: Seq[String],
+      maxCols: Seq[String], minCols: Seq[String],
+      cursor: Map[String, String], from: Long, to: Long): MvRefreshStats = {
     val signed = feed.withColumn("_sign",
       when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
         .otherwise(lit(-1L)))
@@ -88,8 +109,8 @@ final class MaterializedView private (
       .agg(deltaAggs.head, deltaAggs.tail: _*)
 
     // Groups that lost rows: MAX/MIN may have moved — recompute those
-    // groups (and only those) from the base. Semi-join keeps the scan
-    // prunable by zonemaps/partitioning.
+    // groups (and only those) from the full input. Semi-join keeps the
+    // scan prunable by zonemaps/partitioning.
     val extremeNames =
       maxCols.map(c => (s"_r_max_$c", s"_d_max_$c", max(col(c)))) ++
         minCols.map(c => (s"_r_min_$c", s"_d_min_$c", min(col(c))))
@@ -101,7 +122,7 @@ final class MaterializedView private (
       } else {
         val dirty = delta.filter(col("_d_removed")).select(keys.map(col): _*)
         val reAggs = extremeNames.map { case (r, _, agg) => agg.as(r) }
-        val recomputed = base.read()
+        val recomputed = full
           .join(dirty, keys, "left_semi")
           .groupBy(keys.map(col): _*)
           .agg(reAggs.head, reAggs.tail: _*)
@@ -124,13 +145,6 @@ final class MaterializedView private (
               .otherwise(least(col(s"min_$c"), col(s"_d_min_$c")))
               .as(s"min_$c")): _*)
 
-    // The cursor rides in the SAME manifest swap as the merged state
-    // (mergeInsert extraProps): a crash can never leave data applied with
-    // the cursor behind (which would double-apply the window on replay)
-    // or vice versa. Net-empty windows (pure layout churn) advance the
-    // cursor with a metadata-only commit. Concurrent refreshes of one
-    // view are a single-writer contract, as with the streaming sinks.
-    val cursor = Map(PropBaseVersion -> to.toString)
     if (merged.isEmpty) {
       view.setProperties(cursor)
       return MvRefreshStats(from, to, 0L, 0L)
@@ -142,9 +156,7 @@ final class MaterializedView private (
     val removed = view.delete("mv_cnt <= 0")
     MvRefreshStats(from, to, matched + inserted, removed)
   }
-}
 
-object MaterializedView {
   val PropBaseVersion = "mv.base.version"
   val PropBasePath = "mv.base.path"
   val PropKeys = "mv.keys"

@@ -5,7 +5,8 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.types.DoubleType
@@ -47,10 +48,30 @@ object MvRewrite extends Rule[LogicalPlan] {
       baseNorm: String, keys: Set[String], sumCols: Set[String],
       maxCols: Set[String], minCols: Set[String])
 
+  /** A registered star-join view ([[JoinMaterializedView]]):
+    * @param tables  normalized roots of fact + every dim (set equality
+    *                against the query's scan set is the match gate)
+    * @param joinPairs declared equi-join pairs as unordered
+    *                `Set((norm, col), (norm, col))` — each query conjunct
+    *                must hit one, and all must be hit
+    * @param keyOf   (table norm, column name) → view column, for grouping
+    *                and filter re-sourcing
+    * @param sumCols/maxCols/minCols measure columns BY (fact norm, name) */
+  final case class JoinViewDef(viewRoot: String, factNorm: String,
+      tables: Set[String],
+      joinPairs: Seq[Set[(String, String)]],
+      keyOf: Map[(String, String), String],
+      sumCols: Set[(String, String)], maxCols: Set[(String, String)],
+      minCols: Set[(String, String)])
+
   // baseNorm -> rewrite candidates for that base, narrowest key set
   // first (so a query grouping on a subset is answered from the smallest
   // covering view). Re-registering a view root replaces its entry.
   private val registry = new ConcurrentHashMap[String, List[ViewDef]]()
+
+  // fact norm -> join-view candidates whose fact it is
+  private val joinRegistry =
+    new ConcurrentHashMap[String, List[JoinViewDef]]()
 
   /** Register a view for rewriting and enable the rule in the session. */
   def register(spark: SparkSession, viewRoot: String): ViewDef = {
@@ -64,9 +85,47 @@ object MvRewrite extends Rule[LogicalPlan] {
     d
   }
 
+  /** Register a star-join view for rewriting. The definition (fact, dims,
+    * join pairs, exposed keys, measures) comes from the view's own
+    * properties via [[JoinMaterializedView.open]]. */
+  def registerJoin(spark: SparkSession, viewRoot: String): JoinViewDef = {
+    val jmv = JoinMaterializedView.open(spark, viewRoot)
+    val factNorm = norm(jmv.fact.root)
+    val factCols = jmv.fact.read().columns.toSet
+    val dimsN = jmv.dims.map { case (d, ds) => (d, norm(ds.root)) }
+    val keyOf = jmv.keys.map { k =>
+      val src: (String, String) =
+        if (factCols.contains(k)) (factNorm, k)
+        else dimsN.collectFirst {
+          case (d, n) if d.expose.contains(k) => (n, k)
+        }.getOrElse(throw new IllegalArgumentException(
+          s"view key $k is neither a fact column nor an exposed dim column"))
+      src -> k
+    }.toMap
+    val d = JoinViewDef(
+      viewRoot = viewRoot,
+      factNorm = factNorm,
+      tables = (factNorm +: dimsN.map(_._2)).toSet,
+      joinPairs = dimsN.map { case (dm, n) =>
+        Set((factNorm, dm.factCol), (n, dm.dimCol)) },
+      keyOf = keyOf,
+      sumCols = jmv.sumCols.map(c => (factNorm, c)).toSet,
+      maxCols = jmv.maxCols.map(c => (factNorm, c)).toSet,
+      minCols = jmv.minCols.map(c => (factNorm, c)).toSet)
+    require(d.tables.size == dimsN.size + 1,
+      "fact and dim roots must be distinct for join matching")
+    joinRegistry.merge(factNorm, List(d), (old, add) =>
+      (add ::: old.filterNot(_.viewRoot == d.viewRoot))
+        .sortBy(_.keyOf.size))
+    enable(spark)
+    d
+  }
+
   def unregister(spark: SparkSession, viewRoot: String): Unit = {
     registry.replaceAll((_, ds) => ds.filterNot(_.viewRoot == viewRoot))
     registry.entrySet().removeIf(_.getValue.isEmpty)
+    joinRegistry.replaceAll((_, ds) => ds.filterNot(_.viewRoot == viewRoot))
+    joinRegistry.entrySet().removeIf(_.getValue.isEmpty)
   }
 
   /** Idempotently add this rule to the session's extra optimizations. */
@@ -80,11 +139,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     new org.apache.hadoop.fs.Path(p).toUri.toString.stripSuffix("/")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    if (registry.isEmpty && joinRegistry.isEmpty) return plan
     plan.transformUp {
       case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
         tryRewriteExpand(agg, agg.child.asInstanceOf[Expand]).getOrElse(agg)
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
     }
   }
 
@@ -101,11 +161,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Rewrite candidates for this scan, narrowest key set first; None when
-    * the scan is not a plain latest-version batch read of a registered
-    * base. */
-  private def candidates(rel: DataSourceV2ScanRelation)
-      : Option[List[ViewDef]] = {
+  /** Normalized root of a PLAIN latest-version lake batch scan; None for
+    * anything pinned (time travel / branch / change feed / rowid — their
+    * results differ from any view snapshot by construction). */
+  private def lakeRoot(rel: DataSourceV2ScanRelation): Option[String] = {
     val root = rel.relation.table match {
       // the table carries its own read options (catalog time travel lands
       // there, not on the relation), so the pinned check covers both doors
@@ -115,8 +174,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     val opts = rel.relation.options
     if (Seq("changesFrom", "versionAsOf", "tag", "branch", "rowid")
         .exists(opts.containsKey)) return None
-    Option(registry.get(root))
+    Some(root)
   }
+
+  /** Rewrite candidates for this scan, narrowest key set first; None when
+    * the scan is not a plain latest-version batch read of a registered
+    * base. */
+  private def candidates(rel: DataSourceV2ScanRelation)
+      : Option[List[ViewDef]] =
+    lakeRoot(rel).flatMap(r => Option(registry.get(r)))
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] =
     for {
@@ -323,6 +389,187 @@ object MvRewrite extends Rule[LogicalPlan] {
     val newExpand = Expand(newRows, newOut, newProject)
     Some(Aggregate(
       agg.groupingExpressions, newAggs.map(_.get), newExpand))
+  }
+
+  // ------------------------------------------------------ star-join views
+
+  /** Flatten an inner-join tree down to (filters, join conditions, scans);
+    * attribute-only Projects are transparent, anything else aborts. */
+  private def flattenJoin(p: LogicalPlan): Option[(List[Expression],
+      List[Expression], List[DataSourceV2ScanRelation])] = p match {
+    case Join(l, r, Inner, cond, _) =>
+      for {
+        (fl, jl, sl) <- flattenJoin(l)
+        (fr, jr, sr) <- flattenJoin(r)
+      } yield (fl ++ fr, cond.toList ++ jl ++ jr, sl ++ sr)
+    case Filter(c, child) =>
+      flattenJoin(child).map { case (f, j, s) => (c :: f, j, s) }
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      flattenJoin(child)
+    case r: DataSourceV2ScanRelation => Some((Nil, Nil, List(r)))
+    case _ => None
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** Aggregate over an inner-join tree of lake scans → answered from a
+    * registered star-join view when the scan set, the equi-join pairs,
+    * the grouping/filter columns and every aggregate all match the view
+    * definition (Goldstein & Larson §3's SPJG containment, specialized to
+    * exact star-shape match). */
+  private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
+    if (joinRegistry.isEmpty) return None
+    for {
+      (filters, joinConds, scans) <- flattenJoin(agg.child)
+      if scans.size >= 2
+      roots <- {
+        val rs = scans.map(lakeRoot)
+        if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+      }
+      // every table exactly once (self-joins don't match a star view)
+      if roots.distinct.size == roots.size
+      cands <- roots.iterator.flatMap(r => Option(joinRegistry.get(r)))
+        .nextOption()
+      res <- cands.iterator
+        .filter(_.tables == roots.toSet)
+        .flatMap(d =>
+          rewriteJoinWith(agg, filters, joinConds, scans, roots, d))
+        .nextOption()
+    } yield res
+  }
+
+  /** Freshness gate for a join view: fact cursor == fact head AND every
+    * dim version vector entry == that dim's head. Metadata-only. */
+  private def freshJoinViewRel(d: JoinViewDef)
+      : Option[DataSourceV2ScanRelation] = {
+    val spark = SparkSession.active
+    scala.util.Try {
+      val jmv = JoinMaterializedView.open(spark, d.viewRoot)
+      val current = jmv.factVersion == jmv.fact.version &&
+        jmv.dimVersions == jmv.dims.map(_._2.version)
+      if (current) viewScanRelation(spark, d.viewRoot) else None
+    }.toOption.flatten
+  }
+
+  private def rewriteJoinWith(agg: Aggregate, filters: List[Expression],
+      joinConds: List[Expression], scans: List[DataSourceV2ScanRelation],
+      roots: List[String], d: JoinViewDef): Option[Aggregate] = {
+    // (exprId → (table norm, column name)) across every scan in the tree
+    val srcOf: Map[ExprId, (String, String)] =
+      scans.zip(roots).flatMap { case (s, r) =>
+        s.output.map(a => a.exprId -> ((r, a.name)))
+      }.toMap
+
+    // Join conditions: each conjunct must be an equality on exactly one
+    // declared pair; all declared pairs must be hit (every dim joined the
+    // way the view joined it), and nothing else may hide in the ON.
+    val conjs = joinConds.flatMap(splitConj)
+    val matched = scala.collection.mutable.Set.empty[Int]
+    conjs.foreach {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val pair = Set(srcOf.getOrElse(a.exprId, return None),
+          srcOf.getOrElse(b.exprId, return None))
+        val idx = d.joinPairs.indexOf(pair)
+        if (idx < 0) return None
+        matched += idx
+      case _ => return None
+    }
+    if (matched.size != d.joinPairs.size) return None
+
+    val viewRel = freshJoinViewRel(d).getOrElse(return None)
+    val viewAttr = viewRel.output.map(a => a.name -> a).toMap
+
+    def keyAttr(a: AttributeReference): Option[AttributeReference] =
+      srcOf.get(a.exprId).flatMap(d.keyOf.get).flatMap(viewAttr.get)
+
+    def sumOf(name: String): Option[Expression] =
+      viewAttr.get(name).map(v => Sum(v).toAggregateExpression())
+
+    def measure(a: AttributeReference,
+        set: Set[(String, String)]): Option[String] =
+      srcOf.get(a.exprId).filter(set.contains).map(_._2)
+
+    def translateAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+          sumOf("mv_cnt").map(s => Coalesce(Seq(s, Literal(0L))))
+        case s: Sum => s.child match {
+          case a: AttributeReference =>
+            measure(a, d.sumCols).flatMap(n => sumOf(s"sum_$n"))
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference =>
+            measure(a, d.maxCols).flatMap(n => viewAttr.get(s"max_$n"))
+              .map(v => Max(v).toAggregateExpression())
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference =>
+            measure(a, d.minCols).flatMap(n => viewAttr.get(s"min_$n"))
+              .map(v => Min(v).toAggregateExpression())
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference if !a.nullable =>
+            measure(a, d.sumCols).flatMap { n =>
+              for { s <- sumOf(s"sum_$n"); c <- sumOf("mv_cnt") }
+                yield Divide(Cast(s, DoubleType), Cast(c, DoubleType))
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    def translate(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => translateAgg(ae)
+      case a: AttributeReference => keyAttr(a)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(translate)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    // Residual filters: key predicates re-source to the view; bare
+    // IsNotNull on a join column is IMPLIED by the view's inner join
+    // (null-keyed rows never entered the view) and drops — Spark's
+    // InferFiltersFromConstraints plants exactly these under inner joins.
+    val joinCols: Set[(String, String)] = d.joinPairs.flatten.toSet
+    val residual = filters.flatMap(splitConj).flatMap {
+      case IsNotNull(a: AttributeReference)
+          if srcOf.get(a.exprId).exists(joinCols.contains) => None
+      case f => Some(translate(f).getOrElse(return None))
+    }
+
+    val newGroups = agg.groupingExpressions.map(translate)
+    if (newGroups.exists(_.isEmpty)) return None
+    val newAggs = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        keyAttr(a).map(v =>
+          Alias(v, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+      case al @ Alias(child, name) =>
+        translate(child).map(nc =>
+          Alias(nc, name)(exprId = al.exprId, qualifier = al.qualifier))
+      case _ => None
+    }
+    if (newAggs.exists(_.isEmpty)) return None
+    val sameTypes = newAggs.map(_.get).zip(agg.aggregateExpressions)
+      .forall { case (n, o) => n.dataType == o.dataType }
+    if (!sameTypes) return None
+
+    val newChild: LogicalPlan = residual match {
+      case Nil => viewRel
+      case cs => Filter(cs.reduce(And), viewRel)
+    }
+    Some(Aggregate(newGroups.map(_.get), newAggs.map(_.get), newChild))
   }
 
   private def rewriteWith(agg: Aggregate, cond: Option[Expression],
