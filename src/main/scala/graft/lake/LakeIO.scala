@@ -53,6 +53,33 @@ trait LakeIO {
   def publishAtomic(target: Path, content: String): Unit
 }
 
+/** Store-native atomic create-if-absent PUT — the commit primitive real
+  * object stores expose (S3 `If-None-Match: *` conditional PUT, GCS
+  * `ifGenerationMatch=0`, Azure Blob `If-None-Match: *`); the reference
+  * binds these as its s3/gs/az commit handlers (storage2/s3_commit.go,
+  * store_factory.go). Register one per scheme and [[HadoopLakeIO]] commits
+  * through it EXCLUSIVELY: one atomic call, no temp file, no rename, no
+  * exists pre-check — the loser of a concurrent publish gets `false` from
+  * the store itself, never from a racy check-then-act. */
+trait ConditionalPutStore {
+  /** Atomically create `target` with `content` iff absent. True = won. */
+  def putIfAbsent(target: Path, content: String): Boolean
+}
+
+object ConditionalPutStore {
+  private val bySheme =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalPutStore]()
+
+  /** Bind a store's conditional-PUT primitive to a filesystem scheme. */
+  def register(scheme: String, store: ConditionalPutStore): Unit =
+    bySheme.put(scheme, store): Unit
+
+  def unregister(scheme: String): Unit = bySheme.remove(scheme): Unit
+
+  def forScheme(scheme: String): Option[ConditionalPutStore] =
+    Option(bySheme.get(scheme))
+}
+
 object LakeIO {
   /** Pick the implementation from the root's scheme: URIs go through
     * Hadoop-FS, bare paths keep the java.nio fast path. When no explicit
@@ -180,13 +207,21 @@ final class HadoopLakeIO(conf: Configuration) extends LakeIO {
   }
   def absolute(p: Path): Path = fs(p).makeQualified(p)
 
-  /** Local scheme keeps the truly-atomic hard-link; everything else uses
-    * write-temp + rename-if-absent (the reference's s3_commit.go analogue:
-    * on a store with conditional PUT, this maps to If-None-Match). */
+  /** Local scheme keeps the truly-atomic hard-link; a scheme with a
+    * registered [[ConditionalPutStore]] commits through the store's own
+    * create-if-absent PUT (no temp file, no rename — s3_commit.go parity,
+    * contract-tested by ConditionalPutLakeSpec's rename-refusing fake
+    * store); everything else falls back to write-temp + rename-if-absent
+    * (correct on HDFS, best-effort on stores without either primitive). */
   def publishAtomic(target: Path, content: String): Unit = {
     val f = fs(target)
     if (f.getScheme == "file") NioLakeIO.publishAtomic(target, content)
-    else {
+    else ConditionalPutStore.forScheme(f.getScheme) match {
+      case Some(store) =>
+        if (!store.putIfAbsent(target, content))
+          throw new CommitConflictException(
+            s"${target.getName} was committed concurrently")
+      case None => {
       val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
       writeString(tmp, content)
       val won =
@@ -196,6 +231,7 @@ final class HadoopLakeIO(conf: Configuration) extends LakeIO {
         f.delete(tmp, false)
         throw new CommitConflictException(
           s"${target.getName} was committed concurrently")
+      }
       }
     }
   }

@@ -11,9 +11,9 @@ import org.apache.hadoop.fs.RawLocalFileSystem
   * assumption leaks through the lake's path handling: qualification,
   * authority round-tripping, executor-side fragment IO via Spark, and
   * HadoopLakeIO's generic (rename-if-absent, non-hard-link) publish
-  * branch — the same code path an hdfs:// or s3a:// root would take.
-  * (Conditional-PUT semantics of real object stores remain an
-  * environmental IOU; see VERDICT r5 "What's missing" #1.) */
+  * branch — the code path an hdfs:// root takes. (Object-store
+  * conditional-PUT commits are contract-tested separately by
+  * [[ConditionalPutLakeSpec]] over a rename-refusing fake store.) */
 class GraftTestFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "graftfs"
   override def getUri: URI = GraftTestFileSystem.NAME
