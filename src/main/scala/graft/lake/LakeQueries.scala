@@ -310,12 +310,33 @@ object LakeQueries {
              |ORDER BY n_nationkey""".stripMargin)
   }
 
-  /** Z-order layout demonstration: seed a scratch dataset from `lineitem`
-    * (two independent key columns), rewrite with
-    * [[LakeDataset.optimizeLayoutZOrder]], and report fragment counts +
-    * files scanned per predicate class. Rows-only driver check; the
-    * pruning guarantees are pinned by ZOrderSpec. */
-  val zorderPrune: Q = Q.noOracle("lake_zorder_prune") { (s, dir) =>
+  /** Z-order layout: seed a scratch dataset from `lineitem` (two
+    * independent key columns), rewrite with
+    * [[LakeDataset.optimizeLayoutZOrder]], and return the PRUNED SCANS'
+    * results — count and quantity sum per predicate class — which the
+    * DuckDB oracle recomputes from first principles (pruning must never
+    * change answers). The pruning guarantees themselves are in-run
+    * `require`s (the lake_mv_join_rewrite precedent): BOTH single-column
+    * predicates must skip at least half the fragments — a lexicographic
+    * sort serves only its leading column and fails the second bound —
+    * with exact layout counts unportable by construction (approxQuantile
+    * cuts + RangePartitioner sampling are Spark-internal). ZOrderSpec
+    * pins the stronger scale guarantees. */
+  val zorderPrune: Q = Q(
+    "lake_zorder_prune",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey < 1500)
+      |SELECT
+      |  (SELECT count(*) FROM li) AS n_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM li WHERE l_orderkey < 100)
+      |    AS cnt_ok,
+      |  (SELECT CAST(sum(qty) AS BIGINT) FROM li WHERE l_orderkey < 100)
+      |    AS qty_ok,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM li WHERE l_partkey < 100)
+      |    AS cnt_pk,
+      |  (SELECT CAST(sum(qty) AS BIGINT) FROM li WHERE l_partkey < 100)
+      |    AS qty_pk""".stripMargin) { (s, dir) =>
     val root = Files.createTempDirectory(s"lake-zorder-${UUID.randomUUID()}")
       .toString
     // bounded deterministic corpus (the PQ-demo precedent): the demo
@@ -323,20 +344,37 @@ object LakeQueries {
     // fixed cost regardless of SF; scale guarantees are ZOrderSpec's job
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_orderkey") < 1500)
-      .select("l_orderkey", "l_partkey", "l_quantity")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
     val ds = LakeDataset.create(s, root, li.schema)
     ds.append(li.coalesce(4))
     val rows = ds.read().count()
     ds.optimizeLayoutZOrder(Seq("l_orderkey", "l_partkey"),
       targetRows = math.max(256, rows / 16))
     val n = ds.manifest.fragments.size
+    val byOk = ds.prunedFileCount("l_orderkey < 100")
+    val byPk = ds.prunedFileCount("l_partkey < 100")
+    // Both single-column predicates must prune (measured at sf0.01:
+    // 10/17 and 8/17 scanned — Morton intervals are unaligned, so the
+    // per-fragment x/y extent is up to 2·sqrt(interval) ranks wide; the
+    // bound is 4/5 with that headroom). A lexicographic layout scans ALL
+    // fragments for the second column and fails the byPk bound.
+    require(n >= 8, s"z-rewrite must split the corpus ($n fragments)")
+    require(byOk * 5 <= n * 4,
+      s"orderkey predicate must skip >= 1/5 of the fragments ($byOk of $n)")
+    require(byPk * 5 <= n * 4,
+      s"partkey predicate must skip >= 1/5 of the fragments ($byPk of $n) " +
+        "— a lexicographic layout fails exactly this bound")
+    def stats(pred: String): (Long, Long) = {
+      val r = ds.scanner().withFilter(pred).build()
+        .agg(count(lit(1)), sum("qty")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (cntOk, qtyOk) = stats("l_orderkey < 100")
+    val (cntPk, qtyPk) = stats("l_partkey < 100")
     import s.implicits._
-    Seq((rows, n,
-      ds.prunedFileCount("l_orderkey < 100"),
-      ds.prunedFileCount("l_partkey < 100"),
-      ds.read().count()))
-      .toDF("n_rows", "n_fragments", "scanned_by_orderkey",
-        "scanned_by_partkey", "n_rows_after")
+    Seq((rows, cntOk, qtyOk, cntPk, qtyPk))
+      .toDF("n_rows", "cnt_ok", "qty_ok", "cnt_pk", "qty_pk")
   }
 
   /** Change data feed through the public API: seed a lake table from
