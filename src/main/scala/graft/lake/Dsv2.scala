@@ -625,6 +625,12 @@ private[lake] object LakeFilters {
     case LessThanOrEqual(a, v) => lit(v).map(r => s"`$a` <= $r")
     case IsNull(a) => Some(s"`$a` IS NULL")
     case IsNotNull(a) => Some(s"`$a` IS NOT NULL")
+    // point-lookup IN lists push so the value-set/bloom equality arsenal
+    // prunes per value (index_selector's equality arm per disjunct)
+    case In(a, vs) if vs.nonEmpty =>
+      val rs = vs.toSeq.map(lit)
+      if (rs.exists(_.isEmpty)) None
+      else Some(s"`$a` IN (${rs.flatten.mkString(", ")})")
     case And(l, r) =>
       for { ls <- toSql(l); rs <- toSql(r) } yield s"($ls AND $rs)"
     case _ => None

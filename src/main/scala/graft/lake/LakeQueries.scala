@@ -377,6 +377,56 @@ object LakeQueries {
       .toDF("n_rows", "cnt_ok", "qty_ok", "cnt_pk", "qty_pk")
   }
 
+  /** Low-cardinality point lookup via the value-set (bitmap-style) index
+    * (reference bitmap_index.go / index_selector.go): seed a lake table
+    * from `part` hash-clustered on the 25-value `p_brand`, declare the
+    * value-set index, and run an eq/IN lookup. In-run requires pin the
+    * fast path at BOTH doors: `prunedFileCount` opens EXACTLY the
+    * fragments whose complete value set contains the probed value(s)
+    * (hash clustering leaves every fragment's zonemap [min,max] spanning
+    * most of the brand range, so zonemaps alone cannot do this), a
+    * lexically-in-range-but-absent value opens ZERO files, and the DSv2
+    * SQL door reports the same scanned count via lastScan. The DuckDB
+    * oracle recomputes the lookup's aggregate from the source parquet. */
+  val pointLookup: Q = Q(
+    "lake_pointlookup",
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p_size) AS BIGINT) AS sum_size
+      |FROM part WHERE p_brand IN ('Brand#13', 'Brand#22')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-pl-${UUID.randomUUID()}")
+      .toString
+    val src = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("long").as("p_size"))
+    val ds = LakeDataset.create(s, root, src.schema)
+    ds.append(src.repartition(6, col("p_brand")))
+    ds.enableValueSetIndex(Seq("p_brand"), maxDistinct = 32)
+    val fid = ds.manifest.fields.find(_.name == "p_brand").get.id.toString
+    val total = ds.manifest.fragments.size
+    def holding(brands: String*): Int = ds.manifest.fragments.count(
+      _.valueSets.get(fid).exists(vs => brands.exists(vs.contains)))
+    val opened13 = ds.prunedFileCount("p_brand = 'Brand#13'")
+    require(opened13 == holding("Brand#13") && opened13 < total,
+      s"point lookup must open exactly the value-holding fragments " +
+        s"($opened13 vs ${holding("Brand#13")} of $total)")
+    // bitmap beats zonemap: 'Brand#199' sorts inside [Brand#1, Brand#9]
+    // ranges but exists nowhere — membership prunes to zero files
+    require(ds.prunedFileCount("p_brand = 'Brand#199'") == 0,
+      "absent in-range value must open zero files")
+    val q = s.read.format("lake").load(root)
+      .filter(col("p_brand").isin("Brand#13", "Brand#22"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("p_size").as("sum_size"))
+      .orderBy("p_brand")
+    q.collect() // force the scan so the DSv2 door records its pruning
+    val (scanned, tot) = LakeDataSource.lastScan(root).getOrElse((-1, -1))
+    require(tot == total && scanned == holding("Brand#13", "Brand#22"),
+      s"DSv2 IN-lookup must open exactly the holding fragments " +
+        s"($scanned of $tot vs ${holding("Brand#13", "Brand#22")})")
+    q
+  }
+
   /** Change data feed through the public API: seed a lake table from
     * `nation`, run a deterministic delete → update → append sequence, and
     * net the row-level changes between the loaded and final versions. The
@@ -877,7 +927,7 @@ object LakeQueries {
 
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
-      catalogRead, sqlDml, sqlDmlMor, zorderPrune, changeFeed, aggPushdown,
-      spatialKnn, spatialRange, branchDemo, constraintDemo, mvIncremental,
-      mvRewrite, mvRollup, mvJoinRewrite)
+      catalogRead, sqlDml, sqlDmlMor, zorderPrune, pointLookup, changeFeed,
+      aggPushdown, spatialKnn, spatialRange, branchDemo, constraintDemo,
+      mvIncremental, mvRewrite, mvRollup, mvJoinRewrite)
 }

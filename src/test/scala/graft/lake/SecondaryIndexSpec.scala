@@ -60,6 +60,27 @@ class SecondaryIndexSpec extends SparkTestBase {
     assert(ds.prunedFileCount("category = 'cat-9'") == 1)
   }
 
+  test("DSv2 point lookup opens <= the value-holding fragments") {
+    val root = tmpDir()
+    val ds = makeDs(root)
+    ds.enableValueSetIndex(Seq("category"))
+    val fid = ds.manifest.fields.find(_.name == "category").get.id.toString
+    def holding(v: String): Int = ds.manifest.fragments.count(
+      _.valueSets.get(fid).exists(_.contains(v)))
+    // the SQL door: filter pushes into the DSv2 scan, which must report
+    // exactly the membership-matching fragment count via lastScan
+    val q = spark.read.format("lake").load(root)
+      .filter("category = 'cat-3'")
+    assert(q.count() == 150)
+    val (scanned, total) = LakeDataSource.lastScan(root).get
+    assert(total == 3 && scanned == holding("cat-3") && scanned == 1,
+      s"scanned $scanned of $total, holding=${holding("cat-3")}")
+    // absent-but-in-range value: zero fragments through the same door
+    assert(spark.read.format("lake").load(root)
+      .filter("category = 'cat-10'").count() == 0)
+    assert(LakeDataSource.lastScan(root).get._1 == 0)
+  }
+
   test("high-cardinality fragments skip the value set (overflow)") {
     val root = tmpDir()
     val ds = makeDs(root)
