@@ -25,7 +25,8 @@ object DdlQueries {
       |  CAST(2.35 AS DOUBLE) AS total_price,
       |  (SELECT count(*) FROM region) AS n_copied,
       |  (SELECT count(*) FROM region) AS n_region,
-      |  CAST(3 AS BIGINT) AS n_exported""".stripMargin
+      |  CAST(3 AS BIGINT) AS n_exported,
+      |  CAST(2.35 AS DOUBLE) AS exported_total""".stripMargin
 
   val roundTrip: Q = Q("ddl_roundtrip", roundTripOracle) { (s, dir) =>
     val id = UUID.randomUUID().toString.replace("-", "").take(10)
@@ -51,14 +52,23 @@ object DdlQueries {
         s"$dir/region.parquet")
       Engine.copyTo(s.table(s"$db.items"), s"$loc/export", "csv",
         Map("header" -> "true"))
-      val exported = s.read.option("header", "true").csv(s"$loc/export").count()
+      // COPY TO fidelity is CONTENT-checked, not just row-counted: the
+      // re-read export must reproduce the price sum exactly
+      val back = s.read.option("header", "true").csv(s"$loc/export")
+      val exported = back.count()
+      val exportedTotal = back.agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("price").cast("double")))
+        .collect().head.getDouble(0)
       val nItems = s.table(s"$db.items").count()
       val total = s.table(s"$db.items").groupBy().sum("price")
         .collect().head.getDouble(0)
       val nRegion = s.table(s"$db.region_copy").count()
       import s.implicits._
-      Seq((nItems, math.round(total * 100) / 100.0, copied, nRegion, exported))
-        .toDF("n_items", "total_price", "n_copied", "n_region", "n_exported")
+      Seq((nItems, math.round(total * 100) / 100.0, copied, nRegion, exported,
+        math.round(exportedTotal * 100) / 100.0))
+        .toDF("n_items", "total_price", "n_copied", "n_region", "n_exported",
+          "exported_total")
     } finally {
       Engine.dropSchema(s, db)
       // dropSchema only removes managed tables; the export dir and the

@@ -427,6 +427,67 @@ object LakeQueries {
     q
   }
 
+  /** Compaction through the public API (reference compaction_*.go): seed
+    * a lake table as SIX one-file appends, plan groups, run the
+    * coordinator-style parallel compaction, and return the full content —
+    * which the DuckDB oracle restates from the source parquet, so the
+    * rewrite is value-checked (any dropped/duplicated/reordered-into-
+    * wrong-groups row hash-fails). In-run requires pin the physical
+    * effect: a non-empty plan, and a strictly smaller fragment count
+    * after. Rowid stability and race behavior stay in CompactionSpec. */
+  val compaction: Q = Q(
+    "lake_compaction",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-cpct-${UUID.randomUUID()}")
+      .toString
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val ds = LakeDataset.create(s, root, nation.schema)
+    (0 until 6).foreach { k =>
+      ds.append(nation.filter(col("n_nationkey") % 6 === k).coalesce(1))
+    }
+    val before = ds.manifest.fragments.size
+    val groups = ds.planCompaction(targetRows = 1000)
+    require(before == 6 && groups.nonEmpty,
+      s"expected 6 small fragments and a non-empty plan ($before, $groups)")
+    val compacted = ds.compactAll(targetRows = 1000, parallelism = 2)
+    val after = ds.manifest.fragments.size
+    require(compacted > 0 && after < before,
+      s"compaction must shrink the fragment count ($before -> $after)")
+    ds.read().select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  /** Schema evolution through the public API: add a column, fill it with
+    * DML, rename another, drop a third, and return the final table — the
+    * DuckDB oracle restates the end state from the source parquet
+    * (value-checked: a fill that misses rows, a rename that loses data,
+    * or a drop that shifts columns all hash-fail). The full matrix
+    * (type widening, clones, rowid stability) stays in
+    * SchemaEvolutionSpec. */
+  val schemaEvolution: Q = Q(
+    "lake_schema_evolution",
+    """SELECT n_nationkey, n_name AS nation_name,
+      |  CAST(n_regionkey * 10 AS BIGINT) AS score
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory(s"lake-sev-${UUID.randomUUID()}")
+      .toString
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val ds = LakeDataset.create(s, root, nation.schema)
+    ds.append(nation.coalesce(2))
+    ds.addColumns(StructType(Seq(StructField("score", LongType))))
+    ds.update("n_nationkey >= 0", Map("score" -> "n_regionkey * 10"))
+    ds.renameColumn("n_name", "nation_name")
+    ds.dropColumns(Seq("n_regionkey"))
+    require(ds.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "nation_name", "score"),
+      s"evolved schema mismatch: ${ds.schema.fieldNames.toSeq}")
+    ds.read().select("n_nationkey", "nation_name", "score")
+      .orderBy("n_nationkey")
+  }
+
   /** Change data feed through the public API: seed a lake table from
     * `nation`, run a deterministic delete → update → append sequence, and
     * net the row-level changes between the loaded and final versions. The
@@ -927,7 +988,8 @@ object LakeQueries {
 
   def all: Seq[Q] =
     Seq(versionedCrud, dsv2Read, ivfPq, ivfSq, ivfBq, ivfHnsw, hnswIdx,
-      catalogRead, sqlDml, sqlDmlMor, zorderPrune, pointLookup, changeFeed,
+      catalogRead, sqlDml, sqlDmlMor, zorderPrune, pointLookup, compaction,
+      schemaEvolution, changeFeed,
       aggPushdown, spatialKnn, spatialRange, branchDemo, constraintDemo,
       mvIncremental, mvRewrite, mvRollup, mvJoinRewrite)
 }

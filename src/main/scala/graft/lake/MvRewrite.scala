@@ -13,35 +13,47 @@ import org.apache.spark.sql.types.DoubleType
 
 /** Transparent materialized-view query rewriting: a Catalyst optimizer
   * rule that redirects matching grouped aggregates over a lake BASE table
-  * to a registered [[MaterializedView]] — the classic answering-queries-
-  * using-views rewrite (Goldstein & Larson, SIGMOD 2001), expressed as a
+  * — or a STAR JOIN of lake tables — to a registered view
+  * ([[MaterializedView]] / [[JoinMaterializedView]]): the classic
+  * answering-queries-using-views rewrite (Goldstein & Larson, SIGMOD
+  * 2001; §3 covers the SPJG view class), expressed as a
   * `Rule[LogicalPlan]` so any query — DataFrame or SQL — benefits without
   * the author knowing the view exists.
   *
   * A rewrite fires only when ALL of:
-  *   - the aggregate's child is a plain latest-version lake batch scan of
+  *   - the aggregate's input is a plain latest-version lake batch scan of
   *     a registered base (no time travel / branch / change feed — their
-  *     results differ from the view's snapshot by construction);
+  *     results differ from the view's snapshot by construction), or, for
+  *     join views, an inner-join tree over exactly the registered fact +
+  *     dim scans whose equi-join conjuncts hit exactly the declared pairs;
   *   - the view is CURRENT: its refresh cursor equals the base's head
-  *     version (a stale view never answers; the check is metadata-only);
+  *     version (and, for join views, every dim's recorded version equals
+  *     that dim's head — a stale view never answers; metadata-only);
   *   - grouping expressions reference only view key columns (full key
   *     set, any subset, or derived expressions of keys — every view row
   *     is constant in all keys, so re-aggregation to any coarser grouping
   *     is exact);
   *   - residual Filter conditions reference only key columns (key
-  *     predicates commute with the group-by: a view row's rows all share
-  *     its key values). The lake scan keeps every pushed filter residual
-  *     in the plan, so no predicate can hide inside the scan;
+  *     predicates commute with the group-by). Bare IsNotNull on a join
+  *     column is implied by the view's inner join and drops — Spark's
+  *     InferFiltersFromConstraints plants exactly these. The lake scan
+  *     keeps every pushed filter residual in the plan, so no predicate
+  *     can hide inside the scan;
   *   - every aggregate translates losslessly: `count(*)` → `sum(mv_cnt)`,
   *     `sum(c)` → `sum(sum_c)`, `max(c)` → `max(max_c)`, `min(c)` →
   *     `min(min_c)`, `avg(c)` → `sum(sum_c)/sum(mv_cnt)` (only for
   *     non-nullable `c`, where row count equals value count); no
   *     DISTINCT, no FILTER clauses.
   *
+  * ROLLUP / CUBE / GROUPING SETS rewrite too — over flat AND join views:
+  * the Expand machinery is kept, its input swapped for the groups-sized
+  * view ([[rewriteExpandWith]]).
+  *
   * At 100 TB this is the difference between a dashboard group-by reading
-  * the whole fact table and reading a groups-sized view kept current for
-  * CDF-delta cost — the scan swap happens in the optimizer, so pruning,
-  * AQE and codegen all apply to the rewritten plan unchanged. */
+  * the whole fact table (or re-running the star join) and reading a
+  * groups-sized view kept current for CDF-delta cost — the scan swap
+  * happens in the optimizer, so pruning, AQE and codegen all apply to the
+  * rewritten plan unchanged. */
 object MvRewrite extends Rule[LogicalPlan] {
 
   final case class ViewDef(viewRoot: String, basePath: String,
@@ -63,6 +75,29 @@ object MvRewrite extends Rule[LogicalPlan] {
       keyOf: Map[(String, String), String],
       sumCols: Set[(String, String)], maxCols: Set[(String, String)],
       minCols: Set[(String, String)])
+
+  /** Unified per-candidate translation context: how the query side's
+    * (table norm, column name) pairs resolve to the FRESH view's scan.
+    * Flat and join views both compile to this, so the aggregate / group /
+    * filter / Expand rewrites are written once. */
+  private final case class RewriteCtx(
+      viewRel: DataSourceV2ScanRelation,
+      srcOf: Map[ExprId, (String, String)],
+      keyOf: Map[(String, String), String],
+      sumCols: Set[(String, String)],
+      maxCols: Set[(String, String)],
+      minCols: Set[(String, String)],
+      joinCols: Set[(String, String)]) {
+    val viewAttr: Map[String, AttributeReference] =
+      viewRel.output.map(a => a.name -> a).toMap
+    def keyView(a: AttributeReference): Option[AttributeReference] =
+      srcOf.get(a.exprId).flatMap(keyOf.get).flatMap(viewAttr.get)
+    def measure(a: AttributeReference,
+        set: Set[(String, String)]): Option[String] =
+      srcOf.get(a.exprId).filter(set.contains).map(_._2)
+    def isJoinCol(a: AttributeReference): Boolean =
+      srcOf.get(a.exprId).exists(joinCols.contains)
+  }
 
   // baseNorm -> rewrite candidates for that base, narrowest key set
   // first (so a query grouping on a subset is answered from the smallest
@@ -148,6 +183,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  // -------------------------------------------------------- shape walkers
+
   /** Unwrap optional attribute-only Project / residual Filter down to the
     * base scan; anything else is not a shape we can reason about. */
   private def unwrap(plan: LogicalPlan)
@@ -160,238 +197,6 @@ object MvRewrite extends Rule[LogicalPlan] {
         if pl.forall(_.isInstanceOf[AttributeReference]) => Some((Some(c), r))
     case _ => None
   }
-
-  /** Normalized root of a PLAIN latest-version lake batch scan; None for
-    * anything pinned (time travel / branch / change feed / rowid — their
-    * results differ from any view snapshot by construction). */
-  private def lakeRoot(rel: DataSourceV2ScanRelation): Option[String] = {
-    val root = rel.relation.table match {
-      // the table carries its own read options (catalog time travel lands
-      // there, not on the relation), so the pinned check covers both doors
-      case lt: LakeTable if !lt.isPinnedHandle => norm(lt.rootPath)
-      case _ => return None
-    }
-    val opts = rel.relation.options
-    if (Seq("changesFrom", "versionAsOf", "tag", "branch", "rowid")
-        .exists(opts.containsKey)) return None
-    Some(root)
-  }
-
-  /** Rewrite candidates for this scan, narrowest key set first; None when
-    * the scan is not a plain latest-version batch read of a registered
-    * base. */
-  private def candidates(rel: DataSourceV2ScanRelation)
-      : Option[List[ViewDef]] =
-    lakeRoot(rel).flatMap(r => Option(registry.get(r)))
-
-  private def tryRewrite(agg: Aggregate): Option[Aggregate] =
-    for {
-      (cond, rel) <- unwrap(agg.child)
-      cands <- candidates(rel)
-      res <- cands.iterator.flatMap(d => rewriteWith(agg, cond, rel, d))
-        .nextOption()
-    } yield res
-
-  /** Freshness gate (metadata-only) + the view's scan relation: a stale
-    * view never answers. */
-  private def freshViewRel(d: ViewDef): Option[DataSourceV2ScanRelation] = {
-    val spark = SparkSession.active
-    val cursor = scala.util.Try(
-      LakeDataset.open(spark, d.viewRoot).manifest
-        .properties(MaterializedView.PropBaseVersion).toLong).toOption
-    val head = scala.util.Try(
-      LakeDataset.open(spark, d.basePath).version).toOption
-    if (cursor.isEmpty || cursor != head) return None
-    scala.util.Try(viewScanRelation(spark, d.viewRoot)).toOption.flatten
-  }
-
-  /** ROLLUP / CUBE / GROUPING SETS: the analyzer compiles them to
-    * `Aggregate(keys + gid, aggs, Expand(rows, out, Project(base)))` —
-    * one projection row per grouping set, value columns passed through
-    * every row. The view substitutes SURGICALLY: the Project re-sources
-    * key columns from the view (original exprIds kept, so the Expand
-    * rows and the Aggregate's grouping side stay verbatim), value
-    * passthrough positions are replaced by the view's partial-aggregate
-    * columns, and each aggregate call folds exactly as in the flat path
-    * (count(*)→sum(mv_cnt), sum→sum, max/min→max/min, avg for
-    * non-nullable → sum/cnt). One view scan serves every grouping set —
-    * at 100 TB a CUBE over the fact table becomes a CUBE over the
-    * groups-sized view, Expand fan-out included. */
-  private def tryRewriteExpand(agg: Aggregate, ex: Expand)
-      : Option[Aggregate] = {
-    // only grouping-analytics Expands (DISTINCT-agg Expands lack the id)
-    if (!ex.output.exists(_.name == "spark_grouping_id")) return None
-    for {
-      (cond, rel) <- unwrap(ex.child)
-      cands <- candidates(rel)
-      res <- cands.iterator
-        .flatMap(d => rewriteExpandWith(agg, ex, cond, rel, d))
-        .nextOption()
-    } yield res
-  }
-
-  private def rewriteExpandWith(agg: Aggregate, ex: Expand,
-      cond: Option[Expression], rel: DataSourceV2ScanRelation,
-      d: ViewDef): Option[Aggregate] = {
-    val viewRel = freshViewRel(d).getOrElse(return None)
-    val viewAttr = viewRel.output.map(a => a.name -> a).toMap
-    val baseNameOf = rel.output.map(a => a.exprId -> a.name).toMap
-
-    // classify each Expand output position
-    val groupingOut = AttributeSet(
-      agg.groupingExpressions.flatMap(_.references))
-    val nPos = ex.output.size
-    val keep = Array.fill(nPos)(false)
-    // base key source attrs the kept grouping positions reference
-    val keySrcs = scala.collection.mutable.LinkedHashMap
-      .empty[ExprId, AttributeReference]
-    (0 until nPos).foreach { p =>
-      val entries = ex.projections.map(_(p))
-      val o = ex.output(p)
-      if (groupingOut.contains(o)) {
-        if (entries.forall(_.isInstanceOf[Literal])) keep(p) = true // gid
-        else {
-          val srcs = entries.collect {
-            case a: AttributeReference => a
-          }.distinct
-          val attrOrNull = entries.forall {
-            case _: AttributeReference => true
-            case Literal(null, _) => true
-            case _ => false
-          }
-          // grouping position: one key-source attr, possibly nulled out
-          if (srcs.size != 1 || !attrOrNull) return None
-          val src = srcs.head
-          if (!baseNameOf.get(src.exprId).exists(d.keys.contains))
-            return None
-          keySrcs.getOrElseUpdate(src.exprId, src)
-          keep(p) = true
-        }
-      }
-      // value passthrough positions: dropped; aggregates re-source below
-    }
-
-    // view partial-aggregate columns the rewritten aggregates read; each
-    // becomes one Project alias + one passthrough Expand column
-    val extra = scala.collection.mutable.LinkedHashMap
-      .empty[String, AttributeReference]
-    def need(viewCol: String): Option[AttributeReference] =
-      viewAttr.get(viewCol).map { va =>
-        extra.getOrElseUpdate(viewCol,
-          AttributeReference(viewCol, va.dataType, nullable = true)())
-      }
-    def srcName(a: AttributeReference): Option[String] =
-      baseNameOf.get(a.exprId)
-
-    def translateAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-          need("mv_cnt").map(a =>
-            Coalesce(Seq(Sum(a).toAggregateExpression(), Literal(0L))))
-        case s: Sum => s.child match {
-          case a: AttributeReference =>
-            srcName(a).filter(d.sumCols.contains)
-              .flatMap(n => need(s"sum_$n"))
-              .map(x => Sum(x).toAggregateExpression())
-          case _ => None
-        }
-        case m: Max => m.child match {
-          case a: AttributeReference =>
-            srcName(a).filter(d.maxCols.contains)
-              .flatMap(n => need(s"max_$n"))
-              .map(x => Max(x).toAggregateExpression())
-          case _ => None
-        }
-        case m: Min => m.child match {
-          case a: AttributeReference =>
-            srcName(a).filter(d.minCols.contains)
-              .flatMap(n => need(s"min_$n"))
-              .map(x => Min(x).toAggregateExpression())
-          case _ => None
-        }
-        case av: Average => av.child match {
-          case a: AttributeReference if !a.nullable =>
-            srcName(a).filter(d.sumCols.contains).flatMap { n =>
-              for { s <- need(s"sum_$n"); c <- need("mv_cnt") } yield
-                Divide(
-                  Cast(Sum(s).toAggregateExpression(), DoubleType),
-                  Cast(Sum(c).toAggregateExpression(), DoubleType))
-            }
-          case _ => None
-        }
-        case _ => None
-      }
-    }
-
-    val keptOut = AttributeSet(
-      (0 until nPos).filter(keep).map(ex.output(_)))
-    def translate(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => translateAgg(ae)
-      case a: AttributeReference =>
-        if (keptOut.contains(a)) Some(a) else None
-      case l: Literal => Some(l)
-      case other if other.children.nonEmpty && other.deterministic =>
-        val kids = other.children.map(translate)
-        if (kids.forall(_.isDefined))
-          Some(other.withNewChildren(kids.map(_.get)))
-        else None
-      case _ => None
-    }
-
-    val newAggs = agg.aggregateExpressions.map {
-      case a: AttributeReference if keptOut.contains(a) => Some(a)
-      case al @ Alias(child, name) =>
-        translate(child).map(nc =>
-          Alias(nc, name)(exprId = al.exprId, qualifier = al.qualifier))
-      case _ => None
-    }
-    if (newAggs.exists(_.isEmpty)) return None
-    val sameTypes = newAggs.map(_.get).zip(agg.aggregateExpressions)
-      .forall { case (n, o) => n.dataType == o.dataType }
-    if (!sameTypes) return None
-
-    // new Project: view keys re-aliased to the original base exprIds,
-    // plus the partial-aggregate columns the translations requested
-    def keyView(b: AttributeReference): Option[Attribute] =
-      baseNameOf.get(b.exprId).filter(d.keys.contains).flatMap(viewAttr.get)
-    val keyAliases = keySrcs.values.toSeq.map { b =>
-      keyView(b).map(v => Alias(v, b.name)(exprId = b.exprId))
-    }
-    if (keyAliases.exists(_.isEmpty)) return None
-    val extraAliases = extra.toSeq.map { case (colName, attr) =>
-      Alias(viewAttr(colName), colName)(exprId = attr.exprId)
-    }
-
-    // residual filter: key predicates only, re-sourced to the view
-    def condToView(e: Expression): Option[Expression] = e match {
-      case a: AttributeReference => keyView(a)
-      case l: Literal => Some(l)
-      case other if other.children.nonEmpty && other.deterministic =>
-        val kids = other.children.map(condToView)
-        if (kids.forall(_.isDefined))
-          Some(other.withNewChildren(kids.map(_.get)))
-        else None
-      case _ => None
-    }
-    val viewChild: LogicalPlan = cond match {
-      case None => viewRel
-      case Some(c) => Filter(condToView(c).getOrElse(return None), viewRel)
-    }
-    val newProject =
-      Project(keyAliases.map(_.get) ++ extraAliases, viewChild)
-
-    val keptIdx = (0 until nPos).filter(keep)
-    val extraAttrs = extra.values.toSeq
-    val newRows = ex.projections.map(row =>
-      keptIdx.map(row(_)) ++ extraAttrs)
-    val newOut = keptIdx.map(ex.output(_)) ++ extraAttrs
-    val newExpand = Expand(newRows, newOut, newProject)
-    Some(Aggregate(
-      agg.groupingExpressions, newAggs.map(_.get), newExpand))
-  }
-
-  // ------------------------------------------------------ star-join views
 
   /** Flatten an inner-join tree down to (filters, join conditions, scans);
     * attribute-only Projects are transparent, anything else aborts. */
@@ -415,11 +220,101 @@ object MvRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Normalized root of a PLAIN latest-version lake batch scan; None for
+    * anything pinned (time travel / branch / change feed / rowid — their
+    * results differ from any view snapshot by construction). */
+  private def lakeRoot(rel: DataSourceV2ScanRelation): Option[String] = {
+    val root = rel.relation.table match {
+      // the table carries its own read options (catalog time travel lands
+      // there, not on the relation), so the pinned check covers both doors
+      case lt: LakeTable if !lt.isPinnedHandle => norm(lt.rootPath)
+      case _ => return None
+    }
+    val opts = rel.relation.options
+    if (Seq("changesFrom", "versionAsOf", "tag", "branch", "rowid")
+        .exists(opts.containsKey)) return None
+    Some(root)
+  }
+
+  // ----------------------------------------------------- context builders
+
+  /** Freshness gate (metadata-only) + translation context for a flat view;
+    * None when stale or unopenable — a stale view never answers. */
+  private def flatCtx(rel: DataSourceV2ScanRelation,
+      d: ViewDef): Option[RewriteCtx] = {
+    val spark = SparkSession.active
+    val cursor = scala.util.Try(
+      LakeDataset.open(spark, d.viewRoot).manifest
+        .properties(MaterializedView.PropBaseVersion).toLong).toOption
+    val head = scala.util.Try(
+      LakeDataset.open(spark, d.basePath).version).toOption
+    if (cursor.isEmpty || cursor != head) return None
+    scala.util.Try(viewScanRelation(spark, d.viewRoot)).toOption.flatten
+      .map { viewRel =>
+        RewriteCtx(
+          viewRel = viewRel,
+          srcOf = rel.output.map(a =>
+            a.exprId -> ((d.baseNorm, a.name))).toMap,
+          keyOf = d.keys.map(k => ((d.baseNorm, k)) -> k).toMap,
+          sumCols = d.sumCols.map(c => (d.baseNorm, c)),
+          maxCols = d.maxCols.map(c => (d.baseNorm, c)),
+          minCols = d.minCols.map(c => (d.baseNorm, c)),
+          joinCols = Set.empty)
+      }
+  }
+
+  /** Join-view gate: scan set and equi-join conjuncts must match the
+    * declared star exactly, and the view must be current w.r.t. fact AND
+    * every dim. Returns the translation context on success. */
+  private def joinCtx(joinConds: List[Expression],
+      scans: List[DataSourceV2ScanRelation], roots: List[String],
+      d: JoinViewDef): Option[RewriteCtx] = {
+    if (d.tables != roots.toSet) return None
+    val srcOf: Map[ExprId, (String, String)] =
+      scans.zip(roots).flatMap { case (s, r) =>
+        s.output.map(a => a.exprId -> ((r, a.name)))
+      }.toMap
+    // each conjunct must be an equality on exactly one declared pair; all
+    // declared pairs must be hit (every dim joined the way the view joined
+    // it), and nothing else may hide in the ON
+    val matched = scala.collection.mutable.Set.empty[Int]
+    joinConds.flatMap(splitConj).foreach {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val pair = Set(srcOf.getOrElse(a.exprId, return None),
+          srcOf.getOrElse(b.exprId, return None))
+        val idx = d.joinPairs.indexOf(pair)
+        if (idx < 0) return None
+        matched += idx
+      case _ => return None
+    }
+    if (matched.size != d.joinPairs.size) return None
+    val spark = SparkSession.active
+    scala.util.Try {
+      val jmv = JoinMaterializedView.open(spark, d.viewRoot)
+      val current = jmv.factVersion == jmv.fact.version &&
+        jmv.dimVersions == jmv.dims.map(_._2.version)
+      if (current) viewScanRelation(spark, d.viewRoot) else None
+    }.toOption.flatten.map { viewRel =>
+      RewriteCtx(viewRel, srcOf, d.keyOf, d.sumCols, d.maxCols, d.minCols,
+        joinCols = d.joinPairs.flatten.toSet)
+    }
+  }
+
+  // ------------------------------------------------------------- attempts
+
+  private def tryRewrite(agg: Aggregate): Option[Aggregate] =
+    for {
+      (cond, rel) <- unwrap(agg.child)
+      cands <- lakeRoot(rel).flatMap(r => Option(registry.get(r)))
+      res <- cands.iterator
+        .flatMap(d => flatCtx(rel, d)
+          .flatMap(ctx => rewriteWith(agg, cond.toList, ctx)))
+        .nextOption()
+    } yield res
+
   /** Aggregate over an inner-join tree of lake scans → answered from a
-    * registered star-join view when the scan set, the equi-join pairs,
-    * the grouping/filter columns and every aggregate all match the view
-    * definition (Goldstein & Larson §3's SPJG containment, specialized to
-    * exact star-shape match). */
+    * registered star-join view (Goldstein & Larson §3's SPJG containment,
+    * specialized to exact star-shape match). */
   private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
     if (joinRegistry.isEmpty) return None
     for {
@@ -434,199 +329,125 @@ object MvRewrite extends Rule[LogicalPlan] {
       cands <- roots.iterator.flatMap(r => Option(joinRegistry.get(r)))
         .nextOption()
       res <- cands.iterator
-        .filter(_.tables == roots.toSet)
-        .flatMap(d =>
-          rewriteJoinWith(agg, filters, joinConds, scans, roots, d))
+        .flatMap(d => joinCtx(joinConds, scans, roots, d)
+          .flatMap(ctx => rewriteWith(agg, filters, ctx)))
         .nextOption()
     } yield res
   }
 
-  /** Freshness gate for a join view: fact cursor == fact head AND every
-    * dim version vector entry == that dim's head. Metadata-only. */
-  private def freshJoinViewRel(d: JoinViewDef)
-      : Option[DataSourceV2ScanRelation] = {
-    val spark = SparkSession.active
-    scala.util.Try {
-      val jmv = JoinMaterializedView.open(spark, d.viewRoot)
-      val current = jmv.factVersion == jmv.fact.version &&
-        jmv.dimVersions == jmv.dims.map(_._2.version)
-      if (current) viewScanRelation(spark, d.viewRoot) else None
-    }.toOption.flatten
+  /** ROLLUP / CUBE / GROUPING SETS: the analyzer compiles them to
+    * `Aggregate(keys + gid, aggs, Expand(rows, out, Project(input)))` —
+    * one projection row per grouping set, value columns passed through
+    * every row. Both flat scans and star-join trees under the Expand are
+    * answered ([[rewriteExpandWith]] substitutes surgically: the Expand
+    * rows and the Aggregate's grouping side stay verbatim, the input
+    * becomes the groups-sized view). One view scan serves every grouping
+    * set — at 100 TB a CUBE over the fact table becomes a CUBE over the
+    * view, Expand fan-out included. */
+  private def tryRewriteExpand(agg: Aggregate, ex: Expand)
+      : Option[Aggregate] = {
+    // only grouping-analytics Expands (DISTINCT-agg Expands lack the id)
+    if (!ex.output.exists(_.name == "spark_grouping_id")) return None
+    val flat = for {
+      (cond, rel) <- unwrap(ex.child)
+      cands <- lakeRoot(rel).flatMap(r => Option(registry.get(r)))
+      res <- cands.iterator
+        .flatMap(d => flatCtx(rel, d)
+          .flatMap(ctx => rewriteExpandWith(agg, ex, cond.toList, ctx)))
+        .nextOption()
+    } yield res
+    flat.orElse {
+      if (joinRegistry.isEmpty) return None
+      for {
+        (filters, joinConds, scans) <- flattenJoin(ex.child)
+        if scans.size >= 2
+        roots <- {
+          val rs = scans.map(lakeRoot)
+          if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+        }
+        if roots.distinct.size == roots.size
+        cands <- roots.iterator.flatMap(r => Option(joinRegistry.get(r)))
+          .nextOption()
+        res <- cands.iterator
+          .flatMap(d => joinCtx(joinConds, scans, roots, d)
+            .flatMap(ctx => rewriteExpandWith(agg, ex, filters, ctx)))
+          .nextOption()
+      } yield res
+    }
   }
 
-  private def rewriteJoinWith(agg: Aggregate, filters: List[Expression],
-      joinConds: List[Expression], scans: List[DataSourceV2ScanRelation],
-      roots: List[String], d: JoinViewDef): Option[Aggregate] = {
-    // (exprId → (table norm, column name)) across every scan in the tree
-    val srcOf: Map[ExprId, (String, String)] =
-      scans.zip(roots).flatMap { case (s, r) =>
-        s.output.map(a => a.exprId -> ((r, a.name)))
-      }.toMap
+  // ------------------------------------------------------ shared rewrites
 
-    // Join conditions: each conjunct must be an equality on exactly one
-    // declared pair; all declared pairs must be hit (every dim joined the
-    // way the view joined it), and nothing else may hide in the ON.
-    val conjs = joinConds.flatMap(splitConj)
-    val matched = scala.collection.mutable.Set.empty[Int]
-    conjs.foreach {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        val pair = Set(srcOf.getOrElse(a.exprId, return None),
-          srcOf.getOrElse(b.exprId, return None))
-        val idx = d.joinPairs.indexOf(pair)
-        if (idx < 0) return None
-        matched += idx
-      case _ => return None
-    }
-    if (matched.size != d.joinPairs.size) return None
-
-    val viewRel = freshJoinViewRel(d).getOrElse(return None)
-    val viewAttr = viewRel.output.map(a => a.name -> a).toMap
-
-    def keyAttr(a: AttributeReference): Option[AttributeReference] =
-      srcOf.get(a.exprId).flatMap(d.keyOf.get).flatMap(viewAttr.get)
-
-    def sumOf(name: String): Option[Expression] =
-      viewAttr.get(name).map(v => Sum(v).toAggregateExpression())
-
-    def measure(a: AttributeReference,
-        set: Set[(String, String)]): Option[String] =
-      srcOf.get(a.exprId).filter(set.contains).map(_._2)
-
-    def translateAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-          sumOf("mv_cnt").map(s => Coalesce(Seq(s, Literal(0L))))
-        case s: Sum => s.child match {
-          case a: AttributeReference =>
-            measure(a, d.sumCols).flatMap(n => sumOf(s"sum_$n"))
-          case _ => None
-        }
-        case m: Max => m.child match {
-          case a: AttributeReference =>
-            measure(a, d.maxCols).flatMap(n => viewAttr.get(s"max_$n"))
-              .map(v => Max(v).toAggregateExpression())
-          case _ => None
-        }
-        case m: Min => m.child match {
-          case a: AttributeReference =>
-            measure(a, d.minCols).flatMap(n => viewAttr.get(s"min_$n"))
-              .map(v => Min(v).toAggregateExpression())
-          case _ => None
-        }
-        case av: Average => av.child match {
-          case a: AttributeReference if !a.nullable =>
-            measure(a, d.sumCols).flatMap { n =>
-              for { s <- sumOf(s"sum_$n"); c <- sumOf("mv_cnt") }
-                yield Divide(Cast(s, DoubleType), Cast(c, DoubleType))
-            }
-          case _ => None
-        }
+  /** Translate one aggregate call to its view fold; None = untranslatable.
+    * `need` resolves a view partial-aggregate column to the attribute the
+    * caller wants referenced (identity for the flat Aggregate rewrite; a
+    * fresh passthrough attribute for the Expand rewrite). */
+  private def translateAggWith(ctx: RewriteCtx,
+      need: String => Option[Expression])(
+      ae: AggregateExpression): Option[Expression] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+        need("mv_cnt").map(a =>
+          Coalesce(Seq(Sum(a).toAggregateExpression(), Literal(0L))))
+      case s: Sum => s.child match {
+        case a: AttributeReference =>
+          ctx.measure(a, ctx.sumCols).flatMap(n => need(s"sum_$n"))
+            .map(x => Sum(x).toAggregateExpression())
         case _ => None
       }
-    }
-
-    def translate(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => translateAgg(ae)
-      case a: AttributeReference => keyAttr(a)
-      case l: Literal => Some(l)
-      case other if other.children.nonEmpty && other.deterministic =>
-        val kids = other.children.map(translate)
-        if (kids.forall(_.isDefined))
-          Some(other.withNewChildren(kids.map(_.get)))
-        else None
+      case m: Max => m.child match {
+        case a: AttributeReference =>
+          ctx.measure(a, ctx.maxCols).flatMap(n => need(s"max_$n"))
+            .map(x => Max(x).toAggregateExpression())
+        case _ => None
+      }
+      case m: Min => m.child match {
+        case a: AttributeReference =>
+          ctx.measure(a, ctx.minCols).flatMap(n => need(s"min_$n"))
+            .map(x => Min(x).toAggregateExpression())
+        case _ => None
+      }
+      // avg = sum/count(non-null); mv_cnt counts rows, so only columns
+      // that cannot hold nulls translate (row count == value count)
+      case av: Average => av.child match {
+        case a: AttributeReference if !a.nullable =>
+          ctx.measure(a, ctx.sumCols).flatMap { n =>
+            for { s <- need(s"sum_$n"); c <- need("mv_cnt") } yield
+              Divide(
+                Cast(Sum(s).toAggregateExpression(), DoubleType),
+                Cast(Sum(c).toAggregateExpression(), DoubleType))
+          }
+        case _ => None
+      }
       case _ => None
     }
+  }
 
-    // Residual filters: key predicates re-source to the view; bare
-    // IsNotNull on a join column is IMPLIED by the view's inner join
-    // (null-keyed rows never entered the view) and drops — Spark's
-    // InferFiltersFromConstraints plants exactly these under inner joins.
-    val joinCols: Set[(String, String)] = d.joinPairs.flatten.toSet
-    val residual = filters.flatMap(splitConj).flatMap {
-      case IsNotNull(a: AttributeReference)
-          if srcOf.get(a.exprId).exists(joinCols.contains) => None
+  /** Residual filters re-sourced to the view: key predicates translate,
+    * bare IsNotNull on a join column drops (implied by the view's inner
+    * join — null-keyed rows never entered it); anything else aborts. */
+  private def filtersToView(ctx: RewriteCtx, filters: List[Expression],
+      translate: Expression => Option[Expression])
+      : Option[List[Expression]] = {
+    val out = filters.flatMap(splitConj).flatMap {
+      case IsNotNull(a: AttributeReference) if ctx.isJoinCol(a) => None
       case f => Some(translate(f).getOrElse(return None))
     }
-
-    val newGroups = agg.groupingExpressions.map(translate)
-    if (newGroups.exists(_.isEmpty)) return None
-    val newAggs = agg.aggregateExpressions.map {
-      case a: AttributeReference =>
-        keyAttr(a).map(v =>
-          Alias(v, a.name)(exprId = a.exprId, qualifier = a.qualifier))
-      case al @ Alias(child, name) =>
-        translate(child).map(nc =>
-          Alias(nc, name)(exprId = al.exprId, qualifier = al.qualifier))
-      case _ => None
-    }
-    if (newAggs.exists(_.isEmpty)) return None
-    val sameTypes = newAggs.map(_.get).zip(agg.aggregateExpressions)
-      .forall { case (n, o) => n.dataType == o.dataType }
-    if (!sameTypes) return None
-
-    val newChild: LogicalPlan = residual match {
-      case Nil => viewRel
-      case cs => Filter(cs.reduce(And), viewRel)
-    }
-    Some(Aggregate(newGroups.map(_.get), newAggs.map(_.get), newChild))
+    Some(out)
   }
 
-  private def rewriteWith(agg: Aggregate, cond: Option[Expression],
-      rel: DataSourceV2ScanRelation, d: ViewDef): Option[Aggregate] = {
-    val viewRel = freshViewRel(d).getOrElse(return None)
-    val viewAttr = viewRel.output.map(a => a.name -> a).toMap
-    val baseNameOf = rel.output.map(a => a.exprId -> a.name).toMap
-
-    def keyAttr(a: AttributeReference): Option[AttributeReference] =
-      baseNameOf.get(a.exprId).filter(d.keys.contains).flatMap(viewAttr.get)
-
-    def sumOf(name: String): Option[Expression] =
-      viewAttr.get(name).map(v => Sum(v).toAggregateExpression())
-
-    def translateAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-          sumOf("mv_cnt").map(s => Coalesce(Seq(s, Literal(0L))))
-        case s: Sum => s.child match {
-          case a: AttributeReference =>
-            baseNameOf.get(a.exprId).filter(d.sumCols.contains)
-              .flatMap(n => sumOf(s"sum_$n"))
-          case _ => None
-        }
-        case m: Max => m.child match {
-          case a: AttributeReference =>
-            baseNameOf.get(a.exprId).filter(d.maxCols.contains)
-              .flatMap(n => viewAttr.get(s"max_$n"))
-              .map(v => Max(v).toAggregateExpression())
-          case _ => None
-        }
-        case m: Min => m.child match {
-          case a: AttributeReference =>
-            baseNameOf.get(a.exprId).filter(d.minCols.contains)
-              .flatMap(n => viewAttr.get(s"min_$n"))
-              .map(v => Min(v).toAggregateExpression())
-          case _ => None
-        }
-        // avg = sum/count(non-null); mv_cnt counts rows, so only columns
-        // that cannot hold nulls translate (row count == value count)
-        case av: Average => av.child match {
-          case a: AttributeReference if !a.nullable =>
-            baseNameOf.get(a.exprId).filter(d.sumCols.contains).flatMap {
-              n =>
-                for { s <- sumOf(s"sum_$n"); c <- sumOf("mv_cnt") }
-                  yield Divide(Cast(s, DoubleType), Cast(c, DoubleType))
-            }
-          case _ => None
-        }
-        case _ => None
-      }
-    }
+  /** Flat Aggregate (no Expand) over either shape → Aggregate over the
+    * view. */
+  private def rewriteWith(agg: Aggregate, filters: List[Expression],
+      ctx: RewriteCtx): Option[Aggregate] = {
 
     def translate(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => translateAgg(ae)
-      case a: AttributeReference => keyAttr(a)
+      case ae: AggregateExpression =>
+        // need() resolves straight to the view attribute here; the helper
+        // wraps it in the folding aggregate (Sum/Max/Min) itself
+        translateAggWith(ctx, n => ctx.viewAttr.get(n))(ae)
+      case a: AttributeReference => ctx.keyView(a)
       case l: Literal => Some(l)
       case other if other.children.nonEmpty && other.deterministic =>
         val kids = other.children.map(translate)
@@ -640,7 +461,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (newGroups.exists(_.isEmpty)) return None
     val newAggs = agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        keyAttr(a).map(v =>
+        ctx.keyView(a).map(v =>
           Alias(v, a.name)(exprId = a.exprId, qualifier = a.qualifier))
       case al @ Alias(child, name) =>
         translate(child).map(nc =>
@@ -653,12 +474,135 @@ object MvRewrite extends Rule[LogicalPlan] {
       .forall { case (n, o) => n.dataType == o.dataType }
     if (!sameTypes) return None
 
-    val newChild: Option[LogicalPlan] = cond match {
-      case None => Some(viewRel)
-      case Some(c) => translate(c).map(tc => Filter(tc, viewRel))
+    val residual = filtersToView(ctx, filters, translate)
+      .getOrElse(return None)
+    val newChild: LogicalPlan = residual match {
+      case Nil => ctx.viewRel
+      case cs => Filter(cs.reduce(And), ctx.viewRel)
     }
-    newChild.map(ch =>
-      Aggregate(newGroups.map(_.get), newAggs.map(_.get), ch))
+    Some(Aggregate(newGroups.map(_.get), newAggs.map(_.get), newChild))
+  }
+
+  /** Grouping-analytics Aggregate over Expand → same Expand shape over the
+    * view. The view substitutes SURGICALLY: the new Project re-sources key
+    * columns from the view (original exprIds kept, so the Expand rows and
+    * the Aggregate's grouping side stay verbatim), value passthrough
+    * positions are replaced by the view's partial-aggregate columns, and
+    * each aggregate call folds exactly as in the flat path. */
+  private def rewriteExpandWith(agg: Aggregate, ex: Expand,
+      filters: List[Expression], ctx: RewriteCtx): Option[Aggregate] = {
+
+    // classify each Expand output position
+    val groupingOut = AttributeSet(
+      agg.groupingExpressions.flatMap(_.references))
+    val nPos = ex.output.size
+    val keep = Array.fill(nPos)(false)
+    // source attrs (from the scan/join side) the kept grouping positions
+    // reference
+    val keySrcs = scala.collection.mutable.LinkedHashMap
+      .empty[ExprId, AttributeReference]
+    (0 until nPos).foreach { p =>
+      val entries = ex.projections.map(_(p))
+      val o = ex.output(p)
+      if (groupingOut.contains(o)) {
+        if (entries.forall(_.isInstanceOf[Literal])) keep(p) = true // gid
+        else {
+          val srcs = entries.collect {
+            case a: AttributeReference => a
+          }.distinct
+          val attrOrNull = entries.forall {
+            case _: AttributeReference => true
+            case Literal(null, _) => true
+            case _ => false
+          }
+          // grouping position: one key-source attr, possibly nulled out
+          if (srcs.size != 1 || !attrOrNull) return None
+          val src = srcs.head
+          if (!ctx.srcOf.get(src.exprId).exists(ctx.keyOf.contains))
+            return None
+          keySrcs.getOrElseUpdate(src.exprId, src)
+          keep(p) = true
+        }
+      }
+      // value passthrough positions: dropped; aggregates re-source below
+    }
+
+    // view partial-aggregate columns the rewritten aggregates read; each
+    // becomes one Project alias + one passthrough Expand column
+    val extra = scala.collection.mutable.LinkedHashMap
+      .empty[String, AttributeReference]
+    def need(viewCol: String): Option[Expression] =
+      ctx.viewAttr.get(viewCol).map { va =>
+        extra.getOrElseUpdate(viewCol,
+          AttributeReference(viewCol, va.dataType, nullable = true)())
+      }
+
+    val keptOut = AttributeSet(
+      (0 until nPos).filter(keep).map(ex.output(_)))
+    def translate(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => translateAggWith(ctx, need)(ae)
+      case a: AttributeReference =>
+        if (keptOut.contains(a)) Some(a) else None
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(translate)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    val newAggs = agg.aggregateExpressions.map {
+      case a: AttributeReference if keptOut.contains(a) => Some(a)
+      case al @ Alias(child, name) =>
+        translate(child).map(nc =>
+          Alias(nc, name)(exprId = al.exprId, qualifier = al.qualifier))
+      case _ => None
+    }
+    if (newAggs.exists(_.isEmpty)) return None
+    val sameTypes = newAggs.map(_.get).zip(agg.aggregateExpressions)
+      .forall { case (n, o) => n.dataType == o.dataType }
+    if (!sameTypes) return None
+
+    // new Project: view keys re-aliased to the original source exprIds,
+    // plus the partial-aggregate columns the translations requested
+    val keyAliases = keySrcs.values.toSeq.map { b =>
+      ctx.keyView(b).map(v => Alias(v, b.name)(exprId = b.exprId))
+    }
+    if (keyAliases.exists(_.isEmpty)) return None
+    val extraAliases = extra.toSeq.map { case (colName, attr) =>
+      Alias(ctx.viewAttr(colName), colName)(exprId = attr.exprId)
+    }
+
+    // residual filter: key predicates only, re-sourced to the view;
+    // IsNotNull on join columns drops as in the flat path
+    def condToView(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference => ctx.keyView(a)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(condToView)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+    val residual = filtersToView(ctx, filters, condToView)
+      .getOrElse(return None)
+    val viewChild: LogicalPlan = residual match {
+      case Nil => ctx.viewRel
+      case cs => Filter(cs.reduce(And), ctx.viewRel)
+    }
+    val newProject =
+      Project(keyAliases.map(_.get) ++ extraAliases, viewChild)
+
+    val keptIdx = (0 until nPos).filter(keep)
+    val extraAttrs = extra.values.toSeq
+    val newRows = ex.projections.map(row =>
+      keptIdx.map(row(_)) ++ extraAttrs)
+    val newOut = keptIdx.map(ex.output(_)) ++ extraAttrs
+    val newExpand = Expand(newRows, newOut, newProject)
+    Some(Aggregate(
+      agg.groupingExpressions, newAggs.map(_.get), newExpand))
   }
 
   /** A ready-to-execute scan relation over the view: the view read goes

@@ -149,6 +149,31 @@ class MvJoinRewriteSpec extends SparkTestBase {
     } finally MvRewrite.unregister(spark, viewRoot)
   }
 
+  test("ROLLUP over the star join is answered from the join view") {
+    val (fact, dim, _, viewRoot) = fixture()
+    try {
+      spark.read.format("lake").load(fact.root)
+        .createOrReplaceTempView("mvjr_fact")
+      spark.read.format("lake").load(dim.root)
+        .createOrReplaceTempView("mvjr_dim")
+      val q = spark.sql(
+        """SELECT seg, CAST(grouping(seg) AS BIGINT) AS g,
+          |  count(*) AS n, sum(v) AS sv
+          |FROM mvjr_fact JOIN mvjr_dim ON cust = ck
+          |GROUP BY ROLLUP (seg)""".stripMargin)
+      assert(scansView(q, viewRoot), q.queryExecution.optimizedPlan.toString)
+      val got = q.collect().map(r => (Option(r.getString(0)).getOrElse("-"),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        ("auto", 0L, 3L, 123L), ("bank", 0L, 2L, 45L),
+        ("-", 1L, 5L, 168L)), got.toString)
+    } finally {
+      MvRewrite.unregister(spark, viewRoot)
+      spark.catalog.dropTempView("mvjr_fact")
+      spark.catalog.dropTempView("mvjr_dim")
+    }
+  }
+
   test("non-matching shapes fall back to the base plan") {
     val (fact, dim, _, viewRoot) = fixture()
     try {
