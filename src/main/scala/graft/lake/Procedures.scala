@@ -24,7 +24,7 @@ object LakeProcedures {
 
   val Names: Seq[String] = Seq("optimize_zorder", "compact", "vacuum",
     "create_branch", "merge_branch", "drop_branch", "branches", "history",
-    "add_check", "drop_check", "mv_create", "mv_refresh")
+    "add_check", "drop_check", "mv_create", "mv_create_join", "mv_refresh")
 
   /** One-row result surface for a maintenance call. */
   private final case class ResultScan(schema: StructType,
@@ -218,17 +218,66 @@ object LakeProcedures {
             mv.view)
         }
       }
+      case "mv_create_join" => new LakeProc("mv_create_join", Array(
+        ProcedureParameter.in("fact", StringType).build(),
+        // dim spec: `name|fact_col|dim_col|exposed+cols`, ';'-separated
+        ProcedureParameter.in("dims", StringType).build(),
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("keys", StringType).build(),
+        ProcedureParameter.in("sum_cols", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("max_cols", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("min_cols", StringType)
+          .defaultValue("''").build())) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (factName, fact) = open(input.getUTF8String(0))
+          val dims = input.getUTF8String(1).toString
+            .split(';').filter(_.nonEmpty).toSeq.map { part =>
+              val Array(nm, fc, dc, ex) = part.split('|').padTo(4, "")
+              val path = resolvePath(nm.split('.').toSeq)
+              if (!LakeDataset.exists(path))
+                throw new IllegalArgumentException(s"no lake table at $path")
+              MvDim(path, fc, dc,
+                ex.split('+').filter(_.nonEmpty).toSeq)
+            }
+          val viewName = input.getUTF8String(2).toString
+          val viewPath = resolvePath(viewName.split('.').toSeq)
+          def cols(i: Int): Seq[String] =
+            if (input.isNullAt(i)) Nil
+            else input.getUTF8String(i).toString
+              .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val jmv = JoinMaterializedView.create(SparkSession.active, fact,
+            dims, viewPath, cols(3), cols(4), cols(5), cols(6))
+          // same fail-safe auto-registration as mv_create
+          MvRewrite.registerJoin(SparkSession.active, viewPath)
+          summary(factName,
+            s"mv_create_join($viewName @ fact v${jmv.factVersion})",
+            jmv.view)
+        }
+      }
       case "mv_refresh" => new LakeProc("mv_refresh", Array(
         ProcedureParameter.in("view", StringType).build())) {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
           val viewName = input.getUTF8String(0).toString
           val viewPath = resolvePath(viewName.split('.').toSeq)
-          val mv = MaterializedView.open(SparkSession.active, viewPath)
-          val st = mv.refresh()
+          // one refresh door for both view kinds: the view's own
+          // properties say which family it belongs to
+          val isFlat = LakeDataset.open(spark, viewPath).manifest
+            .properties.contains(MaterializedView.PropBasePath)
+          val (st, viewDs) =
+            if (isFlat) {
+              val mv = MaterializedView.open(spark, viewPath)
+              (mv.refresh(), mv.view)
+            } else {
+              val jmv = JoinMaterializedView.open(spark, viewPath)
+              (jmv.refresh(), jmv.view)
+            }
           summary(viewName,
             s"mv_refresh(v${st.fromVersion}->v${st.toVersion}, " +
               s"upserted=${st.upsertedGroups}, removed=${st.removedGroups})",
-            mv.view)
+            viewDs)
         }
       }
       case other => throw new IllegalArgumentException(

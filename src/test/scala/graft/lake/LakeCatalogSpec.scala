@@ -237,6 +237,46 @@ class LakeCatalogSpec extends SparkTestBase {
     MvRewrite.unregister(spark, s"$root/mv/sales_by_k")
   }
 
+  test("CALL procedures: JOIN materialized view create + refresh via SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.mvj")
+    spark.sql("CREATE TABLE lakecat.mvj.fact (id BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO lakecat.mvj.fact VALUES (1,10,100),(2,10,20),(3,11,3)")
+    spark.sql("CREATE TABLE lakecat.mvj.dim (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO lakecat.mvj.dim VALUES (10,'auto'),(11,'bank')")
+    val created = spark.sql(
+      "CALL lakecat.system.mv_create_join(fact => 'mvj.fact', " +
+        "dims => 'mvj.dim|ck|dk|seg', view => 'mvj.by_seg', " +
+        "keys => 'seg', sum_cols => 'v')").collect().head
+    assert(created.getString(1).startsWith("mv_create_join"))
+    def viewRows() = spark.sql(
+      "SELECT seg, mv_cnt, sum_v FROM lakecat.mvj.by_seg ORDER BY seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows() == Seq(("auto", 2L, 120L), ("bank", 1L, 3L)))
+
+    // auto-registered: the star-join aggregate is answered from the view
+    val agg = spark.sql(
+      """SELECT seg, sum(v) AS sv FROM lakecat.mvj.fact
+        | JOIN lakecat.mvj.dim ON ck = dk GROUP BY seg""".stripMargin)
+    assert(agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation
+          if r.relation.table.name.contains("by_seg") => r
+    }.nonEmpty, agg.queryExecution.optimizedPlan.toString)
+    assert(agg.orderBy("seg").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("auto", 120L), ("bank", 3L)))
+
+    // fact DML + the SAME mv_refresh door as flat views
+    spark.sql("DELETE FROM lakecat.mvj.fact WHERE id = 1")
+    val refreshed = spark.sql(
+      "CALL lakecat.system.mv_refresh('mvj.by_seg')").collect().head
+    assert(refreshed.getString(1).startsWith("mv_refresh"))
+    assert(viewRows() == Seq(("auto", 1L, 20L), ("bank", 1L, 3L)))
+    MvRewrite.unregister(spark, s"$root/mvj/by_seg")
+  }
+
   test("MvRewrite answers catalog-name aggregates from the view") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.mvr")
