@@ -181,4 +181,21 @@ class PlanSpec extends SparkTestBase {
       }
     }
   }
+
+  test("bench-scale TPC-DS plans carry no cartesian product") {
+    // The x167 variants move 10M-row facts through the kit plans; a
+    // cartesian product (e.g. from a dropped join condition in the scaled
+    // generator) would turn the bench into an accidental O(n^2) — pin the
+    // physical plans clean at a small multiplier (plan shape is
+    // scale-independent; only the row counts change).
+    graft.queries.Tpcds.benchOnly.map(_.name).foreach { name =>
+      val n = name.split("_x")(0).stripPrefix("tpcds_q").toInt
+      val plan = graft.queries.Tpcds.benchQ(n, 2).run(spark, sf0001)
+        .queryExecution.sparkPlan
+      val products = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(products.isEmpty, s"$name plans a cartesian product")
+    }
+  }
 }
