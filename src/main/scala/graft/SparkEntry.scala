@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ddl.DdlQueries
 import graft.lake.{LakeQueries, StreamIngestQueries}
 import graft.pipeline.{Ann, Assemble, Bpe, Clean, Cluster, Curate, Dedup, Fts, Multimodal, QualityModel, TextOps}
-import graft.queries.{Events, Extra, Modern, RefSql, RefTpcds, Rel, Tpcds, Tpch, TpchMore}
+import graft.queries.{Events, Extra, Modern, RefSql, RefTpcds, RefTpchFull, Rel, Tpcds, Tpch, TpchMore}
 import graft.server.WireQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,7 +15,7 @@ object SparkEntry {
   lazy val registry: Seq[Q] =
     Tpch.all ++ TpchMore.all ++ Rel.all ++ Extra.all ++ Modern.all ++
       Events.all ++ Clean.all ++
-      RefSql.all ++ RefTpcds.all ++ Tpcds.all ++
+      RefSql.all ++ RefTpchFull.all ++ RefTpcds.all ++ Tpcds.all ++
       TextOps.all ++ Curate.all ++ Dedup.all ++ Ann.all ++ Fts.all ++
       Cluster.all ++
       Multimodal.all ++ LakeQueries.all ++ StreamIngestQueries.all ++

@@ -19,8 +19,11 @@ import graft.Q
   * (the `partsupp` table — q2/q9/q11/q16/q20 — or columns like
   * `o_shippriority`, `c_acctbal`, `l_shipmode` the TPC-H-ish generator
   * omits). RefSqlSpec proves those fail ONLY on schema resolution
-  * (TABLE_OR_VIEW_NOT_FOUND / UNRESOLVED_COLUMN), never on parsing —
-  * i.e. the dialect is accepted; the data, not the engine, is the gap. */
+  * (TABLE_OR_VIEW_NOT_FOUND / UNRESOLVED_COLUMN), never on parsing.
+  * [[RefTpchFull]] closes the remaining gap: ALL 22 files execute
+  * verbatim over the full-schema [[TpchGen]] with DuckDB oracles
+  * (`reftpch_q1..q22`); this object keeps the driver-testdata variants
+  * (same bytes over the DRIVER's parquet, a different input source). */
 object RefSql {
 
   val QueryDir = "/root/reference/cases/tpch/query"
