@@ -44,8 +44,9 @@ object Bench {
     // scale-1 oracle twins carry correctness, so they live here rather
     // than in the Verify registry (a 10M-row q64 in every driver Verify
     // run would buy no additional correctness).
-    val benchOnly = graft.queries.Tpcds.benchOnly
-      .map(q => q.name -> q.run).toMap
+    val benchOnly =
+      (graft.queries.Tpcds.benchOnly ++ graft.queries.RefTpchFull.benchOnly)
+        .map(q => q.name -> q.run).toMap
     val timed = SparkEntry.queries ++ benchOnly
     // optional filter for targeted perf iteration: comma-separated names
     val only = sys.env.get("SPARK_GRAFT_ONLY")

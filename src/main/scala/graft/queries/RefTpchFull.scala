@@ -60,4 +60,20 @@ object RefTpchFull {
   }
 
   val all: Seq[Q] = (1 to 22).map(q)
+
+  /** Bench-only scaled variants (NOT in the correctness registry — the
+    * scale-1 oracle twins above carry correctness): the same verbatim
+    * texts over orders/lineitem ×scale ([[TpchGen.rowsAt]]). */
+  def benchQ(n: Int, scale: Long): Q = {
+    val text = castWrap(n, RefSql.text(n))
+    Q.noOracle(s"reftpch_q${n}_x$scale") { (s, _) =>
+      val isolated = s.newSession()
+      TpchGen.register(isolated, scale)
+      isolated.sql(text)
+    }
+  }
+
+  /** q9 (6-table join through partsupp over every part) and q21 (the
+    * multi-supplier EXISTS/NOT-EXISTS self-joins) at 10M-row lineitem. */
+  lazy val benchOnly: Seq[Q] = Seq(benchQ(9, 167), benchQ(21, 167))
 }

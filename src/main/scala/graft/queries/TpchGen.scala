@@ -66,6 +66,18 @@ object TpchGen {
     "orders" -> 15000L,
     "lineitem" -> 60000L)
 
+  /** Row counts with the orders/lineitem fact pair scaled ×k (k=1 →
+    * [[rows]] exactly). Only those two scale: lineitem's order key is
+    * div(id, 4), so the 4-lines-per-order structure (and q18's boost
+    * band, q13's custkey lumps — all modular in id) is scale-invariant,
+    * and l_suppkey/l_partkey reference only the FIXED part/supplier
+    * dimensions, so the partsupp FK shape survives any k. Used by the
+    * bench-only `reftpch_q*_x{k}` variants. */
+  def rowsAt(k: Long): Map[String, Long] =
+    if (k <= 1) rows
+    else rows.map { case (t, n) =>
+      t -> (if (t == "orders" || t == "lineitem") n * k else n) }
+
   private def div(a: String, b: Long) = s"CAST(floor(($a)/$b) AS BIGINT)"
 
   private def pick(key: String, pool: Seq[String]): String =
@@ -226,8 +238,8 @@ object TpchGen {
 
   /** Register every table as a temp view in `s` (call on an isolated
     * `newSession()` — these names shadow the driver-testdata views). */
-  def register(s: SparkSession): Unit =
-    rows.foreach { case (t, n) =>
+  def register(s: SparkSession, scale: Long = 1): Unit =
+    rowsAt(scale).foreach { case (t, n) =>
       s.range(n).selectExpr(
         columns(t).map { case (c, e) => s"$e AS $c" }: _*)
         .createOrReplaceTempView(t)

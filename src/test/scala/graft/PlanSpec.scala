@@ -197,5 +197,14 @@ class PlanSpec extends SparkTestBase {
       }
       assert(products.isEmpty, s"$name plans a cartesian product")
     }
+    graft.queries.RefTpchFull.benchOnly.map(_.name).foreach { name =>
+      val n = name.split("_x")(0).stripPrefix("reftpch_q").toInt
+      val plan = graft.queries.RefTpchFull.benchQ(n, 2).run(spark, sf0001)
+        .queryExecution.sparkPlan
+      val products = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(products.isEmpty, s"$name plans a cartesian product")
+    }
   }
 }
