@@ -50,6 +50,29 @@ class RefTpchFullSpec extends SparkTestBase {
       s"custdist must contain the 500 zero-order customers: $counts")
   }
 
+  test("LIMIT cuts are deterministic: no ties at the kit's sort boundaries") {
+    // q18 orders by (o_totalprice desc, o_orderdate) under LIMIT 100 —
+    // o_totalprice must be unique per order or any engine pair can
+    // legally cut different row sets; q15's max-revenue supplier must be
+    // unique for the same reason (equality against max)
+    val s = spark.newSession()
+    TpchGen.register(s)
+    val dupPrices = s.sql(
+      """SELECT count(*) FROM (SELECT o_totalprice FROM orders
+        | GROUP BY 1 HAVING count(*) > 1)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(dupPrices == 0L, s"$dupPrices duplicate o_totalprice values")
+    val atMax = s.sql(
+      """WITH r AS (SELECT l_suppkey,
+        |    sum(l_extendedprice*(1-l_discount)) AS tr FROM lineitem
+        |  WHERE l_shipdate >= date '1995-12-01'
+        |    AND l_shipdate < date '1995-12-01' + interval '3' month
+        |  GROUP BY 1)
+        |SELECT count(*) FROM r WHERE tr = (SELECT max(tr) FROM r)
+        |""".stripMargin).collect().head.getLong(0)
+    assert(atMax == 1L, s"q15 max-revenue tie: $atMax suppliers")
+  }
+
   test("generator FK shape: every lineitem (part, supp) pair is in partsupp") {
     val s = spark.newSession()
     TpchGen.register(s)
