@@ -50,12 +50,17 @@ object RefTpchFull {
     else prelude + mat
   }
 
+  /** Verbatim (cast-wrapped) text of file n — public for the spec-side
+    * order-independence pin (RefTpchFullSpec evaluates it under 1 vs 32
+    * input partitions and requires bit-identical doubles). */
+  def text(n: Int): String = castWrap(n, RefSql.text(n))
+
   private def q(n: Int): Q = {
-    val text = castWrap(n, RefSql.text(n))
-    Q(s"reftpch_q$n", oracleFor(text)) { (s, _) =>
+    val t = text(n)
+    Q(s"reftpch_q$n", oracleFor(t)) { (s, _) =>
       val isolated = s.newSession()
       TpchGen.register(isolated)
-      isolated.sql(text)
+      isolated.sql(t)
     }
   }
 

@@ -527,12 +527,20 @@ object Tpcds {
       case None => text
     }
 
+  /** Patched + cast-wrapped text of slice query n — public for the
+    * spec-side order-independence pin (same role as RefTpchFull.text). */
+  def text(n: Int): String = castWrap(s"tpcds_q$n", patches(n)(load(n)))
+
+  /** Single-statement slice numbers (the q14/q23/q24 split statements are
+    * separate; the pin samples from these). */
+  def numbers: Seq[Int] = patches.keys.toSeq.sorted
+
   private def q(n: Int): Q = {
-    val text = castWrap(s"tpcds_q$n", patches(n)(load(n)))
-    Q(s"tpcds_q$n", oracleFor(text)) { (s, _) =>
+    val t = text(n)
+    Q(s"tpcds_q$n", oracleFor(t)) { (s, _) =>
       val isolated = s.newSession()
       TpcdsGen.register(isolated)
-      isolated.sql(text)
+      isolated.sql(t)
     }
   }
 

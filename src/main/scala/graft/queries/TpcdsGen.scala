@@ -590,10 +590,15 @@ object TpcdsGen {
   /** Register every slice table as a temp view in `s` (call on an isolated
     * `newSession()` — the generated names must not shadow the shared TPC-H
     * views). */
-  def register(s: SparkSession, scale: Long = 1): Unit = {
+  def register(s: SparkSession, scale: Long = 1,
+      partitions: Option[Int] = None): Unit = {
     val r = rowsAt(scale)
     r.foreach { case (t, n) =>
-      s.range(n).selectExpr(
+      val base = partitions match {
+        case Some(p) => s.range(0, n, 1, numPartitions = p)
+        case None => s.range(n)
+      }
+      base.selectExpr(
         columns(t, r).map { case (c, e) => s"$e AS $c" }: _*)
         .createOrReplaceTempView(t)
     }

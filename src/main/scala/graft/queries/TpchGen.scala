@@ -21,11 +21,19 @@ import org.apache.spark.sql.SparkSession
   *     p_names, Brand#xy, phone `CC-ddd-ddd-dddd` with CC = 10+nationkey
   *     (q22's 2-digit prefixes);
   *   - DECIMAL columns generate as DOUBLE (the driver hasher bans DECIMAL;
-  *     driver-testdata precedent), with acctbal/supplycost/prices on
-  *     exact binary grids (quarters) so threshold comparisons like q11's
-  *     0.0001-share never flip on accumulation order; l_quantity is
-  *     integer-valued DOUBLE (its sums are exact AND sum(l_quantity)
-  *     never becomes DuckDB HUGEINT the way an INT column would);
+  *     driver-testdata precedent), and EVERY money/rate column sits on an
+  *     exact binary (dyadic) grid — prices/acctbal on quarters (k/4),
+  *     l_discount/l_tax on k/64, ps_supplycost on k/256 — so every double
+  *     aggregate in q1..q22 sums EXACTLY: each per-row product (e.g. q1's
+  *     extendedprice·(1−discount)·(1+tax), a multiple of 2⁻¹⁴ under 2⁵³)
+  *     is float-exact and the sum is accumulation-order-independent,
+  *     never flipping the driver hasher between Spark's parallel and
+  *     DuckDB's sequential fold (round-7's reftpch_q1 red row was exactly
+  *     this: discount/tax on a k/100 grid). Pinned structurally by
+  *     RefTpchFullSpec's repartition(1)-vs-(32) bit-equality test;
+  *     l_quantity is integer-valued DOUBLE (its sums are exact AND
+  *     sum(l_quantity) never becomes DuckDB HUGEINT the way an INT
+  *     column would);
   *   - part attributes (brand digits, container words, size, type words,
   *     name colors) come from INDEPENDENT affine streams mod prime 1997:
   *     shared small moduli would correlate them (first cut: brand and
@@ -189,7 +197,7 @@ object TpchGen {
       "ps_suppkey" ->
         s"CAST((${div("id", 4)}*11 + (id % 4)*59 + 7) % 200 AS INT)",
       "ps_availqty" -> "CAST(1 + (id*61) % 9999 AS INT)",
-      "ps_supplycost" -> "CAST(1 + (id*7331+17) % 40000 AS DOUBLE)/400",
+      "ps_supplycost" -> "CAST(1 + (id*7331+17) % 25600 AS DOUBLE)/256",
       "ps_comment" -> "'ps note ' || CAST((id*19) % 83 AS STRING)"),
     "customer" -> Seq(
       "c_custkey" -> "CAST(id AS INT)",
@@ -222,8 +230,8 @@ object TpchGen {
       "l_quantity" -> (s"CAST(1 + (id*11 + ${div("id", 2000)}*7 + 5) % 50" +
         s" + CASE WHEN $oid % 83 = 5 THEN 60 ELSE 0 END AS DOUBLE)"),
       "l_extendedprice" -> "CAST(400 + (id*7919+13) % 360000 AS DOUBLE)/4",
-      "l_discount" -> "CAST((id*3+1) % 11 AS DOUBLE)/100",
-      "l_tax" -> "CAST((id*5+2) % 9 AS DOUBLE)/100",
+      "l_discount" -> "CAST((id*3+1) % 7 AS DOUBLE)/64",
+      "l_tax" -> "CAST((id*5+2) % 6 AS DOUBLE)/64",
       "l_returnflag" ->
         (s"CASE WHEN ($receiptdate) < DATE '1995-06-17' THEN " +
           "(CASE WHEN id % 2 = 0 THEN 'R' ELSE 'A' END) ELSE 'N' END"),
@@ -237,10 +245,19 @@ object TpchGen {
       "l_comment" -> "'line note ' || CAST((id*23) % 91 AS STRING)"))
 
   /** Register every table as a temp view in `s` (call on an isolated
-    * `newSession()` — these names shadow the driver-testdata views). */
-  def register(s: SparkSession, scale: Long = 1): Unit =
+    * `newSession()` — these names shadow the driver-testdata views).
+    * `partitions` forces the input partitioning — RefTpchFullSpec's
+    * order-independence pin evaluates every query under 1 vs 32 input
+    * partitions and requires bit-identical doubles (the dyadic-grid
+    * exactness guarantee above). */
+  def register(s: SparkSession, scale: Long = 1,
+      partitions: Option[Int] = None): Unit =
     rowsAt(scale).foreach { case (t, n) =>
-      s.range(n).selectExpr(
+      val base = partitions match {
+        case Some(p) => s.range(0, n, 1, numPartitions = p)
+        case None => s.range(n)
+      }
+      base.selectExpr(
         columns(t).map { case (c, e) => s"$e AS $c" }: _*)
         .createOrReplaceTempView(t)
     }
