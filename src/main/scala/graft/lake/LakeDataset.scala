@@ -392,19 +392,22 @@ final class LakeDataset private (
     * allows (append coexists with append/delete/update/rewrite/index;
     * a committed overwrite/restore/merge/schema-op conflicts). */
   def append(df: DataFrame): Unit = withOpRetry(OpKind.Append, 5) {
-    val base = m.nextRowId
-    val (frags, maxRid) =
-      stageFragments(toPhysical(df, m)
-        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
-    commit(m.copy(
-      version = m.version + 1,
-      fragments = m.fragments ++ frags,
-      maxFragmentId = m.maxFragmentId + frags.size,
-      nextRowId = math.max(m.nextRowId, maxRid + 1),
-      parentVersion = Some(m.version),
-      createdMs = System.currentTimeMillis(),
-      operation = "append",
-      touchedFragmentIds = Nil))
+    val checked = enforcePrimaryKey(df)
+    try {
+      val base = m.nextRowId
+      val (frags, maxRid) =
+        stageFragments(toPhysical(checked, m)
+          .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), m)
+      commit(m.copy(
+        version = m.version + 1,
+        fragments = m.fragments ++ frags,
+        maxFragmentId = m.maxFragmentId + frags.size,
+        nextRowId = math.max(m.nextRowId, maxRid + 1),
+        parentVersion = Some(m.version),
+        createdMs = System.currentTimeMillis(),
+        operation = "append",
+        touchedFragmentIds = Nil))
+    } finally if (checked ne df) checked.unpersist()
   }
 
   /** Append that auto-evolves the schema (reference Merge(fragments,
@@ -2686,6 +2689,95 @@ final class LakeDataset private (
   /** Declared CHECK constraints, name → SQL. */
   def checkConstraints: Map[String, String] = checkConstraintsOf(m).toMap
 
+  /** Declare an ENFORCED primary key (reference storage/index.go:19-61 +
+    * table_constraint.go check every insert against the PK index; the
+    * catalog-table door — ddl.Engine.insertInto — already does this for
+    * SQL tables, this is the lake-dataset analogue). Existing rows are
+    * validated unique and non-null FIRST, then the declaration commits as
+    * metadata; every later [[append]] probes its batch against the table
+    * through the stat-pruned point-lookup path — the zonemap/bloom/
+    * value-set fragment stats ARE the index, so a probe of k keys opens
+    * only the fragments that may hold them, not the table. Same
+    * single-writer caveat as the reference's engine: two concurrent
+    * appends of one key can both pass the probe (no table lock). */
+  def setPrimaryKey(cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "empty primary key")
+    cols.foreach(c => require(m.fields.exists(_.name == c),
+      s"primary key column $c does not exist"))
+    val nulls = read()
+      .filter(cols.map(col(_).isNull).reduce(_ || _)).limit(1).collect()
+    if (nulls.nonEmpty) throw new IllegalArgumentException(
+      s"existing data violates PRIMARY KEY ($cols): null key ${nulls.head}")
+    val dup = read().groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"existing data violates PRIMARY KEY ($cols): duplicate ${dup.head}")
+    setProperties(Map(LakeDataset.PropPrimaryKey -> cols.mkString(",")))
+  }
+
+  def dropPrimaryKey(): Unit =
+    removeProperties(Seq(LakeDataset.PropPrimaryKey))
+
+  /** Declared primary key columns (empty = none). */
+  def primaryKey: Seq[String] =
+    m.properties.get(LakeDataset.PropPrimaryKey)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** Max distinct single-column keys inlined as a pushed IN list for the
+    * existence probe; beyond this (or for composite keys) the probe is a
+    * distributed semi-join of the batch keys against the key columns. */
+  private val MaxInlinePkProbe = 1000
+
+  /** PK gate for [[append]]: pins the batch (the rows checked ARE the
+    * rows written), rejects null keys and in-batch duplicates, then
+    * probes the table for the incoming keys. Returns the pinned batch.
+    * Runs inside the commit-retry loop so a rebase re-probes against the
+    * rebased snapshot. */
+  private def enforcePrimaryKey(df: DataFrame): DataFrame = {
+    val pk = primaryKey
+    if (pk.isEmpty) return df
+    val batch = df.localCheckpoint(true)
+    val nullKey = batch
+      .filter(pk.map(col(_).isNull).reduce(_ || _)).limit(1)
+    if (!nullKey.isEmpty) throw new IllegalArgumentException(
+      s"PRIMARY KEY violation: null key value on $pk")
+    val dupIn = batch.groupBy(pk.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+    if (!dupIn.isEmpty) throw new IllegalArgumentException(
+      s"PRIMARY KEY violation: duplicate key within the batch on $pk")
+    val keys = batch.select(pk.map(col): _*).distinct()
+    // single small key set over a simple type: render an IN predicate and
+    // prune fragments by zonemap/bloom/value-set stats FIRST — a probe of
+    // k keys opens only the fragments that may hold them (the
+    // lake_pointlookup machinery), not the table. Everything else takes
+    // the honest distributed semi-join.
+    def renderLit(v: Any): Option[String] = v match {
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case _ => None
+    }
+    val inline: Option[DataFrame] =
+      if (pk.size == 1) {
+        val vals = keys.limit(MaxInlinePkProbe + 1).collect().map(_.get(0))
+        val lits = vals.map(renderLit)
+        if (vals.length <= MaxInlinePkProbe && vals.nonEmpty &&
+            lits.forall(_.isDefined)) {
+          val pred = s"${pk.head} IN (${lits.map(_.get).mkString(",")})"
+          val frags = pruneFragments(m, pred)
+          if (frags.isEmpty) Some(spark.emptyDataFrame.limit(1))
+          else Some(readFragments(m, frags, withRowId = false)
+            .filter(col(pk.head).isin(vals.toIndexedSeq: _*)).limit(1))
+        } else None
+      } else None
+    val clash = inline.getOrElse(
+      read().select(pk.map(col): _*).join(keys, pk, "left_semi").limit(1))
+    if (!clash.isEmpty) throw new IllegalArgumentException(
+      s"PRIMARY KEY violation: key already present on $pk")
+    batch
+  }
+
   /** Write a physical-schema df as fragment files; returns the fragments
     * (with per-file zonemap stats from one re-read job) and the max rowid
     * written. */
@@ -2913,6 +3005,9 @@ object DetachedTxn {
 
 object LakeDataset {
   val RowIdCol = "_rowid"
+
+  /** Property recording an enforced primary key (see setPrimaryKey). */
+  val PropPrimaryKey = "constraint.pk"
 
   /** Metadata-column name exposing the fragment file basename — the GROUP
     * identity runtime group filtering pushes back into row-level scans. */

@@ -218,9 +218,38 @@ final class HadoopLakeIO(conf: Configuration) extends LakeIO {
     if (f.getScheme == "file") NioLakeIO.publishAtomic(target, content)
     else ConditionalPutStore.forScheme(f.getScheme) match {
       case Some(store) =>
-        if (!store.putIfAbsent(target, content))
-          throw new CommitConflictException(
-            s"${target.getName} was committed concurrently")
+        // Ambiguity-safe: a PUT whose response is lost in flight (the S3
+        // "200 dropped by the network" class) may have APPLIED. Retry the
+        // conditional PUT; when it then reports "exists", read back and
+        // compare — finding OUR OWN bytes means the first attempt landed
+        // and this commit WON (retrying as a loser here would double-
+        // commit: rebase onto our own ghost and re-apply the op at the
+        // next version). Finding other bytes is a true concurrent loss.
+        // Sound because S3/GCS/Azure are read-after-write consistent and
+        // two writers never publish byte-identical manifests (fragment
+        // file names are UUID-bearing). Chaos-tested by
+        // ConditionalPutLakeSpec's injected lost-ack/timeout cases.
+        def readBack(p: Path): Option[String] =
+          try Option(readString(p)) catch { case _: Exception => None }
+        var sawAmbiguity = false // only then may "exists" be our own write
+        def attempt(remaining: Int): Boolean =
+          try store.putIfAbsent(target, content)
+          catch {
+            case e: Exception =>
+              sawAmbiguity = true
+              if (remaining > 0) attempt(remaining - 1)
+              else readBack(target) match {
+                case Some(c) => c == content // applied: win iff ours
+                case None => throw new java.io.IOException(
+                  s"publish of $target failed after retries", e)
+              }
+          }
+        val won = attempt(2) ||
+          // a clean false is a KNOWN loss (no ghost possible) — only an
+          // ambiguous attempt earns the own-bytes idempotency check
+          (sawAmbiguity && readBack(target).contains(content))
+        if (!won) throw new CommitConflictException(
+          s"${target.getName} was committed concurrently")
       case None => {
       val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
       writeString(tmp, content)

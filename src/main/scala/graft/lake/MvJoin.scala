@@ -120,15 +120,27 @@ object JoinMaterializedView {
   private def uncsv(s: String): Seq[String] =
     s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  // the dim-spec fields ride in one property string with '|' ';' '+' as
+  // separators — all three are legal in URIs/paths, so every field is
+  // %-escaped (URL-style, '%' first) to round-trip any root verbatim
+  private def esc(s: String): String =
+    s.replace("%", "%25").replace("|", "%7C")
+      .replace(";", "%3B").replace("+", "%2B")
+  private def unesc(s: String): String =
+    s.replace("%2B", "+").replace("%3B", ";")
+      .replace("%7C", "|").replace("%25", "%")
+
   private def encodeDims(dims: Seq[MvDim]): String =
     dims.map(d =>
-      s"${d.root}|${d.factCol}|${d.dimCol}|${d.expose.mkString("+")}")
+      s"${esc(d.root)}|${esc(d.factCol)}|${esc(d.dimCol)}|" +
+        d.expose.map(esc).mkString("+"))
       .mkString(";")
 
   private def decodeDims(s: String): Seq[MvDim] =
     s.split(';').filter(_.nonEmpty).toSeq.map { part =>
       val Array(root, fc, dc, ex) = part.split('|').padTo(4, "")
-      MvDim(root, fc, dc, ex.split('+').filter(_.nonEmpty).toSeq)
+      MvDim(unesc(root), unesc(fc), unesc(dc),
+        ex.split('+').filter(_.nonEmpty).toSeq.map(unesc))
     }
 
   private[lake] def stateOf(joinedDf: DataFrame, keys: Seq[String],

@@ -97,6 +97,16 @@ object MvRewrite extends Rule[LogicalPlan] {
       srcOf.get(a.exprId).filter(set.contains).map(_._2)
     def isJoinCol(a: AttributeReference): Boolean =
       srcOf.get(a.exprId).exists(joinCols.contains)
+    /** `mv_cnt > 0` over the view scan — MUST conjoin every rewritten
+      * plan's filter. foldDelta commits the merged state (cursor moves)
+      * and reclaims netted-to-zero groups in a SEPARATE delete commit;
+      * between the two (or forever, if a crash lands between them —
+      * refresh() early-returns once from == to) the view is "current"
+      * yet holds dead groups MaterializedView.read() hides with this
+      * same predicate. Serving the raw scan without it returns phantom
+      * groups (count 0, null sums) the base query cannot produce. */
+    def liveGuard: Option[Expression] =
+      viewAttr.get("mv_cnt").map(a => GreaterThan(a, Literal(0L)))
   }
 
   // baseNorm -> rewrite candidates for that base, narrowest key set
@@ -326,9 +336,11 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
       // every table exactly once (self-joins don't match a star view)
       if roots.distinct.size == roots.size
-      cands <- roots.iterator.flatMap(r => Option(joinRegistry.get(r)))
-        .nextOption()
-      res <- cands.iterator
+      // candidates from EVERY root: a root can be a dim of this query
+      // while being the registered fact of another view — keying off the
+      // first hit alone would shadow the valid candidate behind it
+      res <- roots.iterator
+        .flatMap(r => Option(joinRegistry.get(r)).toList.flatten)
         .flatMap(d => joinCtx(joinConds, scans, roots, d)
           .flatMap(ctx => rewriteWith(agg, filters, ctx)))
         .nextOption()
@@ -366,9 +378,8 @@ object MvRewrite extends Rule[LogicalPlan] {
           if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
         }
         if roots.distinct.size == roots.size
-        cands <- roots.iterator.flatMap(r => Option(joinRegistry.get(r)))
-          .nextOption()
-        res <- cands.iterator
+        res <- roots.iterator
+          .flatMap(r => Option(joinRegistry.get(r)).toList.flatten)
           .flatMap(d => joinCtx(joinConds, scans, roots, d)
             .flatMap(ctx => rewriteExpandWith(agg, ex, filters, ctx)))
           .nextOption()
@@ -476,10 +487,9 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     val residual = filtersToView(ctx, filters, translate)
       .getOrElse(return None)
-    val newChild: LogicalPlan = residual match {
-      case Nil => ctx.viewRel
-      case cs => Filter(cs.reduce(And), ctx.viewRel)
-    }
+    val guard = ctx.liveGuard.getOrElse(return None)
+    val newChild: LogicalPlan =
+      Filter((guard +: residual).reduce(And), ctx.viewRel)
     Some(Aggregate(newGroups.map(_.get), newAggs.map(_.get), newChild))
   }
 
@@ -588,10 +598,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     val residual = filtersToView(ctx, filters, condToView)
       .getOrElse(return None)
-    val viewChild: LogicalPlan = residual match {
-      case Nil => ctx.viewRel
-      case cs => Filter(cs.reduce(And), ctx.viewRel)
-    }
+    val guard = ctx.liveGuard.getOrElse(return None)
+    val viewChild: LogicalPlan =
+      Filter((guard +: residual).reduce(And), ctx.viewRel)
     val newProject =
       Project(keyAliases.map(_.get) ++ extraAliases, viewChild)
 

@@ -39,8 +39,12 @@ object Assemble {
         s"'lang': '$lang'}"
     }.mkString(",\n      |      ")
 
-  private def oracleSql: String =
-    s"""WITH base AS (
+  /** The quality+language gate as DuckDB CTEs (`base` → `g` → `q` →
+    * `lang` → `en`) — the SQL twin of [[gates]]; shared with the
+    * quality-model oracle ([[QualityModel]]) so the weak-label definition
+    * cannot drift between the two entries. */
+  private[pipeline] def gateCtesSql: String =
+    s"""base AS (
        |  SELECT doc_id, text, source, n_chars,
        |    string_split(text, ' ') AS l
        |  FROM documents),
@@ -60,7 +64,10 @@ object Assemble {
        |      $langStructsSql
        |    ])[${TextOps.langMarkers.size}] AS best
        |  FROM q),
-       |en AS (SELECT * FROM lang WHERE best.hits > 0 AND best.lang = 'en'),
+       |en AS (SELECT * FROM lang WHERE best.hits > 0 AND best.lang = 'en')""".stripMargin
+
+  private def oracleSql: String =
+    s"""WITH $gateCtesSql,
        |ddup AS (
        |  SELECT * FROM (
        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep

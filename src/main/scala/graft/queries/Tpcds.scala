@@ -630,6 +630,29 @@ object Tpcds {
     * ≥10M-row store_sales entry), q4 (year-over-year 3-channel growth over
     * the biggest UNION ALL), q95 (split-shipment EXISTS self-joins). ×167
     * puts store_sales at 10.02M rows, web_sales at 3.34M. */
+  /** ×scale variant of a split-statement entry (same patch conventions as
+    * [[benchQ]]). */
+  def benchSplitQ(name: String, scale: Long): Q = {
+    val entry = splitPatches.find(_._1 == name)
+      .getOrElse(sys.error(s"unknown split entry $name"))
+    val (_, n, idx, patch) = entry
+    val text = castWrap(name, patch(stmt(n, idx)))
+    Q.noOracle(s"${name}_x$scale") { (s, _) =>
+      val isolated = s.newSession()
+      TpcdsGen.register(isolated, scale)
+      isolated.sql(text)
+    }
+  }
+
+  /** The bench-scale slice: q64 (18-relation self-join — the VERDICT-asked
+    * ≥10M-row store_sales entry), q4 (year-over-year 3-channel growth over
+    * the biggest UNION ALL), q95 (split-shipment EXISTS self-joins), plus
+    * the round-8 heavy movers: q14a/b (cross-channel INTERSECT over all
+    * three sales facts), q23a/b (frequent-item × best-customer double
+    * filter), q78 (three channel-join UNIONs with anti-join on returns).
+    * ×167 puts store_sales at 10.02M rows, web_sales at 3.34M. */
   lazy val benchOnly: Seq[Q] = Seq(benchQ(64, 167), benchQ(4, 167),
-    benchQ(95, 167))
+    benchQ(95, 167), benchQ(78, 167),
+    benchSplitQ("tpcds_q14a", 167), benchSplitQ("tpcds_q14b", 167),
+    benchSplitQ("tpcds_q23a", 167), benchSplitQ("tpcds_q23b", 167))
 }

@@ -40,18 +40,16 @@ class PgCatalog extends TableCatalog with FunctionCatalog {
   // ------------------------------------------------------------- relations
 
   /** Stable oid for a relation name (positive, deterministic across the
-    * psql query sequence: resolve-by-name then probe-by-oid). Assigned by
-    * position in the sorted relation list — collision-free by construction,
-    * unlike a name hash (two names hashing together would make pg_attribute
-    * merge both relations' columns and garble psql's \d). Offset past pg's
-    * own FirstNormalObjectId so the oids read plausibly in psql output. A
-    * name outside the current snapshot (dropped mid-sequence) still gets a
-    * deterministic non-colliding fallback above the positional range. */
-  private def oidOf(name: String): Int = {
-    val idx = relations().map(_._1).sorted.indexOf(name)
-    if (idx >= 0) 16384 + idx
-    else 0x40000000 | (name.hashCode & 0x3fffffff)
-  }
+    * psql query sequence: resolve-by-name then probe-by-oid). Assigned
+    * from a process-lifetime monotonic counter on first sight of the name
+    * — collision-free (unlike a name hash, where two names hashing
+    * together would make pg_attribute merge both relations' columns) AND
+    * stable across catalog changes (unlike positional assignment, where a
+    * table created or dropped between psql's resolve-by-name and its
+    * probe-by-oid renumbers every later relation and \d renders another
+    * table's columns). Starts past pg's own FirstNormalObjectId so the
+    * oids read plausibly in psql output. */
+  private def oidOf(name: String): Int = PgCatalog.oidOf(name)
 
   /** Postgres type oid for a Spark type (pg_attribute.atttypid and the
     * format_type rendering both key off this). */
@@ -260,6 +258,13 @@ class PgCatalog extends TableCatalog with FunctionCatalog {
 }
 
 object PgCatalog {
+
+  // name -> oid, assigned once per process (see oidOf in the class)
+  private val oidByName =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val nextOid = new java.util.concurrent.atomic.AtomicInteger(16384)
+  private[server] def oidOf(name: String): Int =
+    oidByName.computeIfAbsent(name, _ => nextOid.getAndIncrement()).intValue
 
   /** Conf-register the metadata catalogs on a session (idempotent). */
   def install(spark: SparkSession): Unit = {

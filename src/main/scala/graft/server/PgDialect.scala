@@ -48,6 +48,14 @@ object PgDialect {
       case "numeric" | "decimal" => args match {
         case Seq(p, s) if p <= 38 => Some(s"DECIMAL($p,$s)")
         case Seq(p) if p <= 38 => Some(s"DECIMAL($p,0)")
+        // pg numeric caps at p=1000; Spark at 38. Clamp precision but KEEP
+        // the declared scale (capped at 38): widening the scale to 18
+        // changed value semantics, and shrinking integer-digit headroom to
+        // 38-18=20 silently nulled wide values under non-ANSI cast. With
+        // the declared scale kept, only values that genuinely exceed
+        // 38-digit precision are affected.
+        case Seq(_, s) => Some(s"DECIMAL(38,${math.min(s, 38)})")
+        case Seq(_) => Some("DECIMAL(38,0)")
         case _ => Some("DECIMAL(38,18)")
       }
       case _ => None // regclass, regtype, regproc, regnamespace, ...
@@ -138,7 +146,82 @@ object PgDialect {
         case None => ()
       }
     }
-    translateBody(wrapArraySubqueries(sql0))
+    translateBody(wrapArraySubqueries(translateDdlTypes(sql0)))
+  }
+
+  /** pg column types in `CREATE TABLE` → Spark DDL types (`TEXT`,
+    * `int4`, `float8`, `timestamptz`, `double precision`, `character
+    * varying(n)`, `numeric(p,s)`, …) so real pg clients can create
+    * tables over the wire. Only the TYPE position of each top-level
+    * column definition is rewritten — the second token of the segment —
+    * so a column *named* like a type (`text text`) keeps its name;
+    * table-level constraint segments (PRIMARY KEY(…), CHECK(…), …) pass
+    * through. Non-CREATE-TABLE statements return unchanged. */
+  private[server] def translateDdlTypes(sql: String): String = {
+    val head = "(?is)^\\s*create\\s+(?:temp(?:orary)?\\s+)?table\\s+".r
+    if (head.findFirstIn(sql).isEmpty) return sql
+    val open = sql.indexOf('(')
+    if (open < 0) return sql
+    // CTAS: the paren group is a query, not a column list
+    if ("(?is)\\bas\\s*$".r
+        .findFirstIn(sql.substring(0, open)).isDefined) return sql
+    // find the matching close paren of the column list (quote-aware)
+    var depth = 0; var i = open; var close = -1
+    while (i < sql.length && close < 0) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case '\'' => // skip string literal
+          i += 1
+          while (i < sql.length && sql.charAt(i) != '\'') i += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (close < 0) return sql
+    val body = sql.substring(open + 1, close)
+    // split top-level commas
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0; var start = 0
+    body.indices.foreach { j =>
+      body.charAt(j) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => segs += body.substring(start, j); start = j + 1
+        case _ => ()
+      }
+    }
+    segs += body.substring(start)
+    val constraintHeads = Set("primary", "unique", "check", "constraint",
+      "foreign", "exclude", "like")
+    val typeRe =
+      "(?is)^(\\s*(?:\"[^\"]+\"|`[^`]+`|[\\w$]+)\\s+)([a-zA-Z_]\\w*)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?((?:\\s+.*)?)$".r
+    val out = segs.map { seg0 =>
+      val word1 = seg0.trim.takeWhile(c => !c.isWhitespace).toLowerCase
+      if (constraintHeads.contains(word1)) seg0
+      else {
+        // multi-word pg types first (their extra words would otherwise
+        // read as constraint text)
+        val seg = seg0
+          .replaceAll("(?i)\\bdouble\\s+precision\\b", "DOUBLE")
+          .replaceAll("(?i)\\bcharacter\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?",
+            "STRING")
+          .replaceAll("(?i)\\btimestamp\\s+with(?:out)?\\s+time\\s+zone\\b",
+            "TIMESTAMP")
+        seg match {
+          case typeRe(name, tpe, args, rest) =>
+            val argInts = Option(args).map(
+              _.replaceAll("[()\\s]", "").split(',').map(_.toInt).toSeq)
+              .getOrElse(Nil)
+            castTarget(tpe.toLowerCase, argInts) match {
+              case Some(t) => s"$name$t${Option(rest).getOrElse("")}"
+              case None => seg
+            }
+          case _ => seg
+        }
+      }
+    }
+    sql.substring(0, open + 1) + out.mkString(",") + sql.substring(close)
   }
 
   /** pg GUCs answered at the wire door; values mirror the startup-packet

@@ -189,9 +189,12 @@ class PlanSpec extends SparkTestBase {
     // physical plans clean at a small multiplier (plan shape is
     // scale-independent; only the row counts change).
     graft.queries.Tpcds.benchOnly.map(_.name).foreach { name =>
-      val n = name.split("_x")(0).stripPrefix("tpcds_q").toInt
-      val plan = graft.queries.Tpcds.benchQ(n, 2).run(spark, sf0001)
-        .queryExecution.sparkPlan
+      val slug = name.split("_x")(0) // tpcds_q64 or tpcds_q14a
+      val num = slug.stripPrefix("tpcds_q")
+      val q =
+        if (num.forall(_.isDigit)) graft.queries.Tpcds.benchQ(num.toInt, 2)
+        else graft.queries.Tpcds.benchSplitQ(slug, 2)
+      val plan = q.run(spark, sf0001).queryExecution.sparkPlan
       val products = plan.collect {
         case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       }

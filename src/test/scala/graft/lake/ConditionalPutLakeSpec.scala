@@ -98,6 +98,92 @@ class ConditionalPutLakeSpec extends SchemedLakeSpecBase {
     assert(io.readString(t) == """{"v": 999}""", "loser left no trace")
   }
 
+  // ---- chaos: the S3 "200 lost in flight" ambiguity class ------------
+  // A PUT can APPLY server-side while its response dies on the network;
+  // the writer cannot distinguish that from a failed PUT. s3_commit.go's
+  // durability contract: after retries the writer must converge to the
+  // truth — its own landed bytes are a WIN (not a conflict that would
+  // rebase onto its own ghost and double-commit), someone else's bytes
+  // are a loss, and nothing on the store may be corrupted either way.
+
+  /** Wraps the fake store; the next `failures` putIfAbsent calls throw —
+    * AFTER applying the write when `applyBeforeThrow` (lost ack) or
+    * INSTEAD of applying it (transport failure). */
+  private class ChaoticStore(failures: Int, applyBeforeThrow: Boolean)
+      extends ConditionalPutStore {
+    private var remaining = failures
+    var calls = 0
+    def putIfAbsent(target: Path, content: String): Boolean =
+      synchronized {
+        calls += 1
+        if (remaining > 0) {
+          remaining -= 1
+          if (applyBeforeThrow)
+            FakeConditionalPut.putIfAbsent(target, content): Unit
+          throw new java.io.IOException("response lost in flight")
+        }
+        FakeConditionalPut.putIfAbsent(target, content)
+      }
+  }
+
+  private def withStore[A](s: ConditionalPutStore)(body: => A): A =
+    try { ConditionalPutStore.register("fakeput", s); body }
+    finally ConditionalPutStore.register("fakeput", FakeConditionalPut)
+
+  test("chaos: PUT applied but ack lost -> retry converges to a WIN, once") {
+    val io = new HadoopLakeIO(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("chaos-")
+    val t = new Path(s"fakeput://testhost$dir/_manifests/v1.json")
+    val store = new ChaoticStore(failures = 1, applyBeforeThrow = true)
+    withStore(store) { io.publishAtomic(t, """{"v":1,"who":"me"}""") }
+    // retry found our own bytes: success, no exception, no double write
+    assert(io.readString(t) == """{"v":1,"who":"me"}""")
+    assert(store.calls == 2, "one ambiguous attempt + one retry")
+  }
+
+  test("chaos: ack lost AND a competitor won -> loser sees the conflict") {
+    val io = new HadoopLakeIO(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("chaos-")
+    val t = new Path(s"fakeput://testhost$dir/_manifests/v1.json")
+    // competitor's commit is already durable
+    io.publishAtomic(t, """{"v":1,"who":"them"}""")
+    val store = new ChaoticStore(failures = 1, applyBeforeThrow = false)
+    withStore(store) {
+      intercept[CommitConflictException](
+        io.publishAtomic(t, """{"v":1,"who":"me"}"""))
+    }
+    assert(io.readString(t) == """{"v":1,"who":"them"}""",
+      "winner's bytes untouched by the loser's retries")
+  }
+
+  test("chaos: PUT never applied, all retries fail -> IOException, no ghost") {
+    val io = new HadoopLakeIO(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("chaos-")
+    val t = new Path(s"fakeput://testhost$dir/_manifests/v1.json")
+    val store = new ChaoticStore(failures = 99, applyBeforeThrow = false)
+    withStore(store) {
+      intercept[java.io.IOException](
+        io.publishAtomic(t, """{"v":1}"""))
+    }
+    assert(!io.exists(t), "failed publish must leave no partial object")
+    assert(store.calls == 3, "initial attempt + 2 retries, then give up")
+  }
+
+  test("chaos: end-to-end append with lost ack commits EXACTLY once") {
+    val root = tmpRoot()
+    val ds = LakeDataset.create(spark,
+      root, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val v0 = ds.version
+    withStore(new ChaoticStore(failures = 1, applyBeforeThrow = true)) {
+      ds.append(spark.range(5).toDF("id").coalesce(1))
+    }
+    val end = LakeDataset.open(spark, root)
+    assert(end.version == v0 + 1, "exactly one version advance")
+    assert(end.read().count() == 5, "rows appended exactly once")
+  }
+
   test("rename into the commit surface is refused by the store") {
     val io = new HadoopLakeIO(spark.sparkContext.hadoopConfiguration)
     val dir = java.nio.file.Files.createTempDirectory("fakeput-")

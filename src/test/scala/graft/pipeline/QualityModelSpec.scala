@@ -3,9 +3,11 @@ package graft.pipeline
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** Trained quality gate: the LR-on-weak-labels model must RECOVER the
+/** Trained quality gate: the tree-on-weak-labels model must RECOVER the
   * heuristic gate's decisions on held-out documents it never saw, rank a
-  * clean document above a degenerate one, and train deterministically. */
+  * clean document above a degenerate one, train identically under ANY
+  * partitioning (the DeterministicTree contract), and match the frozen
+  * oracle tree — the sync guard for the embedded sf0.01 literal. */
 class QualityModelSpec extends SparkTestBase {
 
   private lazy val labeled =
@@ -45,14 +47,23 @@ class QualityModelSpec extends SparkTestBase {
       s"clean=${scored(1L)} junk=${scored(2L)}")
   }
 
-  test("training is deterministic for a fixed partitioning") {
-    val input = labeled.repartition(8, col("doc_id")).cache()
-    val m1 = QualityModel.train(input)
-    val m2 = QualityModel.train(input)
-    // drop the header line — it embeds a per-fit random uid; the split
-    // structure below it is the model
-    def tree(s: String) = s.linesIterator.drop(1).mkString("\n")
-    assert(tree(m1.toDebugString) == tree(m2.toDebugString))
+  test("training is IDENTICAL under different partitionings") {
+    // the DeterministicTree contract — stronger than round 7's "fixed
+    // partitioning" pin: integer-count histograms on fixed grids make the
+    // tree a pure function of the dataset, not of its layout
+    val m1 = QualityModel.train(labeled.repartition(1))
+    val m2 = QualityModel.train(labeled.repartition(32, col("doc_id")))
+    assert(m1 == m2, "tree must not depend on partitioning")
+    assert(m1.predSql == m2.predSql)
+  }
+
+  test("the frozen oracle tree matches a fresh sf0.01 training run") {
+    // guards the FrozenPredSql literal embedded in the entry's DuckDB
+    // oracle: if features/grids/gate/generator drift, this fails loudly
+    // with the new literal to paste
+    val fresh = QualityModel.trainedPredSql(spark, sf001)
+    assert(fresh == QualityModel.FrozenPredSql,
+      s"regenerate QualityModel.FrozenPredSql:\n$fresh")
   }
 
   test("registry scenario emits a holdout confusion matrix") {

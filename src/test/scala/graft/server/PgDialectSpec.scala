@@ -112,12 +112,33 @@ class PgDialectSpec extends AnyFunSuite {
     assert(t("SELECT x::numeric") == "SELECT CAST(x AS DECIMAL(38,18))")
     assert(t("SELECT x::numeric(10,2)") == "SELECT CAST(x AS DECIMAL(10,2))")
     assert(t("SELECT x::decimal(7)") == "SELECT CAST(x AS DECIMAL(7,0))")
-    // over-wide precision falls back to the widest Spark decimal
-    assert(t("SELECT x::numeric(50,8)") == "SELECT CAST(x AS DECIMAL(38,18))")
+    // over-wide precision clamps to 38 but KEEPS the declared scale:
+    // widening the scale to 18 changed value semantics and shrank
+    // integer-digit headroom to 20, silently nulling wide values
+    assert(t("SELECT x::numeric(50,8)") == "SELECT CAST(x AS DECIMAL(38,8))")
+    assert(t("SELECT x::numeric(99)") == "SELECT CAST(x AS DECIMAL(38,0))")
   }
 
   test("parenthesized type args never leak into the emitted CAST") {
     assert(t("SELECT x::varchar(64)") == "SELECT CAST(x AS STRING)")
     assert(t("SELECT x::bpchar(8) || y") == "SELECT CAST(x AS STRING) || y")
+  }
+
+  test("CREATE TABLE translates pg column types to Spark DDL types") {
+    assert(t("CREATE TABLE t (id int8, note TEXT, ok bool)") ==
+      "CREATE TABLE t (id BIGINT, note STRING, ok BOOLEAN)")
+    assert(t("CREATE TABLE t (a double precision, b character varying(30)," +
+      " c timestamp with time zone)") ==
+      "CREATE TABLE t (a DOUBLE, b STRING, c TIMESTAMP)")
+    assert(t("CREATE TABLE t (p numeric(10,2) NOT NULL, v varchar(5))") ==
+      "CREATE TABLE t (p DECIMAL(10,2) NOT NULL, v STRING)")
+    // constraint segments and type-named COLUMNS survive
+    assert(t("CREATE TABLE t (text text, PRIMARY KEY (text))") ==
+      "CREATE TABLE t (text STRING, PRIMARY KEY (text))")
+    // Spark-native types and CTAS pass through
+    assert(t("CREATE TABLE t (id BIGINT, s STRING)") ==
+      "CREATE TABLE t (id BIGINT, s STRING)")
+    assert(t("CREATE TABLE t AS (SELECT 1 AS text)") ==
+      "CREATE TABLE t AS (SELECT 1 AS text)")
   }
 }
