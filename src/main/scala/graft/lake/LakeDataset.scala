@@ -442,18 +442,24 @@ final class LakeDataset private (
       val filled = man2.fields.foldLeft(df)((d, f) =>
         if (d.columns.exists(resolver(_, f.name))) d
         else d.withColumn(f.name, lit(null).cast(DataType.fromJson(f.dataType))))
-      val base = man2.nextRowId
-      val (frags, maxRid) = stageFragments(toPhysical(filled, man2)
-        .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()), man2)
-      commit(man2.copy(
-        version = m.version + 1,
-        fragments = man2.fragments ++ frags,
-        maxFragmentId = man2.maxFragmentId + frags.size,
-        nextRowId = math.max(man2.nextRowId, maxRid + 1),
-        parentVersion = Some(m.version),
-        createdMs = System.currentTimeMillis(),
-        operation = "append_merge_schema",
-        touchedFragmentIds = Nil))
+      // the PK gate applies to THIS insert door too (a batch missing a
+      // key column null-fills it and is rejected as a null key)
+      val checked = enforcePrimaryKey(filled)
+      try {
+        val base = man2.nextRowId
+        val (frags, maxRid) = stageFragments(toPhysical(checked, man2)
+          .withColumn(RowIdCol, lit(base) + monotonically_increasing_id()),
+          man2)
+        commit(man2.copy(
+          version = m.version + 1,
+          fragments = man2.fragments ++ frags,
+          maxFragmentId = man2.maxFragmentId + frags.size,
+          nextRowId = math.max(man2.nextRowId, maxRid + 1),
+          parentVersion = Some(m.version),
+          createdMs = System.currentTimeMillis(),
+          operation = "append_merge_schema",
+          touchedFragmentIds = Nil))
+      } finally if (checked ne filled) checked.unpersist()
     }
   }
 
@@ -807,6 +813,21 @@ final class LakeDataset private (
       extraProps: Map[String, String] = Map.empty): (Long, Long) = {
     val fieldNames = m.fields.map(_.name)
     require(keys.forall(source.columns.contains), "source missing key columns")
+    // With an enforced PRIMARY KEY this insert door must uphold it too:
+    // merging on anything else could insert a row whose merge key is new
+    // but whose PK already exists (or update a PK column into a
+    // duplicate). Upsert-on-the-PK is the sound (and canonical) shape —
+    // then the anti-join IS the PK probe and keys never update.
+    val pkCols = primaryKey
+    if (pkCols.nonEmpty) {
+      require(keys.toSet == pkCols.toSet,
+        s"mergeInsert on a PRIMARY KEY table must merge on the key " +
+          s"(pk=$pkCols, keys=$keys)")
+      val nullKey = source
+        .filter(pkCols.map(col(_).isNull).reduce(_ || _)).limit(1)
+      require(nullKey.isEmpty,
+        s"PRIMARY KEY violation: null key in merge source on $pkCols")
+    }
     // A duplicate source key would multiply each matched target row in the
     // left_outer rewrite join, duplicating _rowid values and breaking the
     // stable-rowid invariant (the reference resolves exactly one source row
@@ -2699,9 +2720,17 @@ final class LakeDataset private (
     * value-set fragment stats ARE the index, so a probe of k keys opens
     * only the fragments that may hold them, not the table. Same
     * single-writer caveat as the reference's engine: two concurrent
-    * appends of one key can both pass the probe (no table lock). */
+    * appends of one key can both pass the probe (no table lock).
+    * UPDATEs are deliberately not probed — parity with the reference,
+    * whose VerifyUpdateConstraints checks only NOT NULL
+    * (storage/table.go:785-800); uniqueness is an insert-door check in
+    * both engines. */
   def setPrimaryKey(cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "empty primary key")
+    // the declaration persists comma-joined; refuse the separator rather
+    // than silently re-parsing a 'a,b'-named column as two keys later
+    cols.foreach(c => require(!c.contains(","),
+      s"primary key column name may not contain ',' ($c)"))
     cols.foreach(c => require(m.fields.exists(_.name == c),
       s"primary key column $c does not exist"))
     val nulls = read()
@@ -2752,8 +2781,16 @@ final class LakeDataset private (
     // k keys opens only the fragments that may hold them (the
     // lake_pointlookup machinery), not the table. Everything else takes
     // the honest distributed semi-join.
+    // Only literal-safe values ride the rendered IN predicate: Spark's
+    // lexer reads 'a''b' as TWO adjacent literals concatenated and
+    // unescapes backslash sequences (escapedStringLiterals=false), so a
+    // quoted/escaped rendering of "it's" would probe the WRONG value and
+    // stats could prune away the fragment holding the real key. Anything
+    // not trivially safe falls back to the semi-join (None).
     def renderLit(v: Any): Option[String] = v match {
-      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case s: String
+        if !s.exists(c => c == '\'' || c == '\\' || c.isControl) =>
+        Some("'" + s + "'")
       case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
       case d: java.math.BigDecimal => Some(d.toPlainString)
       case _ => None

@@ -244,12 +244,24 @@ final class HadoopLakeIO(conf: Configuration) extends LakeIO {
                   s"publish of $target failed after retries", e)
               }
           }
-        val won = attempt(2) ||
-          // a clean false is a KNOWN loss (no ghost possible) — only an
-          // ambiguous attempt earns the own-bytes idempotency check
-          (sawAmbiguity && readBack(target).contains(content))
-        if (!won) throw new CommitConflictException(
-          s"${target.getName} was committed concurrently")
+        if (!attempt(2)) {
+          // a clean false with no prior ambiguity is a KNOWN loss (no
+          // ghost possible). After an ambiguous attempt, ONLY a
+          // successful read-back may classify: our bytes = win, other
+          // bytes = loss, unreadable = outcome UNKNOWN — reporting that
+          // as a conflict would let the caller rebase over its own ghost
+          // commit and double-apply, so it must surface as an IO error.
+          val loss =
+            if (!sawAmbiguity) true
+            else readBack(target) match {
+              case Some(c) => c != content
+              case None => throw new java.io.IOException(
+                s"publish of $target: object exists but is unreadable " +
+                  "after an ambiguous PUT; commit outcome unknown")
+            }
+          if (loss) throw new CommitConflictException(
+            s"${target.getName} was committed concurrently")
+        }
       case None => {
       val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
       writeString(tmp, content)

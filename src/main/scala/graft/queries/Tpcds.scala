@@ -626,10 +626,6 @@ object Tpcds {
     }
   }
 
-  /** The bench-scale slice: q64 (18-relation self-join — the VERDICT-asked
-    * ≥10M-row store_sales entry), q4 (year-over-year 3-channel growth over
-    * the biggest UNION ALL), q95 (split-shipment EXISTS self-joins). ×167
-    * puts store_sales at 10.02M rows, web_sales at 3.34M. */
   /** ×scale variant of a split-statement entry (same patch conventions as
     * [[benchQ]]). */
   def benchSplitQ(name: String, scale: Long): Q = {

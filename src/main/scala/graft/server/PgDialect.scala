@@ -158,6 +158,14 @@ object PgDialect {
     * table-level constraint segments (PRIMARY KEY(…), CHECK(…), …) pass
     * through. Non-CREATE-TABLE statements return unchanged. */
   private[server] def translateDdlTypes(sql: String): String = {
+    // ALTER TABLE … ADD [COLUMN] shares the column-def shape
+    val alterHead = ("(?is)^(\\s*alter\\s+table\\s+(?:if\\s+exists\\s+)?" +
+      "(?:\"[^\"]+\"|`[^`]+`|\\S+)\\s+add\\s+(?:column\\s+)?" +
+      "(?:if\\s+not\\s+exists\\s+)?)(.+)$").r
+    sql match {
+      case alterHead(prefix, seg) => return prefix + rewriteColumnSeg(seg)
+      case _ => ()
+    }
     val head = "(?is)^\\s*create\\s+(?:temp(?:orary)?\\s+)?table\\s+".r
     if (head.findFirstIn(sql).isEmpty) return sql
     val open = sql.indexOf('(')
@@ -174,54 +182,69 @@ object PgDialect {
         case '\'' => // skip string literal
           i += 1
           while (i < sql.length && sql.charAt(i) != '\'') i += 1
+        case '"' => // skip quoted identifier
+          i += 1
+          while (i < sql.length && sql.charAt(i) != '"') i += 1
         case _ => ()
       }
       i += 1
     }
     if (close < 0) return sql
     val body = sql.substring(open + 1, close)
-    // split top-level commas
+    // split top-level commas — quote-aware like the close-paren scan
+    // above: a paren or comma inside a string DEFAULT ('(' …) or a quoted
+    // identifier must not desync the depth counter
     val segs = scala.collection.mutable.ArrayBuffer.empty[String]
-    var d = 0; var start = 0
-    body.indices.foreach { j =>
+    var d = 0; var start = 0; var j = 0
+    while (j < body.length) {
       body.charAt(j) match {
         case '(' => d += 1
         case ')' => d -= 1
+        case '\'' =>
+          j += 1
+          while (j < body.length && body.charAt(j) != '\'') j += 1
+        case '"' =>
+          j += 1
+          while (j < body.length && body.charAt(j) != '"') j += 1
         case ',' if d == 0 => segs += body.substring(start, j); start = j + 1
         case _ => ()
       }
+      j += 1
     }
     segs += body.substring(start)
-    val constraintHeads = Set("primary", "unique", "check", "constraint",
-      "foreign", "exclude", "like")
-    val typeRe =
-      "(?is)^(\\s*(?:\"[^\"]+\"|`[^`]+`|[\\w$]+)\\s+)([a-zA-Z_]\\w*)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?((?:\\s+.*)?)$".r
-    val out = segs.map { seg0 =>
-      val word1 = seg0.trim.takeWhile(c => !c.isWhitespace).toLowerCase
-      if (constraintHeads.contains(word1)) seg0
-      else {
-        // multi-word pg types first (their extra words would otherwise
-        // read as constraint text)
-        val seg = seg0
-          .replaceAll("(?i)\\bdouble\\s+precision\\b", "DOUBLE")
-          .replaceAll("(?i)\\bcharacter\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?",
-            "STRING")
-          .replaceAll("(?i)\\btimestamp\\s+with(?:out)?\\s+time\\s+zone\\b",
-            "TIMESTAMP")
-        seg match {
-          case typeRe(name, tpe, args, rest) =>
-            val argInts = Option(args).map(
-              _.replaceAll("[()\\s]", "").split(',').map(_.toInt).toSeq)
-              .getOrElse(Nil)
-            castTarget(tpe.toLowerCase, argInts) match {
-              case Some(t) => s"$name$t${Option(rest).getOrElse("")}"
-              case None => seg
-            }
-          case _ => seg
+    sql.substring(0, open + 1) + segs.map(rewriteColumnSeg).mkString(",") +
+      sql.substring(close)
+  }
+
+  private val constraintHeads = Set("primary", "unique", "check",
+    "constraint", "foreign", "exclude", "like")
+  private val columnTypeRe =
+    "(?is)^(\\s*(?:\"[^\"]+\"|`[^`]+`|[\\w$]+)\\s+)([a-zA-Z_]\\w*)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?((?:\\s+.*)?)$".r
+
+  /** One `name type [constraints]` column definition → the type mapped to
+    * Spark's name; constraint segments and unmappable types untouched. */
+  private def rewriteColumnSeg(seg0: String): String = {
+    val word1 = seg0.trim.takeWhile(c => !c.isWhitespace).toLowerCase
+    if (constraintHeads.contains(word1)) return seg0
+    // multi-word pg types first (their extra words would otherwise read
+    // as constraint text)
+    val seg = seg0
+      .replaceAll("(?i)\\bdouble\\s+precision\\b", "DOUBLE")
+      .replaceAll("(?i)\\bcharacter\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?",
+        "STRING")
+      .replaceAll("(?i)\\btimestamp\\s+with(?:out)?\\s+time\\s+zone\\b",
+        "TIMESTAMP")
+    seg match {
+      case columnTypeRe(name, tpe, args, rest) =>
+        val argInts = Option(args).map(
+          _.replaceAll("[()\\s]", "").split(',').map(_.toInt).toSeq)
+          .getOrElse(Nil)
+        castTarget(tpe.toLowerCase, argInts) match {
+          case Some(t) => s"$name$t${Option(rest).getOrElse("")}"
+          case None => seg
         }
-      }
+      case _ => seg
     }
-    sql.substring(0, open + 1) + out.mkString(",") + sql.substring(close)
   }
 
   /** pg GUCs answered at the wire door; values mirror the startup-packet

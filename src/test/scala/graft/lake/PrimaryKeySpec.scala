@@ -82,6 +82,61 @@ class PrimaryKeySpec extends SparkTestBase {
     assert(ds.read().count() == 2)
   }
 
+  test("appendMergeSchema (the schema-evolving insert door) enforces too") {
+    val (_, ds) = fresh()
+    ds.append(rows((1L, "a")))
+    ds.setPrimaryKey(Seq("id"))
+    // evolving batch with a duplicate key is refused
+    val d = new java.util.ArrayList[Row]()
+    d.add(Row(1L, "dup", 9L))
+    val evolved = spark.createDataFrame(d, schema.add("extra",
+      org.apache.spark.sql.types.LongType)).coalesce(1)
+    intercept[IllegalArgumentException](ds.appendMergeSchema(evolved))
+    // a batch MISSING the key column null-fills it -> rejected as null key
+    val noKey = spark.createDataFrame(
+      java.util.List.of(Row("x", 5L)),
+      new org.apache.spark.sql.types.StructType()
+        .add("name", org.apache.spark.sql.types.StringType)
+        .add("extra2", org.apache.spark.sql.types.LongType)).coalesce(1)
+    intercept[IllegalArgumentException](ds.appendMergeSchema(noKey))
+    assert(ds.read().count() == 1)
+  }
+
+  test("mergeInsert on a PK table must merge on the key; nulls refused") {
+    val (_, ds) = fresh()
+    ds.append(rows((1L, "a")))
+    ds.setPrimaryKey(Seq("id"))
+    // merging on a non-key column could insert a duplicate PK: refused
+    intercept[IllegalArgumentException](
+      ds.mergeInsert(rows((2L, "a")), keys = Seq("name")))
+    intercept[IllegalArgumentException](
+      ds.mergeInsert(rows((null, "n")), keys = Seq("id")))
+    // upsert on the PK is the sound shape and works
+    val (m1, i1) = ds.mergeInsert(rows((1L, "a2"), (2L, "b")), Seq("id"))
+    assert(m1 == 1L && i1 == 1L)
+    assert(ds.read().count() == 2)
+  }
+
+  test("string keys with quotes/backslashes still enforce (semi-join path)") {
+    val root = Files.createTempDirectory("lake-pk3-").toString
+    val s2 = StructType(Seq(StructField("k", StringType),
+      StructField("v", LongType)))
+    val ds = LakeDataset.create(spark, root, s2)
+    def r2(t: (String, Long)*) = {
+      val d = new java.util.ArrayList[Row]()
+      t.foreach { case (k, v) => d.add(Row(k, v)) }
+      spark.createDataFrame(d, s2).coalesce(1)
+    }
+    ds.append(r2(("it's", 1L), ("a\\b", 2L)))
+    ds.setPrimaryKey(Seq("k"))
+    // a rendered literal would probe the WRONG value ('it''s' parses as
+    // "its"); the guard must still catch the duplicate via the semi-join
+    intercept[IllegalArgumentException](ds.append(r2(("it's", 3L))))
+    intercept[IllegalArgumentException](ds.append(r2(("a\\b", 4L))))
+    ds.append(r2(("its", 5L), ("ab", 6L))) // the lookalikes ARE new keys
+    assert(ds.read().count() == 4)
+  }
+
   test("the existence probe is stat-pruned: absent keys open zero files") {
     val (_, ds) = fresh()
     // six fragments clustered by id range, value-set index on id

@@ -141,4 +141,26 @@ class PgDialectSpec extends AnyFunSuite {
     assert(t("CREATE TABLE t AS (SELECT 1 AS text)") ==
       "CREATE TABLE t AS (SELECT 1 AS text)")
   }
+
+  test("ALTER TABLE ADD COLUMN translates pg types too") {
+    assert(t("ALTER TABLE t ADD COLUMN note text") ==
+      "ALTER TABLE t ADD COLUMN note STRING")
+    assert(t("ALTER TABLE t ADD x double precision NOT NULL") ==
+      "ALTER TABLE t ADD x DOUBLE NOT NULL")
+    assert(t("ALTER TABLE t ADD COLUMN p numeric(12,3)") ==
+      "ALTER TABLE t ADD COLUMN p DECIMAL(12,3)")
+    // quoted table names (pg clients quote freely)
+    assert(t("""ALTER TABLE "my table" ADD COLUMN note text""") ==
+      "ALTER TABLE `my table` ADD COLUMN note STRING")
+    // non-ADD alters pass through
+    assert(t("ALTER TABLE t DROP COLUMN text") ==
+      "ALTER TABLE t DROP COLUMN text")
+  }
+
+  test("DDL splitter is quote-aware: parens/commas in DEFAULTs don't desync") {
+    assert(t("CREATE TABLE t (a text DEFAULT '(', b int8)") ==
+      "CREATE TABLE t (a STRING DEFAULT '(', b BIGINT)")
+    assert(t("CREATE TABLE t (a text DEFAULT 'x,y', b float8)") ==
+      "CREATE TABLE t (a STRING DEFAULT 'x,y', b DOUBLE)")
+  }
 }
