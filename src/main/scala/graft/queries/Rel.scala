@@ -371,6 +371,53 @@ object Rel {
           .as("prior_value_cents"))
   }
 
+  /** [[evIntervalJoinOuter]] rewritten to ONE range-frame window — the
+    * q21_window_rewrite discipline applied to the interval join: the join
+    * form materializes every (purchase, prior-touchpoint) PAIR before
+    * aggregating, and on a corpus where a user's 30-minute windows get
+    * denser with scale (exactly what the ×10 replicated bench data does)
+    * that intermediate grows quadratically even though the OUTPUT stays
+    * one row per purchase (isolated sf5→sf10: 3.2→10.1 s for 2× rows).
+    * Here views and purchases union into one per-user timeline and each
+    * purchase row reads count/sum over a `rangeBetween(-30 min, 0)` frame
+    * keyed on exact epoch micros — O(n log n) per user, no pair blowup,
+    * same oracle as the join form so the driver proves the equivalence.
+    * The join twin stays registered: it IS the streaming stream-stream
+    * interval join (EventStream declaration, watermark-bounded state);
+    * this is its batch scale shape. */
+  val evIntervalWindowRewrite = Q(
+    "ev_interval_window_rewrite",
+    """SELECT r.event_id AS purchase_id, r.user_id,
+      |  CAST(count(l.user_id) AS BIGINT) AS n_prior,
+      |  CAST(coalesce(sum(CAST(round(l.value * 100) AS BIGINT)), 0)
+      |    AS BIGINT) AS prior_value_cents
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') r
+      |LEFT JOIN (SELECT * FROM events
+      |           WHERE event_type IN ('view', 'click')) l
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |  AND l.ts >= r.ts - INTERVAL 30 MINUTE
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+    val l = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("pid"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").cast("long").as("pid"),
+        lit(null).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-30L * 60 * 1000000, 0)
+    l.unionByName(r)
+      .withColumn("n_prior", count(col("cents")).over(w))
+      .withColumn("cents_sum", sum(col("cents")).over(w))
+      .filter(col("pid").isNotNull)
+      .select(col("pid").as("purchase_id"), col("user_id"),
+        col("n_prior").cast("long").as("n_prior"),
+        coalesce(col("cents_sum"), lit(0L)).as("prior_value_cents"))
+  }
+
   /** Exact percentiles (linear interpolation): Spark `percentile` and
     * DuckDB `quantile_cont` both implement the R-7 estimator, so the
     * interpolated values agree bit-for-bit on the same doubles; BIGINT
@@ -564,7 +611,8 @@ object Rel {
     dateFuncs, regexFuncs,
     window, rollup, groupingSets, distinctQ, limitOffset, values, evJson,
     evDay, explainQ,
-    evWindowAgg, evIntervalJoin, evIntervalJoinOuter, evAsofJoin,
+    evWindowAgg, evIntervalJoin, evIntervalJoinOuter,
+    evIntervalWindowRewrite, evAsofJoin,
     percentiles, approxPercentile,
     pivotQ, unpivotQ, bitwise)
 }
