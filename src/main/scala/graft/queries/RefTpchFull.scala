@@ -59,7 +59,7 @@ object RefTpchFull {
     val t = text(n)
     Q(s"reftpch_q$n", oracleFor(t)) { (s, _) =>
       val isolated = s.newSession()
-      TpchGen.register(isolated)
+      TpchGen.register(isolated, tables = usedTables(t))
       isolated.sql(t)
     }
   }
@@ -73,7 +73,7 @@ object RefTpchFull {
     val text = castWrap(n, RefSql.text(n))
     Q.noOracle(s"reftpch_q${n}_x$scale") { (s, _) =>
       val isolated = s.newSession()
-      TpchGen.register(isolated, scale)
+      TpchGen.register(isolated, scale, tables = usedTables(text))
       isolated.sql(text)
     }
   }

@@ -539,7 +539,7 @@ object Tpcds {
     val t = text(n)
     Q(s"tpcds_q$n", oracleFor(t)) { (s, _) =>
       val isolated = s.newSession()
-      TpcdsGen.register(isolated)
+      TpcdsGen.register(isolated, tables = usedTables(t))
       isolated.sql(t)
     }
   }
@@ -602,7 +602,7 @@ object Tpcds {
     val text = castWrap(name, patch(stmt(n, idx)))
     Q(name, oracleFor(text)) { (s, _) =>
       val isolated = s.newSession()
-      TpcdsGen.register(isolated)
+      TpcdsGen.register(isolated, tables = usedTables(text))
       isolated.sql(text)
     }
   }
@@ -621,7 +621,7 @@ object Tpcds {
     val text = castWrap(s"tpcds_q$n", patches(n)(load(n)))
     Q.noOracle(s"tpcds_q${n}_x$scale") { (s, _) =>
       val isolated = s.newSession()
-      TpcdsGen.register(isolated, scale)
+      TpcdsGen.register(isolated, scale, tables = usedTables(text))
       isolated.sql(text)
     }
   }
@@ -635,7 +635,7 @@ object Tpcds {
     val text = castWrap(name, patch(stmt(n, idx)))
     Q.noOracle(s"${name}_x$scale") { (s, _) =>
       val isolated = s.newSession()
-      TpcdsGen.register(isolated, scale)
+      TpcdsGen.register(isolated, scale, tables = usedTables(text))
       isolated.sql(text)
     }
   }

@@ -587,20 +587,35 @@ object TpcdsGen {
   private lazy val ddlSchemas: Map[String, StructType] =
     RefTpcds.tables().toMap
 
-  /** Register every slice table as a temp view in `s` (call on an isolated
+  /** Parsed projection cache: registration is per-query-RUN (each registry
+    * call gets a fresh isolated session), and parsing the ~25 expression
+    * strings per table × 24 tables dominated registration time — pure
+    * driver-side overhead charged to every timed tpcds entry. Parsed
+    * expression trees are immutable and session-independent, so one parse
+    * per (table, scale) serves every run; the generated DATA is still
+    * computed from scratch on each execution. */
+  private val parsedCols = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[org.apache.spark.sql.Column]]
+
+  /** Register slice tables as temp views in `s` (call on an isolated
     * `newSession()` — the generated names must not shadow the shared TPC-H
-    * views). */
+    * views). `tables` lets a query register only the views its text
+    * references (the oracle prelude already restricts itself the same way
+    * via `usedTables`); the default registers the full slice. */
   def register(s: SparkSession, scale: Long = 1,
-      partitions: Option[Int] = None): Unit = {
+      partitions: Option[Int] = None,
+      tables: Seq[String] = rows.keys.toSeq): Unit = {
     val r = rowsAt(scale)
-    r.foreach { case (t, n) =>
+    tables.foreach { t =>
+      val n = r(t)
+      val cols = parsedCols.computeIfAbsent((t, scale), _ =>
+        columns(t, r).map { case (c, e) =>
+          org.apache.spark.sql.functions.expr(e).as(c) })
       val base = partitions match {
         case Some(p) => s.range(0, n, 1, numPartitions = p)
         case None => s.range(n)
       }
-      base.selectExpr(
-        columns(t, r).map { case (c, e) => s"$e AS $c" }: _*)
-        .createOrReplaceTempView(t)
+      base.select(cols: _*).createOrReplaceTempView(t)
     }
   }
 

@@ -251,16 +251,27 @@ object TpchGen {
     * partitions and requires bit-identical doubles (the dyadic-grid
     * exactness guarantee above). */
   def register(s: SparkSession, scale: Long = 1,
-      partitions: Option[Int] = None): Unit =
-    rowsAt(scale).foreach { case (t, n) =>
+      partitions: Option[Int] = None,
+      tables: Seq[String] = rows.keys.toSeq): Unit = {
+    val r = rowsAt(scale)
+    tables.foreach { t =>
+      val n = r(t)
+      // Parse each table's projection once per JVM (see TpcdsGen.register:
+      // expression parsing is per-run driver overhead; the column exprs here
+      // don't depend on scale, so the cache keys by table alone).
+      val cols = parsedCols.computeIfAbsent(t, _ =>
+        columns(t).map { case (c, e) =>
+          org.apache.spark.sql.functions.expr(e).as(c) })
       val base = partitions match {
         case Some(p) => s.range(0, n, 1, numPartitions = p)
         case None => s.range(n)
       }
-      base.selectExpr(
-        columns(t).map { case (c, e) => s"$e AS $c" }: _*)
-        .createOrReplaceTempView(t)
+      base.select(cols: _*).createOrReplaceTempView(t)
     }
+  }
+
+  private val parsedCols = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.Column]]
 
   /** DuckDB WITH-prelude over the same expressions (MATERIALIZED for the
     * same DuckDB-1.0 range-CTE determinism reason as [[TpcdsGen]]). */
