@@ -105,8 +105,15 @@ object MaterializedView {
         minCols.map(c =>
           min(when(col("_sign") === 1L, col(c))).as(s"_d_min_$c")) ++
         Seq(max(col("_sign") === -1L).as("_d_removed"))
-    val delta = signed.groupBy(keys.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    // Pin the delta: one row per dirty group (never base-table-sized), but
+    // its lineage is the whole CDF read + aggregation, and it is evaluated
+    // again for the removed-groups probe, the merge frame, and every action
+    // inside mergeInsert (dup-key gate, touched-file probe, matched count,
+    // rewrite join, insert anti-join) — measured 4.9 s of lake_mv_rewrite's
+    // 7.6 s wall at sf0.1 was exactly this recomputation (guide §1/§5:
+    // don't recompute what a cheap bounded pin can hold).
+    val delta = graft.Materialize.pin(signed.groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*))
 
     // Groups that lost rows: MAX/MIN may have moved — recompute those
     // groups (and only those) from the full input. Semi-join keeps the
@@ -129,6 +136,9 @@ object MaterializedView {
         delta.join(recomputed, keys, "left")
       }
 
+    // Pinned for the same reason as `delta`: dirty-groups-sized, consumed
+    // by isEmpty + mergeInsert's five actions. The recompute branch's
+    // semi-joined base scan runs ONCE here instead of per action.
     val merged = withRecompute.join(view.read(), keys, "left")
       .select(
         keys.map(col) ++
@@ -144,17 +154,22 @@ object MaterializedView {
             when(col("_d_removed"), col(s"_r_min_$c"))
               .otherwise(least(col(s"min_$c"), col(s"_d_min_$c")))
               .as(s"min_$c")): _*)
-
-    if (merged.isEmpty) {
-      view.setProperties(cursor)
-      return MvRefreshStats(from, to, 0L, 0L)
+    val mergedPinned = graft.Materialize.pin(merged)
+    try {
+      if (mergedPinned.isEmpty) {
+        view.setProperties(cursor)
+        return MvRefreshStats(from, to, 0L, 0L)
+      }
+      val (matched, inserted) = view.mergeInsert(mergedPinned, keys,
+        extraProps = cursor)
+      // housekeeping, idempotent: groups that netted to zero are invisible
+      // to read() already; the delete just reclaims their rows
+      val removed = view.delete("mv_cnt <= 0")
+      MvRefreshStats(from, to, matched + inserted, removed)
+    } finally {
+      mergedPinned.unpersist()
+      delta.unpersist()
     }
-    val (matched, inserted) = view.mergeInsert(merged, keys,
-      extraProps = cursor)
-    // housekeeping, idempotent: groups that netted to zero are invisible
-    // to read() already; the delete just reclaims their rows
-    val removed = view.delete("mv_cnt <= 0")
-    MvRefreshStats(from, to, matched + inserted, removed)
   }
 
   val PropBaseVersion = "mv.base.version"

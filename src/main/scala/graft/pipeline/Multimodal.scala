@@ -202,8 +202,14 @@ object Multimodal {
     * Hamming 7), candidate pairs come only from the per-band equi-join,
     * verified with codegen'd `bit_count(xor)`. Shared by the image and
     * audio paths — and by any future modality that hashes to 64 bits. */
-  private[pipeline] def bandedNearDup(hashes: org.apache.spark.sql.DataFrame,
+  private[pipeline] def bandedNearDup(hashes0: org.apache.spark.sql.DataFrame,
       hashCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    // Pin the hash frame before the self-join: both join sides re-evaluate
+    // their lineage, and here the lineage is the per-row codec kernel (PNG
+    // encode→decode→DCT / WAV encode→band-energies) — the operator's whole
+    // cost, paid 2× without the pin. The pinned frame is (doc_id, hash) —
+    // 16 bytes/row at any scale.
+    val hashes = graft.Materialize.pin(hashes0)
     val banded = hashes.select(col("doc_id"), col(hashCol),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),

@@ -613,7 +613,15 @@ object TpcdsGen {
           org.apache.spark.sql.functions.expr(e).as(c) })
       val base = partitions match {
         case Some(p) => s.range(0, n, 1, numPartitions = p)
-        case None => s.range(n)
+        // Scale-adaptive input partitioning (optimization guide §2): bare
+        // range(n) always splits into defaultParallelism (=cores) tasks, so
+        // a 12-row dimension scan costs as many task launches as a 10M-row
+        // fact scan. Size by rows instead — ~64k rows/partition, capped at
+        // the session's parallelism — so toy tables are one task and the
+        // ×167 facts keep every core busy. Row content depends only on
+        // `id`, never on partitioning (the OrderIndependenceSpec pin).
+        case None => s.range(0, n, 1, numPartitions = math.max(1, math.min(
+          ((n + 65535) / 65536).toInt, s.sparkContext.defaultParallelism)))
       }
       base.select(cols: _*).createOrReplaceTempView(t)
     }

@@ -264,7 +264,9 @@ object TpchGen {
           org.apache.spark.sql.functions.expr(e).as(c) })
       val base = partitions match {
         case Some(p) => s.range(0, n, 1, numPartitions = p)
-        case None => s.range(n)
+        // rows-sized partitioning, same rationale as TpcdsGen.register
+        case None => s.range(0, n, 1, numPartitions = math.max(1, math.min(
+          ((n + 65535) / 65536).toInt, s.sparkContext.defaultParallelism)))
       }
       base.select(cols: _*).createOrReplaceTempView(t)
     }
