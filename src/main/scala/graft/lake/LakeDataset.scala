@@ -391,7 +391,14 @@ final class LakeDataset private (
   /** Append rows; auto-rebases on concurrent commits the conflict matrix
     * allows (append coexists with append/delete/update/rewrite/index;
     * a committed overwrite/restore/merge/schema-op conflicts). */
-  def append(df: DataFrame): Unit = withOpRetry(OpKind.Append, 5) {
+  def append(df: DataFrame): Unit = append(df, Map.empty)
+
+  /** Append with extra manifest properties landing in the SAME commit —
+    * callers that would otherwise append-then-setProperties (e.g. the MV
+    * initial build recording its refresh cursor) save a whole manifest
+    * swap, and the property can never be observed without the data. */
+  def append(df: DataFrame,
+      extraProps: Map[String, String]): Unit = withOpRetry(OpKind.Append, 5) {
     val checked = enforcePrimaryKey(df)
     try {
       val base = m.nextRowId
@@ -403,6 +410,7 @@ final class LakeDataset private (
         fragments = m.fragments ++ frags,
         maxFragmentId = m.maxFragmentId + frags.size,
         nextRowId = math.max(m.nextRowId, maxRid + 1),
+        properties = m.properties ++ extraProps,
         parentVersion = Some(m.version),
         createdMs = System.currentTimeMillis(),
         operation = "append",

@@ -202,11 +202,13 @@ object MaterializedView {
     val state = stateOf(base, keys, sumCols, maxCols, minCols)
     val view = LakeDataset.create(spark, viewRoot,
       StructType(state.schema.fields.map(_.copy(nullable = true))))
-    view.append(state)
     // The full definition rides in the view's own properties, so `open`
     // (and the SQL `CALL lake.system.mv_refresh(view)` door) needs no
-    // caller-supplied definition to re-derive later refreshes.
-    view.setProperties(Map(
+    // caller-supplied definition to re-derive later refreshes. The
+    // properties land in the SAME commit as the initial state: one
+    // manifest swap instead of two, and no window where the view has
+    // data but no cursor.
+    view.append(state, Map(
       PropBaseVersion -> snapshotV.toString,
       PropBasePath -> base.root,
       PropKeys -> csv(keys),

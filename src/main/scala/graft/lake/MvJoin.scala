@@ -177,8 +177,9 @@ object JoinMaterializedView {
       }, keys, sumCols, maxCols, minCols)
     val view = LakeDataset.create(spark, viewRoot,
       StructType(state.schema.fields.map(_.copy(nullable = true))))
-    view.append(state)
-    view.setProperties(Map(
+    // definition + cursor in the SAME commit as the initial state (see
+    // MaterializedView.create): one manifest swap instead of two
+    view.append(state, Map(
       PropFactVersion -> factV.toString,
       PropFactPath -> fact.root,
       PropDims -> encodeDims(dims),
