@@ -849,8 +849,13 @@ final class LakeDataset private (
 
     val target = readFragments(m, m.fragments, withRowId = false,
       withFileName = true)
-    val touchedFiles = target.join(src, keyCond, "left_semi")
-      .select("_file").distinct().collect().map(_.getString(0)).toSet
+    // One semi-join pass yields BOTH the touched file set and the matched
+    // row count (it used to be two full passes: a distinct-file collect,
+    // then a count over the touched fragments — the same semi-join).
+    val matchedPerFile = target.join(src, keyCond, "left_semi")
+      .groupBy("_file").agg(count(lit(1)).as("_n"))
+      .collect()
+    val touchedFiles = matchedPerFile.map(_.getString(0)).toSet
     val touched = m.fragments.filter(f => touchedFiles.exists(_.endsWith(fileName(f.file))))
     val touchedIds = touched.map(_.id).toSet
     val untouched = m.fragments.filterNot(f => touchedIds(f.id))
@@ -859,8 +864,7 @@ final class LakeDataset private (
     var newFrags = Seq.empty[Fragment]
     var maxFragId = m.maxFragmentId
     if (touched.nonEmpty) {
-      matched = readFragments(m, touched, withRowId = false)
-        .join(src, keyCond, "left_semi").count()
+      matched = matchedPerFile.map(_.getLong(1)).sum
       // same job-level chunking as DELETE/UPDATE: a merge matching most of
       // a huge table must not rewrite it in one Spark job (the source side
       // re-joins per group — broadcast-sized by the usual merge shape)
