@@ -152,8 +152,11 @@ object Cluster {
       if (trackInertia)
         inertias += a.agg(sum(lit(1.0) - col("sim"))).head().getDouble(0)
       // New means: (k × dim) aggregate rows — tiny regardless of corpus.
-      val means = a.select(col("cluster"), col("vec_id"))
-        .join(e.select("vec_id", "embedding"), "vec_id")
+      // The pinned assignment already carries `embedding` (assign keeps the
+      // input columns), so no join back to the corpus — the old
+      // join-on-vec_id shuffled the embeddings once per iteration for rows
+      // the frame already held.
+      val means = a
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(avg(col("v").cast("double")).as("m"))
@@ -223,7 +226,10 @@ object Cluster {
         .select(col("vec_id"), col("cluster"))
     var assigned: DataFrame = null
     (1 to iters).foreach { t =>
-      assigned = assignFixed(cent)
+      // pin each iteration's assignment — (vec_id, cluster) rows: the means
+      // pass reads it, and the FINAL one is consumed twice by the caller's
+      // purity summary (each read otherwise re-runs crossJoin + window)
+      assigned = assignFixed(cent).pinned()
       if (t < iters) {
         val means = assigned.join(eq.select(col("vec_id"), col("qv")), "vec_id")
           .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "q")))
