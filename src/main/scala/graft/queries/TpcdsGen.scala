@@ -616,12 +616,16 @@ object TpcdsGen {
         // Scale-adaptive input partitioning (optimization guide §2): bare
         // range(n) always splits into defaultParallelism (=cores) tasks, so
         // a 12-row dimension scan costs as many task launches as a 10M-row
-        // fact scan. Size by rows instead — ~64k rows/partition, capped at
-        // the session's parallelism — so toy tables are one task and the
-        // ×167 facts keep every core busy. Row content depends only on
-        // `id`, never on partitioning (the OrderIndependenceSpec pin).
-        case None => s.range(0, n, 1, numPartitions = math.max(1, math.min(
-          ((n + 65535) / 65536).toInt, s.sparkContext.defaultParallelism)))
+        // fact scan. Toy tables (<256k rows) get ~64k-row tasks (usually
+        // one); anything larger keeps the full session parallelism — a
+        // pure rows/64k rule starved the 0.5-3M-row ×167 side tables
+        // (web_returns, inventory) to 14-21 tasks and regressed the heavy
+        // movers ~2× (tpcds_q78_x167 6.1→12.0 s), so large tables keep the
+        // parallelism floor. Row content depends only on `id`, never on
+        // partitioning (the OrderIndependenceSpec pin).
+        case None => s.range(0, n, 1, numPartitions =
+          if (n < 262144) math.max(1, ((n + 65535) / 65536).toInt)
+          else s.sparkContext.defaultParallelism)
       }
       base.select(cols: _*).createOrReplaceTempView(t)
     }

@@ -264,9 +264,11 @@ object TpchGen {
           org.apache.spark.sql.functions.expr(e).as(c) })
       val base = partitions match {
         case Some(p) => s.range(0, n, 1, numPartitions = p)
-        // rows-sized partitioning, same rationale as TpcdsGen.register
-        case None => s.range(0, n, 1, numPartitions = math.max(1, math.min(
-          ((n + 65535) / 65536).toInt, s.sparkContext.defaultParallelism)))
+        // rows-sized partitioning with a parallelism floor for large
+        // tables, same rationale as TpcdsGen.register
+        case None => s.range(0, n, 1, numPartitions =
+          if (n < 262144) math.max(1, ((n + 65535) / 65536).toInt)
+          else s.sparkContext.defaultParallelism)
       }
       base.select(cols: _*).createOrReplaceTempView(t)
     }
