@@ -29,8 +29,24 @@ object Materialize {
       case _ => df.localCheckpoint(eager)
     }
 
+  /** Release a pinned frame's storage NOW. `Dataset.unpersist` only
+    * consults the CacheManager, so it is a no-op for `localCheckpoint` /
+    * `checkpoint` pins (disassembled Spark 4.1.2: unpersist →
+    * `cacheManager.uncacheQuery` and nothing else) — the blocks otherwise
+    * sit in the block manager until the ContextCleaner happens to GC the
+    * RDD. unpin finds the pin's LogicalRDD leaves in the analyzed plan and
+    * unpersists the underlying RDDs directly; it works on the pinned frame
+    * itself or any projection derived from it. Only call when every
+    * consumer of the pin has run — a pinned RDD cannot recompute. */
+  def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     /** `df.pinned()` — chainable [[Materialize.pin]]. */
     def pinned(): DataFrame = pin(df)
+    /** `df.unpinned()` — chainable [[Materialize.unpin]]. */
+    def unpinned(): Unit = unpin(df)
   }
 }

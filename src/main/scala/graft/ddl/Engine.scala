@@ -143,7 +143,7 @@ object Engine {
       }
       batch.write.mode(SaveMode.Append).insertInto(table)
       counts.getAs[Long]("_n")
-    } finally batch.unpersist()
+    } finally graft.Materialize.unpin(batch)
   }
 
   /** COPY FROM file into a catalog table (executor_scan.go:272-460 parquet/

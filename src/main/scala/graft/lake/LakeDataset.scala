@@ -415,7 +415,7 @@ final class LakeDataset private (
         createdMs = System.currentTimeMillis(),
         operation = "append",
         touchedFragmentIds = Nil))
-    } finally if (checked ne df) checked.unpersist()
+    } finally if (checked ne df) graft.Materialize.unpin(checked)
   }
 
   /** Append that auto-evolves the schema (reference Merge(fragments,
@@ -467,7 +467,7 @@ final class LakeDataset private (
           createdMs = System.currentTimeMillis(),
           operation = "append_merge_schema",
           touchedFragmentIds = Nil))
-      } finally if (checked ne filled) checked.unpersist()
+      } finally if (checked ne filled) graft.Materialize.unpin(checked)
     }
   }
 
@@ -855,8 +855,11 @@ final class LakeDataset private (
     val matchedPerFile = target.join(src, keyCond, "left_semi")
       .groupBy("_file").agg(count(lit(1)).as("_n"))
       .collect()
-    val touchedFiles = matchedPerFile.map(_.getString(0)).toSet
-    val touched = m.fragments.filter(f => touchedFiles.exists(_.endsWith(fileName(f.file))))
+    // base-name Set lookup: the old `exists(_.endsWith(...))` scanned the
+    // touched list per fragment — O(fragments × touched) driver work at
+    // millions-of-fragments manifest scale (r8 verdict #5)
+    val touchedNames = matchedPerFile.map(r => fileName(r.getString(0))).toSet
+    val touched = m.fragments.filter(f => touchedNames(fileName(f.file)))
     val touchedIds = touched.map(_.id).toSet
     val untouched = m.fragments.filterNot(f => touchedIds(f.id))
 
@@ -888,7 +891,14 @@ final class LakeDataset private (
     var inserted = 0L
     var nextRid = m.nextRowId
     if (insertNotMatched) {
-      val targetKeys = read().select(keys.map(col): _*)
+      // Any source key matching ANY live target row is — by the semi-join
+      // that defined `touched` — in a touched file, so the anti-join probe
+      // side needs only the touched fragments' keys. This replaces the
+      // merge's second full-table scan with a touched-files-only read
+      // (identical visibility: readFragments applies the same DV filter
+      // read() does).
+      val targetKeys = readFragments(m, touched, withRowId = false)
+        .select(keys.map(col): _*)
       val keyCondSwapped = keys.map(k => col(s"_src_$k") === col(k)).reduce(_ && _)
       val ins = src.join(targetKeys, keyCondSwapped, "left_anti")
       val insLogical = m.fields.foldLeft(ins) { (df, f) =>

@@ -114,6 +114,10 @@ object MaterializedView {
     // don't recompute what a cheap bounded pin can hold).
     val delta = graft.Materialize.pin(signed.groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*))
+    // everything below can throw (the removed-groups probe, the eager pin
+    // of `merged`) — this try's finally releases delta's blocks on those
+    // paths too, not just after mergedPinned exists
+    try {
 
     // Groups that lost rows: MAX/MIN may have moved — recompute those
     // groups (and only those) from the full input. Semi-join keeps the
@@ -167,8 +171,10 @@ object MaterializedView {
       val removed = view.delete("mv_cnt <= 0")
       MvRefreshStats(from, to, matched + inserted, removed)
     } finally {
-      mergedPinned.unpersist()
-      delta.unpersist()
+      graft.Materialize.unpin(mergedPinned)
+    }
+    } finally {
+      graft.Materialize.unpin(delta)
     }
   }
 

@@ -371,9 +371,16 @@ object Dedup {
       // exits early the components are EXACT, not diameter-bounded). The
       // convergence probe is a limit-1 scan of the checkpointed result.
       converged = next.filter(col("label") =!= col("prev")).isEmpty
+      // next's pin is eager and already materialized — round i−1's blocks
+      // are dead now; without this the loop held iterations × corpus
+      // (same leak class as the kmeans per-iteration pins, r8 verdict #4)
+      graft.Materialize.unpin(labels)
       labels = next.select("doc_id", "label")
       i += 1
     }
+    // the result is the final labels pin; the doubled edge list fed only
+    // the propagation rounds
+    graft.Materialize.unpin(edges)
     labels.withColumn("keep", col("doc_id") === col("label"))
   }
 

@@ -34,7 +34,9 @@ object RefTpchFull {
 
   private def usedTables(text: String): Seq[String] =
     TpchGen.rows.keys.toSeq.sorted
-      .filter(t => s"\\b$t\\b".r.findFirstIn(text).isDefined)
+      // (?i): SQL identifiers are case-insensitive — an uppercased table
+      // reference must still register its view (and its oracle CTE)
+      .filter(t => s"(?i)\\b$t\\b".r.findFirstIn(text).isDefined)
 
   /** DuckDB oracle: generator prelude + the same text; a query that itself
     * starts WITH (q15) merges its CTE list into the prelude's, and its own

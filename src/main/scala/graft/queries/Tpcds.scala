@@ -491,7 +491,9 @@ object Tpcds {
     * doesn't fire inside `store_sales`). */
   private def usedTables(text: String): Seq[String] =
     TpcdsGen.rows.keys.toSeq.sorted
-      .filter(t => s"\\b$t\\b".r.findFirstIn(text).isDefined)
+      // (?i): SQL identifiers are case-insensitive — an uppercased table
+      // reference must still register its view (and its oracle CTE)
+      .filter(t => s"(?i)\\b$t\\b".r.findFirstIn(text).isDefined)
 
   /** DuckDB oracle: generator prelude + the same query text; a query that
     * itself starts WITH merges its CTE list into the prelude's.

@@ -78,6 +78,24 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("kmeans leaves at most one pinned frame per run (pin leak, r8 #4)") {
+    // each Lloyd iteration pins its assignment; without the per-iteration
+    // unpersist the loop held iters × corpus in the block manager. After a
+    // run, only the RETURNED assignment may still be pinned.
+    graft.SessionHygiene.sweep(spark)
+    val (a, _) = Cluster.kmeans(spark, e, k = 4, iters = 3)
+    a.count() // consume the result like a caller would
+    val liveFloat = spark.sparkContext.getPersistentRDDs.size
+    assert(liveFloat <= 1, s"kmeans leaked pins: $liveFloat persistent RDDs")
+    graft.SessionHygiene.sweep(spark)
+    val fixed = Cluster.kmeansFixed(spark, e.select("vec_id", "embedding"))
+    fixed.count()
+    val liveFixed = spark.sparkContext.getPersistentRDDs.size
+    assert(liveFixed <= 1,
+      s"kmeansFixed leaked pins: $liveFixed persistent RDDs")
+    graft.SessionHygiene.sweep(spark)
+  }
+
   test("quantized fixed-point Lloyd agrees with the float-kernel run") {
     // same seeds, same iteration count → cluster ids are comparable; the
     // 1e-3 quantization may flip a handful of boundary vectors, no more
