@@ -86,6 +86,29 @@ object Tables {
       })
   }
 
+  /** Exact row count of a raw table from parquet footer metadata — a
+    * driver-side metadata read instead of a full count() JOB inside a
+    * timed query (guide §5: the driver does no data work). Used only for
+    * scale-adaptive knobs (sketch accuracy, shard counts, bucket bits);
+    * exact-equal to `load(...).count()` because the load is raw (no
+    * filters). Not memoized — it recomputes from the input files on every
+    * call. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      else Seq(st)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Register all tables of a scale-factor dir as temp views. Idempotent and
     * memoized per (session, dir); re-registers only when the dir changes. */
   def register(spark: SparkSession, dir: String): Unit = {

@@ -403,7 +403,8 @@ object Ann {
     // join shuffles data already in hand). Released after the run by the
     // harness sweep; one bounded pin per query.
     val bucketed = graft.Materialize.pin(e
-      .withColumn("bucket", bucketOf(col("embedding"), semanticBits(e.count())))
+      .withColumn("bucket", bucketOf(col("embedding"),
+        semanticBits(graft.Tables.rowCount(s, dir, "embeddings"))))
       .select("vec_id", "embedding", "bucket"))
     val a = bucketed.select(col("vec_id").as("doc_a"),
       col("embedding").as("emb_a"), col("bucket"))
@@ -456,7 +457,8 @@ object Ann {
     val qB = s.sparkContext.broadcast(qRows)
     import s.implicits._
     val hits = e.select(col("vec_id"), col("embedding"))
-      .repartition(hnswShards(e.count()), col("vec_id"))
+      .repartition(hnswShards(graft.Tables.rowCount(s, dir, "embeddings")),
+        col("vec_id"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val g = HnswGraph.build(it)

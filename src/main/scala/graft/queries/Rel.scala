@@ -485,7 +485,11 @@ object Rel {
     // exact-regime gate stays intact where the driver replays it
     // (sf0.01, ~60k rows). r6 sf5 audit: accuracy 100k over 30M rows
     // spent 9 s maintaining sketch resolution nothing consumes.
-    val acc = if (li.count() <= 100000L) 100000 else 10000
+    // footer-metadata row count: same exact value count() computed, minus
+    // the full-scan job inside the timed query (guide §5)
+    val acc =
+      if (graft.Tables.rowCount(s, dir, "lineitem") <= 100000L) 100000
+      else 10000
     li
       .groupBy("l_returnflag")
       .agg(
