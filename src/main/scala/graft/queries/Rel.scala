@@ -444,17 +444,24 @@ object Rel {
       |    AS p99_price
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // One scan, one shuffle (guide §2): the old (flag, qty, price) pre-agg
+    // was keyed by the near-unique price, so it deduplicated nothing — a
+    // full extra HashAggregate + Exchange of ~row-count triples before the
+    // percentile stage. `percentile`'s own partial state IS a value→count
+    // map (per partition, per group), so feeding it raw rows carries the
+    // same distinct-sized state the pre-agg produced, minus the extra
+    // stage; both quantity percentiles share one map via the array form.
+    // Same multiset in → identical doubles out (oracle text unchanged).
     Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag", "l_quantity", "l_extendedprice")
-      .agg(count(lit(1)).as("f"))
       .groupBy("l_returnflag")
       .agg(
-        expr("CAST(round(percentile(l_quantity, 0.5, f) * 1000000) AS BIGINT)")
-          .as("p50_qty"),
-        expr("CAST(round(percentile(l_quantity, 0.9, f) * 1000000) AS BIGINT)")
-          .as("p90_qty"),
-        expr("CAST(round(percentile(l_extendedprice, 0.99, f) * 1000000) AS BIGINT)")
+        expr("percentile(l_quantity, array(0.5D, 0.9D))").as("qs"),
+        expr("CAST(round(percentile(l_extendedprice, 0.99) * 1000000) AS BIGINT)")
           .as("p99_price"))
+      .select(col("l_returnflag"),
+        expr("CAST(round(qs[0] * 1000000) AS BIGINT)").as("p50_qty"),
+        expr("CAST(round(qs[1] * 1000000) AS BIGINT)").as("p90_qty"),
+        col("p99_price"))
       .orderBy("l_returnflag")
   }
 
